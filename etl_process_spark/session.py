@@ -1,0 +1,68 @@
+"""SparkSession factory.
+
+Centralizes the engine's session configuration so every entry point (tests,
+bench, driver contract) runs with identical semantics:
+
+* ``spark.sql.ansi.enabled=false`` — permissive casts (bad cast -> NULL),
+  matching the reference's implicit Postgres coercion of staged varchar
+  columns (reference ``py_scripts/transaction.py:74-77``).
+* UTC session time zone — parquet timestamps compare bit-identically with
+  the DuckDB oracle.
+* AQE on (coalesce + skew-join) — runtime re-planning so the same code is
+  right at sf0.001 and at 100 TB.
+* shuffle partitions sized to the local core count; at cluster scale this is
+  overridden by AQE's coalescing + the submitter's conf.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(app_name: str = "etl_process_spark", master: str | None = None,
+              extra_conf: dict[str, str] | None = None) -> SparkSession:
+    """Return (create if needed) the engine's SparkSession."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", DEFAULT_SHUFFLE_PARTITIONS)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for key, value in (extra_conf or {}).items():
+        builder = builder.config(key, value)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def configure_session(spark: SparkSession) -> SparkSession:
+    """Apply the engine's semantic configs to an externally-created session.
+
+    The driver hands us a SparkSession it built; runtime-settable semantics
+    (ANSI mode, time zone, AQE) must still hold for oracle parity.
+    """
+    runtime = {
+        "spark.sql.ansi.enabled": "false",
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+    }
+    for key, value in runtime.items():
+        try:
+            spark.conf.set(key, value)
+        except Exception:
+            pass  # static conf on a live session; semantics already fixed
+    return spark

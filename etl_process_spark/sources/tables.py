@@ -1,0 +1,65 @@
+"""Warehouse table catalog — parquet-backed named tables.
+
+The reference's warehouse is 16 Postgres tables (main.ddl:1-137). Here each
+table is a parquet directory under a root, read/written through one catalog
+object so every stage shares the same paths and write discipline.
+
+Write discipline (SURVEY §7 "hard parts" (a)): Spark cannot atomically
+overwrite a directory it is concurrently reading (it would truncate its own
+input). ``overwrite`` therefore writes to a fresh versioned directory and
+flips a pointer file — write-temp-then-swap — which also gives readers
+snapshot isolation between runs, the parity analog of the reference's
+per-script transactional commit (transaction.py:113).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class TableCatalog:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def _pointer(self, name: str) -> str:
+        return os.path.join(self.root, f"{name}.version.json")
+
+    def _current_dir(self, name: str) -> str | None:
+        ptr = self._pointer(name)
+        if not os.path.exists(ptr):
+            return None
+        with open(ptr) as fh:
+            return json.load(fh)["dir"]
+
+    def exists(self, name: str) -> bool:
+        return self._current_dir(name) is not None
+
+    def read(self, name: str) -> DataFrame:
+        d = self._current_dir(name)
+        if d is None:
+            raise FileNotFoundError(f"table {name} not initialized under {self.root}")
+        return self.spark.read.parquet(d)
+
+    def overwrite(self, name: str, df: DataFrame) -> None:
+        """Atomic table rewrite: write new version dir, then flip pointer."""
+        old = self._current_dir(name)
+        version = 0 if old is None else int(os.path.basename(old).rsplit("_v", 1)[1]) + 1
+        new_dir = os.path.join(self.root, f"{name}_v{version}")
+        df.write.mode("overwrite").parquet(new_dir)
+        tmp = self._pointer(name) + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"dir": new_dir}, fh)
+        os.replace(tmp, self._pointer(name))
+
+    def append(self, name: str, df: DataFrame) -> None:
+        """Append sink (reference S8, INSERT...SELECT)."""
+        d = self._current_dir(name)
+        if d is None:
+            self.overwrite(name, df)
+        else:
+            df.write.mode("append").parquet(d)

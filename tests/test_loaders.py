@@ -1,0 +1,67 @@
+"""Fact loader tests: European decimal parse, dedup-on-insert idempotency,
+dated-inbox discovery/archival, watermark protocol."""
+
+import datetime as dt
+import os
+from decimal import Decimal
+
+from etl_process_spark.pipeline.loaders import load_transactions_file
+from etl_process_spark.sources.inbox import DatedInbox, parse_file_date
+from etl_process_spark.sources.watermark import WatermarkStore
+
+CSV = (
+    "transaction_id;transaction_date;amount;card_num;oper_type;oper_result;terminal\n"
+    "t1;2021-01-01 10:00:00;1.234,56;C1;PAYMENT;SUCCESS;T1\n"
+    "t2;2021-01-01 11:00:00;10,00;C2;WITHDRAW;REJECT;T2\n"
+)
+
+
+def test_transactions_load_and_dedup(spark, tmp_path):
+    p = tmp_path / "transactions_01012021.txt"
+    p.write_text(CSV)
+    new = load_transactions_file(spark, str(p), fact=None)
+    rows = {r.trans_id: r for r in new.collect()}
+    assert rows["t1"].amt == Decimal("1234.56")  # European format F3
+    assert rows["t2"].amt == Decimal("10.00")
+    assert rows["t1"].trans_date == dt.datetime(2021, 1, 1, 10)
+
+    # idempotent re-load: anti-join against existing fact appends nothing
+    again = load_transactions_file(spark, str(p), fact=new)
+    assert again.count() == 0
+
+
+def test_dated_inbox(tmp_path):
+    for name in ["transactions_01012021.txt", "transactions_15022021.txt",
+                 "transactions_02012021.txt"]:
+        (tmp_path / name).write_text(CSV)
+    inbox = DatedInbox(str(tmp_path), "transactions_*.txt")
+    dates = [d for d, _ in inbox.discover()]
+    assert dates == [dt.date(2021, 1, 1), dt.date(2021, 1, 2), dt.date(2021, 2, 15)]
+    # watermark skip: strictly-after filter
+    dates2 = [d for d, _ in inbox.discover(after=dt.date(2021, 1, 1))]
+    assert dates2 == [dt.date(2021, 1, 2), dt.date(2021, 2, 15)]
+    # archive moves the file out of the inbox
+    d0, p0 = inbox.discover()[0]
+    dest = inbox.archive(p0)
+    assert os.path.exists(dest) and not os.path.exists(p0)
+    assert len(inbox.discover()) == 2
+
+
+def test_parse_file_date():
+    assert parse_file_date("transactions_31122021.txt") == dt.date(2021, 12, 31)
+
+
+def test_watermark_store(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    store = WatermarkStore(str(tmp_path / "meta.json"))
+    assert store.get("fact") == "1900-01-01"  # epoch default (A3)
+    df = spark.createDataFrame(
+        [(dt.datetime(2021, 1, 1, 10),), (dt.datetime(2021, 1, 2, 9),)], "ts timestamp"
+    )
+    store.advance_from("fact", df, F.col("ts"))
+    assert store.get("fact") == "2021-01-02 09:00:00"
+    # watermark never regresses
+    old = spark.createDataFrame([(dt.datetime(2020, 1, 1),)], "ts timestamp")
+    store.advance_from("fact", old, F.col("ts"))
+    assert store.get("fact") == "2021-01-02 09:00:00"
