@@ -1,0 +1,60 @@
+"""Benchmark: run the headline queries at $SPARK_GRAFT_SF_DIR and print one
+JSON line ``{"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}``.
+
+Each query is timed end-to-end (plan + execute + collect-count) after a
+one-query JVM warmup, on the engine's own session settings (AQE on).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from etl_process_spark.queries import QUERIES
+from etl_process_spark.session import get_spark
+
+HEADLINE = [
+    "pricing_summary",
+    "filtered_projection",
+    "order_region_denorm",
+    "events_asof_join",
+    "event_lag_features",
+    "fraud_rules_union",
+    "hourly_rollup",
+    "latest_event_per_user",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("bench")
+    names = [n for n in HEADLINE if n in QUERIES]
+    names += [n for n in sorted(QUERIES) if n not in names]
+
+    # warmup: touch every input table + JIT the common operator paths
+    QUERIES[names[0]].builder(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        start = time.perf_counter()
+        QUERIES[name].builder(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - start, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(json.dumps({
+        "metric": "query_corpus_total_runtime",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,615 @@
+"""Parity queries — every operator family in SURVEY §2, on the testdata.
+
+Determinism rules shared by every query (so Spark and the DuckDB oracle are
+bit-identical, not merely close):
+
+* Sums of doubles are order-dependent in IEEE arithmetic, so every summed
+  measure is cast to DECIMAL first — decimal addition is exact and
+  commutative, giving identical results regardless of partitioning.
+* Decimal widths are chosen so no intermediate exceeds precision 38 in
+  either engine (Spark caps at 38 with rounding; DuckDB errors).
+* Final computed columns are cast to DOUBLE — both engines render the same
+  decimal as the same double, and the output schema is dialect-neutral.
+* Window specs order by (ts, id) — a unique total order — never ts alone.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_process_spark.functions.scalar import euro_decimal, fio, seconds_between
+from etl_process_spark.operators.asof import asof_join
+from etl_process_spark.queries.registry import query, tbl
+
+INF_TS = "9999-12-31 00:00:00"
+
+
+# ---------------------------------------------------------------------------
+# Aggregation surface (SURVEY §2.4; groupBy/agg is table-stakes per §2.4 note)
+# ---------------------------------------------------------------------------
+
+@query(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4))
+                    * (1 - CAST(l_discount AS DECIMAL(6,4)))) AS DOUBLE) AS sum_disc_price,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE)
+               / count(*) AS avg_qty,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-shaped groupBy/agg (engine agg surface, SURVEY §2.4).
+
+    Partial (map-side) aggregation is automatic for sum/count — the shuffle
+    moves one row per (group × partition), not per input row, so the plan
+    is the same at sf0.001 and at 100 TB.
+    """
+    li = tbl(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(12,4)")
+    price = F.col("l_extendedprice").cast("decimal(12,4)")
+    disc = F.col("l_discount").cast("decimal(6,4)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * (F.lit(1) - disc)).cast("double").alias("sum_disc_price"),
+            (F.sum(qty).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Projections / filters (SURVEY §2.2 P1/P2, F2 casts)
+# ---------------------------------------------------------------------------
+
+@query(
+    "filtered_projection",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CAST(CAST(l_extendedprice AS DECIMAL(12,4))
+                * (1 - CAST(l_discount AS DECIMAL(6,4))) AS DOUBLE) AS disc_price,
+           CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS ship_month
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount > 0.05
+    """,
+)
+def filtered_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter + computed projection (P1/P2, reference transaction.py:69-79).
+
+    Both predicates and the two-column projection reach the parquet scan
+    (PushedFilters / ReadSchema) — the scan reads 4 of 11 columns.
+    """
+    li = tbl(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") > 0.05)
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            (F.col("l_extendedprice").cast("decimal(12,4)")
+             * (F.lit(1) - F.col("l_discount").cast("decimal(6,4)")))
+            .cast("double").alias("disc_price"),
+            F.date_trunc("month", "l_shipdate").alias("ship_month"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (SURVEY §2.3)
+# ---------------------------------------------------------------------------
+
+@query(
+    "customers_without_orders",
+    """
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+    """,
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left anti join — new-key detection (J1, reference transaction.py:80-84).
+
+    Anti-joins against a date-filtered order set (customers with no orders
+    since 2000) so the result is non-empty at every scale factor — the same
+    shape as the reference's dedup-on-insert anti join.
+    """
+    c = tbl(spark, sf_dir, "customer")
+    o = tbl(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+@query(
+    "suppliers_with_shipments",
+    """
+    SELECT s_suppkey, s_name
+    FROM supplier s
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_suppkey = s.s_suppkey
+                    AND l.l_shipdate >= TIMESTAMP '2000-01-01 00:00:00')
+    """,
+)
+def suppliers_with_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left semi join (J8, reference terminals.py:182-194 `IN (subquery)`)."""
+    s = tbl(spark, sf_dir, "supplier")
+    li = tbl(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp")
+    )
+    return (
+        s.join(li, s.s_suppkey == li.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+
+
+@query(
+    "order_region_denorm",
+    """
+    SELECT o.o_orderkey, c.c_name, n.n_name, r.r_name
+    FROM orders o
+    LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+    """,
+)
+def order_region_denorm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left equi-join chain (J6, reference report.py:44-47).
+
+    Every right side is a dimension — broadcast-hinted, so the chain is
+    three map-side joins with zero shuffle of the fact at any scale.
+    """
+    o = tbl(spark, sf_dir, "orders")
+    c = F.broadcast(tbl(spark, sf_dir, "customer"))
+    n = F.broadcast(tbl(spark, sf_dir, "nation"))
+    r = F.broadcast(tbl(spark, sf_dir, "region"))
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "left")
+        .join(n, c.c_nationkey == n.n_nationkey, "left")
+        .join(r, n.n_regionkey == r.r_regionkey, "left")
+        .select("o_orderkey", "c_name", "n_name", "r_name")
+    )
+
+
+@query(
+    "nation_balance_nullsafe",
+    """
+    WITH cb AS (
+      SELECT c_nationkey AS nationkey,
+             CAST(sum(CAST(c_acctbal AS DECIMAL(12,4))) AS DOUBLE) AS cust_total
+      FROM customer GROUP BY c_nationkey
+    ), sb AS (
+      SELECT s_nationkey AS nationkey,
+             CAST(sum(CAST(s_acctbal AS DECIMAL(12,4))) AS DOUBLE) AS supp_total
+      FROM supplier GROUP BY s_nationkey
+    )
+    SELECT coalesce(cb.nationkey, sb.nationkey) AS nationkey,
+           cb.cust_total, sb.supp_total
+    FROM cb FULL OUTER JOIN sb ON cb.nationkey = sb.nationkey
+    WHERE NOT (cb.cust_total IS NOT DISTINCT FROM sb.supp_total)
+    """,
+)
+def nation_balance_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe any-changed predicate over an outer join (J2+P5).
+
+    The reference hand-rolls the 3-clause null-safe inequality per tracked
+    column (terminals.py:128-131); the engine uses ``eqNullSafe`` (<=>),
+    here negated across a FULL OUTER join where one side can be NULL.
+    """
+    cb = (
+        tbl(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.sum(F.col("c_acctbal").cast("decimal(12,4)")).cast("double").alias("cust_total"))
+    )
+    sb = (
+        tbl(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.sum(F.col("s_acctbal").cast("decimal(12,4)")).cast("double").alias("supp_total"))
+    )
+    j = cb.alias("cb").join(sb.alias("sb"), F.col("cb.nationkey") == F.col("sb.nationkey"), "full_outer")
+    return (
+        j.filter(~F.col("cb.cust_total").eqNullSafe(F.col("sb.supp_total")))
+        .select(
+            F.coalesce(F.col("cb.nationkey"), F.col("sb.nationkey")).alias("nationkey"),
+            F.col("cb.cust_total").alias("cust_total"),
+            F.col("sb.supp_total").alias("supp_total"),
+        )
+    )
+
+
+@query(
+    "events_asof_join",
+    f"""
+    WITH dim AS (
+      SELECT user_id, ts AS effective_from,
+             coalesce(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                      TIMESTAMP '{INF_TS}') AS effective_to
+      FROM events WHERE event_type = 'signup'
+    )
+    SELECT f.event_id, f.user_id, f.ts, d.effective_from AS version_from
+    FROM events f
+    LEFT JOIN dim d
+      ON f.user_id = d.user_id
+     AND f.ts > d.effective_from
+     AND f.ts < d.effective_to
+    WHERE f.event_type = 'purchase'
+    """,
+)
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (as-of) join, strict inequalities (J4, report.py:38-41).
+
+    The SCD2-style dim is derived from 'signup' events (effective_from=ts,
+    effective_to=next signup); each 'purchase' joins the version open at its
+    timestamp. Strictness parity corner: a purchase exactly on a version
+    boundary matches nothing.
+    """
+    ev = tbl(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dim = (
+        ev.filter(F.col("event_type") == "signup")
+        .select(
+            "user_id",
+            F.col("ts").alias("effective_from"),
+            F.coalesce(F.lead("ts").over(w), F.lit(INF_TS).cast("timestamp")).alias("effective_to"),
+        )
+        .withColumn("deleted_flg", F.lit("N"))
+    )
+    fact = ev.filter(F.col("event_type") == "purchase")
+    return asof_join(
+        fact, dim, fact_key="user_id", dim_key="user_id", fact_ts="ts",
+        strict=True, only_live=True, how="left",
+    ).select(
+        F.col("f.event_id").alias("event_id"),
+        F.col("f.user_id").alias("user_id"),
+        F.col("f.ts").alias("ts"),
+        F.col("d.effective_from").alias("version_from"),
+    )
+
+
+@query(
+    "trim_key_join",
+    """
+    SELECT o.o_orderkey, c.c_name
+    FROM (SELECT o_orderkey, o_custkey,
+                 rpad(CAST(o_custkey AS VARCHAR), 12, ' ') AS custkey_padded
+          FROM orders) o
+    JOIN customer c ON trim(o.custkey_padded) = CAST(c.c_custkey AS VARCHAR)
+    """,
+)
+def trim_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi join on a trimmed expression key (J5/F5, report.py:42-43).
+
+    The reference's card/passport numbers are space-padded fixed-width
+    varchars joined via trim(); here the padded key is synthesized from
+    o_custkey. Catalyst still plans an equi hash join on the expression.
+    """
+    o = tbl(spark, sf_dir, "orders").withColumn(
+        "custkey_padded", F.rpad(F.col("o_custkey").cast("string"), 12, " ")
+    )
+    c = tbl(spark, sf_dir, "customer")
+    return (
+        o.join(c, F.trim(o.custkey_padded) == c.c_custkey.cast("string"), "inner")
+        .select("o_orderkey", "c_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Current-version / latest-row (P4 analog)
+# ---------------------------------------------------------------------------
+
+@query(
+    "latest_event_per_user",
+    """
+    SELECT e.user_id, e.ts AS last_ts, e.event_type, e.event_id
+    FROM events e
+    JOIN (SELECT user_id, max(ts) AS mts FROM events GROUP BY user_id) m
+      ON e.user_id = m.user_id AND e.ts = m.mts
+    """,
+)
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Current-version selection (P4 analog, reference terminals.py:127).
+
+    The open-SCD2-row idiom generalized: per key, the row carrying the max
+    timestamp, via an aggregate + equi self-join (shuffle on user_id only).
+    """
+    ev = tbl(spark, sf_dir, "events")
+    m = ev.groupBy("user_id").agg(F.max("ts").alias("mts"))
+    return (
+        ev.alias("e")
+        .join(m.alias("m"), (F.col("e.user_id") == F.col("m.user_id")) & (F.col("e.ts") == F.col("m.mts")))
+        .select(
+            F.col("e.user_id").alias("user_id"),
+            F.col("e.ts").alias("last_ts"),
+            F.col("e.event_type").alias("event_type"),
+            F.col("e.event_id").alias("event_id"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Windows (SURVEY §2.5 W1-W5) + fraud-shaped rules + UNION ALL (U1)
+# ---------------------------------------------------------------------------
+
+@query(
+    "event_lag_features",
+    """
+    SELECT event_id, user_id, ts,
+           lag(event_type) OVER w AS prev_type,
+           date_diff('second', lag(ts) OVER w, ts) AS gap_sec,
+           lag(value, 3) OVER w AS value_3_back,
+           lag(ts, 3) OVER w AS ts_3_back
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def event_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lag-window family (W1-W5, reference report.py:50-62).
+
+    One window spec — partition by entity, order by event time — exactly the
+    reference's ``lg`` CTE. The per-user shuffle is the only exchange; user
+    cardinality scales with data so it parallelizes linearly.
+    """
+    ev = tbl(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id", "user_id", "ts",
+        F.lag("event_type").over(w).alias("prev_type"),
+        seconds_between(F.col("ts"), F.lag("ts").over(w)).alias("gap_sec"),
+        F.lag("value", 3).over(w).alias("value_3_back"),
+        F.lag("ts", 3).over(w).alias("ts_3_back"),
+    )
+
+
+@query(
+    "fraud_rules_union",
+    """
+    WITH lg AS (
+      SELECT event_id, user_id, ts, event_type, value,
+             lag(event_type) OVER w AS prev_type,
+             date_diff('second', lag(ts) OVER w, ts) AS gap_sec
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_id, ts AS event_dt, user_id, 1 AS rule FROM lg WHERE value > 99
+    UNION ALL
+    SELECT event_id, ts, user_id, 2 FROM lg WHERE event_type = 'error' AND value < 1
+    UNION ALL
+    SELECT event_id, ts, user_id, 3 FROM lg
+    WHERE event_type = 'error' AND prev_type = 'error' AND gap_sec <= 600
+    """,
+)
+def fraud_rules_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-rule UNION ALL report (U1 + P6-P9 shape, report.py:63-113).
+
+    Bag semantics preserved: one event can fire several rules and appears
+    once per rule — exactly the reference's fraud report contract.
+    """
+    ev = tbl(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lg = ev.select(
+        "event_id", "user_id", "ts", "event_type", "value",
+        F.lag("event_type").over(w).alias("prev_type"),
+        seconds_between(F.col("ts"), F.lag("ts").over(w)).alias("gap_sec"),
+    )
+
+    def emit(df: DataFrame, rule: int) -> DataFrame:
+        return df.select(
+            "event_id",
+            F.col("ts").alias("event_dt"),
+            "user_id",
+            F.lit(rule).alias("rule"),
+        )
+
+    r1 = emit(lg.filter(F.col("value") > 99), 1)
+    r2 = emit(lg.filter((F.col("event_type") == "error") & (F.col("value") < 1)), 2)
+    r3 = emit(
+        lg.filter(
+            (F.col("event_type") == "error")
+            & (F.col("prev_type") == "error")
+            & (F.col("gap_sec") <= 600)
+        ),
+        3,
+    )
+    return r1.unionByName(r2).unionByName(r3)
+
+
+@query(
+    "scd2_versions_from_events",
+    f"""
+    WITH changes AS (
+      SELECT user_id, event_type AS state, ts, event_id
+      FROM (
+        SELECT user_id, event_type, ts, event_id,
+               lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        FROM events
+      )
+      WHERE prev IS NULL OR event_type <> prev
+    )
+    SELECT user_id, state, ts AS effective_from,
+           coalesce(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                      - INTERVAL 1 SECOND,
+                    TIMESTAMP '{INF_TS}') AS effective_to
+    FROM changes
+    """,
+)
+def scd2_versions_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 version timeline as a query (P4/P5/F8 semantics, cards.py:106-141).
+
+    Collapse consecutive identical states per user, then close each version
+    one second before its successor opens — the reference's `-1 second`
+    close (terminals.py:134) — leaving one open version per user.
+    """
+    ev = tbl(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.select(
+            "user_id", F.col("event_type").alias("state"), "ts", "event_id",
+            F.lag("event_type").over(w).alias("prev"),
+        )
+        .filter(F.col("prev").isNull() | (F.col("state") != F.col("prev")))
+    )
+    return changes.select(
+        "user_id", "state",
+        F.col("ts").alias("effective_from"),
+        F.coalesce(
+            F.lead("ts").over(w) - F.expr("INTERVAL 1 SECOND"),
+            F.lit(INF_TS).cast("timestamp"),
+        ).alias("effective_to"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar functions (SURVEY §2.8) + watermark scan (P3/A1-A3)
+# ---------------------------------------------------------------------------
+
+@query(
+    "euro_decimal_parse",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CAST(replace(replace(
+                  replace(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS VARCHAR), '.', ','),
+                '.', ''), ',', '.') AS DECIMAL(15,2)) AS amt
+    FROM lineitem
+    WHERE l_linenumber = 1
+    """,
+)
+def euro_decimal_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """European decimal normalization (F3, reference transaction.py:77).
+
+    A European-formatted amount string ("44473,56") is synthesized from
+    l_extendedprice, then parsed by the engine's euro_decimal: strip '.'
+    thousands separators, ',' -> '.', cast decimal(15,2).
+    """
+    li = tbl(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") == 1)
+    euro_str = F.replace(
+        F.col("l_extendedprice").cast("decimal(12,2)").cast("string"),
+        F.lit("."), F.lit(","),
+    )
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        euro_decimal(euro_str).alias("amt"),
+    )
+
+
+@query(
+    "concat_ws_labels",
+    """
+    SELECT c_custkey,
+           concat_ws(' ', c_name, nullif(c_mktsegment, 'AUTOMOBILE'),
+                     CAST(c_nationkey AS VARCHAR)) AS label
+    FROM customer
+    """,
+)
+def concat_ws_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-skipping concatenation (F4, reference report.py:23).
+
+    Postgres concat treats NULL as ''; Spark concat returns NULL — the
+    engine's `fio` uses concat_ws for parity. nullif injects NULLs to prove
+    the NULL-skip behavior on real data.
+    """
+    c = tbl(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        fio(
+            F.col("c_name"),
+            F.nullif(F.col("c_mktsegment"), F.lit("AUTOMOBILE")),
+            F.col("c_nationkey").cast("string"),
+        ).alias("label"),
+    )
+
+
+@query(
+    "watermark_incremental",
+    """
+    SELECT max(ts) AS new_watermark, count(*) AS batch_rows
+    FROM events
+    WHERE ts > TIMESTAMP '2024-01-15 00:00:00'
+    """,
+)
+def watermark_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """High-watermark incremental scan + new-watermark agg (P3/A1/A2,
+    reference cards.py:50-56,189-193).
+
+    The filter is pushed to the parquet scan (PushedFilters), so only the
+    delta is read — the JDBC-pushdown analog. The max() is the only value
+    the engine ever collects to the driver.
+    """
+    ev = tbl(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("ts") > F.lit("2024-01-15 00:00:00").cast("timestamp"))
+        .agg(F.max("ts").alias("new_watermark"), F.count(F.lit(1)).alias("batch_rows"))
+    )
+
+
+@query(
+    "interval_arithmetic",
+    """
+    SELECT event_id, ts,
+           ts - INTERVAL 1 SECOND AS closed_ts,
+           CASE WHEN date_diff('second', TIMESTAMP '2024-01-01 00:00:00', ts) <= 3600
+                THEN 1 ELSE 0 END AS in_first_hour
+    FROM events
+    """,
+)
+def interval_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval arithmetic + interval comparison (F8/F9, terminals.py:134,
+    report.py:99,112)."""
+    ev = tbl(spark, sf_dir, "events")
+    return ev.select(
+        "event_id", "ts",
+        (F.col("ts") - F.expr("INTERVAL 1 SECOND")).alias("closed_ts"),
+        F.when(
+            seconds_between(F.col("ts"), F.lit("2024-01-01 00:00:00").cast("timestamp")) <= 3600,
+            F.lit(1),
+        ).otherwise(F.lit(0)).alias("in_first_hour"),
+    )
+
+
+@query(
+    "hourly_rollup",
+    """
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type
+    """,
+)
+def hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window rollup in batch (streaming-shaped agg, SURVEY §2.9).
+
+    date_trunc is the batch expression of a 1-hour tumbling window; the
+    same groupBy runs unchanged under Structured Streaming with
+    ``window(ts, '1 hour')`` + withWatermark (engine streaming module).
+    """
+    ev = tbl(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,4)")).cast("double").alias("total_value"),
+        )
+    )
