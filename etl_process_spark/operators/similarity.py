@@ -1,0 +1,115 @@
+"""Embedding similarity search: brute-force cosine top-k and IVF probe.
+
+Scale design:
+
+* Dot products / norms are per-row `aggregate`/`zip_with` expressions over
+  the embedding array — JVM-side, no Python, no shuffle.
+* Brute-force top-k against ONE query vector is a map + global top-k
+  (`orderBy.limit` -> TakeOrderedAndProject: per-partition heaps, driver
+  merges k rows, never a full sort). Right answer at any corpus size when
+  the query set is small.
+* The IVF path is the scale answer for many queries: partition the corpus
+  into cells (here: the `label` column as the cell assignment; in
+  production, k-means centroids), compute cell centroids, and search only
+  the best cell(s) per query — candidate count drops by the cell factor.
+* Cosine values are rounded to 6 decimals before ranking with a
+  deterministic (score, id) tie-break, so results are reproducible across
+  engines and partitionings (double summation order differs; 1e-15 noise
+  must not reorder top-k).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dbl(arr: Column) -> Column:
+    return F.transform(arr, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ a_i·b_i via zip_with + aggregate (index order, JVM codegen)."""
+    return F.aggregate(
+        F.zip_with(_dbl(a), _dbl(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    df: DataFrame, query_vec: DataFrame, k: int = 10,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force cosine top-k of `df` against a single query vector.
+
+    `query_vec` is a 1-row DataFrame with the query embedding (column
+    `q`) — broadcast, so the scan is map-only; the only data movement is
+    the k-row top-k merge.
+    """
+    j = df.crossJoin(F.broadcast(query_vec))
+    scored = j.select(
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), F.col("q")), 6).alias("cos_sim"),
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
+
+
+def ivf_centroids(
+    df: DataFrame, cell_col: str = "label", vec_col: str = "embedding", dim: int | None = None,
+) -> DataFrame:
+    """Per-cell centroid vectors (the IVF coarse quantizer).
+
+    posexplode -> groupBy(cell, position) -> avg -> re-assemble. The
+    shuffle carries (cell × dim) rows — centroid-sized, independent of
+    corpus size. Centroid components round to 6 decimals (cross-engine
+    reproducibility of the double mean).
+    """
+    pe = df.select(F.col(cell_col).alias("cell"), F.posexplode(_dbl(F.col(vec_col))).alias("pos", "val"))
+    comp = pe.groupBy("cell", "pos").agg(F.round(F.avg("val"), 6).alias("c"))
+    return (
+        comp.groupBy("cell")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+        .select("cell", F.transform("pc", lambda s: s["c"]).alias("centroid"))
+    )
+
+
+def ivf_topk_per_cell(
+    df: DataFrame, k: int = 3,
+    cell_col: str = "label", vec_col: str = "embedding", id_col: str = "vec_id",
+) -> DataFrame:
+    """For each IVF cell, the k vectors closest (L2) to the cell centroid.
+
+    The 'probe' half of IVF search: ranking within a cell against its
+    centroid. Join on the cell key broadcasts the centroids; the per-cell
+    top-k is a windowed rank over cell partitions. Distances round to 6
+    decimals with (dist, id) tie-break for cross-engine determinism.
+    """
+    from pyspark.sql import Window
+
+    cents = F.broadcast(ivf_centroids(df, cell_col, vec_col))
+    j = df.join(cents, df[cell_col] == cents["cell"])
+    d2 = F.aggregate(
+        F.zip_with(_dbl(F.col(vec_col)), F.col("centroid"), lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = j.select(
+        F.col("cell"),
+        F.col(id_col),
+        F.round(d2, 6).alias("dist2"),
+    )
+    w = Window.partitionBy("cell").orderBy(F.col("dist2").asc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("cell", F.col(id_col), "dist2", "rn")
+    )

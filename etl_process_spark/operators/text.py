@@ -1,0 +1,100 @@
+"""Text-analysis operators for training-data pipelines.
+
+Everything here is a per-row expression built from Spark SQL higher-order
+functions (transform/aggregate/filter over arrays) — JVM-side, inside
+whole-stage codegen, zero shuffle, no Python UDFs. At 100 TB these scale
+embarrassingly: each partition computes independently and nothing moves.
+
+Hash family: md5 throughout. xxhash64 would be marginally faster JVM-side,
+but md5 is deterministic, engine-portable (the DuckDB oracle computes the
+identical hex strings), and ubiquitous — the right default for fingerprints
+that must be reproducible across systems. Swap `hash_fn` for xxhash64 when
+cross-engine reproducibility is not required.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Stopword markers per language for the n-gram/stopword language heuristic.
+# Deliberately tiny: language ID at pipeline scale is a cheap prior, not a
+# model. Extend per corpus.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "is"),
+    "fr": ("le", "la", "les", "et", "est"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "es": ("el", "la", "los", "y", "es"),
+}
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization of lowercased text (shared by all operators).
+
+    The normalization (lower + trim + split on runs of whitespace) is the
+    contract every downstream op and the oracle agree on.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.trim(F.lower(c)), r"\s+")
+
+
+def token_count_ws(text: Column | str) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(text))
+
+
+def token_count_bpe(text: Column | str) -> Column:
+    """BPE-ish subword count: runs of letters, runs of digits, single
+    punctuation — the classic pre-tokenizer regex. Counted via
+    regexp_extract_all, JVM-side."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(F.lower(c), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0))
+
+
+def avg_token_len(text: Column | str) -> Column:
+    """Mean token length in characters (quality-scoring feature)."""
+    t = tokens(text)
+    total = F.aggregate(t, F.lit(0), lambda acc, x: acc + F.length(x))
+    return F.round(total.cast("double") / F.size(t), 6)
+
+
+def stopword_ratio(text: Column | str, stopwords: tuple[str, ...] = LANG_MARKERS["en"]) -> Column:
+    """Fraction of tokens that are stopwords (quality-scoring feature)."""
+    t = tokens(text)
+    hits = F.size(F.filter(t, lambda x: x.isin(*stopwords)))
+    return F.round(hits.cast("double") / F.size(t), 6)
+
+
+def lang_scores(text: Column | str) -> dict[str, Column]:
+    """Per-language marker-token hit counts (the language-ID heuristic)."""
+    t = tokens(text)
+    return {
+        lang: F.size(F.filter(t, lambda x: x.isin(*marks)))
+        for lang, marks in LANG_MARKERS.items()
+    }
+
+
+def lang_id(text: Column | str) -> Column:
+    """Argmax language by marker hits, deterministic tie-break by language
+    code (ties and zero-hit rows resolve to the lexicographically first
+    language — a stable, engine-portable rule)."""
+    scores = lang_scores(text)
+    pairs = F.array(*[
+        F.struct(scores[lang].alias("score"), F.lit(lang).alias("lang"))
+        for lang in sorted(scores)
+    ])
+    # max score, min lang on ties: sort by (-score, lang) and take the head
+    best = F.array_min(
+        F.transform(pairs, lambda p: F.struct((-p["score"]).alias("neg"), p["lang"].alias("lang")))
+    )
+    return best["lang"]
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Document fingerprint: md5 of the canonical token stream.
+
+    Canonicalization (lower/trim/collapse whitespace via the shared
+    tokenizer) makes the fingerprint whitespace- and case-invariant — the
+    practical exact-dup key for web-scale corpora.
+    """
+    return F.md5(F.concat_ws(" ", tokens(text)))

@@ -1,6 +1,306 @@
-"""Training-data pipeline queries (dedup, similarity, text analysis, JSON).
+"""Training-data pipeline queries: dedup, similarity search, text analysis,
+JSON extraction — the extension surface (SURVEY §7 step 8) as first-class,
+oracle-checked operators over the `documents` / `embeddings` / `events`
+tables.
 
-Registered incrementally; see SURVEY §7 step 8.
+Tokenization contract shared with every oracle: lower -> trim -> split on
+whitespace runs (operators/text.py). Hashes are md5 (engine-portable);
+doubles that feed rankings are rounded to 6 decimals with (score, id)
+tie-breaks so top-k sets are reproducible across engines.
 """
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_process_spark.operators import dedup as dd
+from etl_process_spark.operators import similarity as sim
+from etl_process_spark.operators import text as tx
+from etl_process_spark.queries.registry import query, tbl
+
+# DuckDB-side mirrors of the tokenization / shingle contract.
+_TOKS = "string_split_regex(trim(lower(text)), '\\s+')"
+_SHINGLES = f"""
+  SELECT doc_id, list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                               for i in range(1, len(t)-1)]) AS s
+  FROM (SELECT doc_id, {_TOKS} AS t FROM documents)
+  WHERE len(t) >= 3
+"""
+_SIGS = """
+  SELECT doc_id,
+         list_aggregate([md5('0|' || x) for x in s], 'min') AS m0,
+         list_aggregate([md5('1|' || x) for x in s], 'min') AS m1,
+         list_aggregate([md5('2|' || x) for x in s], 'min') AS m2,
+         list_aggregate([md5('3|' || x) for x in s], 'min') AS m3
+  FROM sh
+"""
+_BANDS = """
+  SELECT doc_id, 0 AS band, md5(m0 || '|' || m1) AS bucket FROM sig
+  UNION ALL
+  SELECT doc_id, 1 AS band, md5(m2 || '|' || m3) AS bucket FROM sig
+"""
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+@query(
+    "dedup_exact",
+    f"""
+    SELECT md5(array_to_string({_TOKS}, ' ')) AS fp,
+           min(doc_id) AS keep_id, count(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by canonical-text fingerprint (hash-groupBy).
+
+    Groups on the 16-byte md5 of the normalized token stream, not the text
+    itself — the shuffle carries hashes, not the corpus.
+    """
+    return dd.exact_dedup(tbl(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@query(
+    "minhash_signatures",
+    f"""
+    WITH sh AS ({_SHINGLES}), sig AS ({_SIGS})
+    SELECT doc_id, m0 AS minhash_0, m1 AS minhash_1, m2 AS minhash_2, m3 AS minhash_3
+    FROM sig
+    """,
+)
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (4 hashes over word 3-shingles), per-row JVM
+    expressions — the signature stage of MinHash-LSH dedup."""
+    docs = tbl(spark, sf_dir, "documents")
+    return docs.select("doc_id", *dd.minhash_signature(F.col("text"), num_hashes=4, k=3)).filter(
+        F.col("minhash_0").isNotNull()
+    )
+
+
+@query(
+    "lsh_candidate_pairs",
+    f"""
+    WITH sh AS ({_SHINGLES}),
+         sig AS ({_SIGS}),
+         bands AS ({_BANDS})
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a
+    JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    """,
+)
+def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate generation: 2 bands x 2 rows, bucket join.
+
+    The only shuffle is on band-bucket keys; no all-pairs comparison ever
+    happens — the property that makes near-dedup feasible at 100 TB.
+    """
+    return dd.lsh_candidate_pairs(
+        tbl(spark, sf_dir, "documents"), "text", "doc_id", num_hashes=4, band_size=2, k=3
+    )
+
+
+@query(
+    "ngram_jaccard_pairs",
+    f"""
+    WITH sh AS ({_SHINGLES}),
+         sig AS ({_SIGS}),
+         bands AS ({_BANDS}),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM bands a
+           JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+         ),
+         ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+         inter AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+           FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+           GROUP BY 1, 2
+         ),
+         sizes AS (SELECT doc_id, len(s) AS n FROM sh)
+    SELECT i.doc_a, i.doc_b,
+           round(CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common), 6) AS jaccard
+    FROM inter i
+    JOIN cand c ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+    JOIN sizes sa ON i.doc_a = sa.doc_id
+    JOIN sizes sb ON i.doc_b = sb.doc_id
+    WHERE round(CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common), 6) >= 0.2
+    """,
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard verification of LSH candidates (the verify
+    stage of near-dedup: shingle-level equi join, candidates only)."""
+    docs = tbl(spark, sf_dir, "documents")
+    cands = dd.lsh_candidate_pairs(docs, "text", "doc_id", num_hashes=4, band_size=2, k=3)
+    return dd.ngram_jaccard_pairs(docs, "text", "doc_id", k=3, threshold=0.2, candidates=cands)
+
+
+@query(
+    "simhash_values",
+    f"""
+    SELECT doc_id,
+           list_sum([
+             CASE WHEN list_sum([CASE WHEN strpos('89abcdef', substr(md5(t), b, 1)) > 0
+                                      THEN 1 ELSE -1 END
+                                 for t in toks]) > 0
+                  THEN (1 << (16 - b)) ELSE 0 END
+             for b in range(1, 17)]) AS simhash
+    FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+    """,
+)
+def simhash_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document (near-dup clustering by Hamming
+    distance); one per-row codegen expression, no shuffle."""
+    docs = tbl(spark, sf_dir, "documents")
+    return docs.select("doc_id", dd.simhash16(F.col("text")).cast("bigint").alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+@query(
+    "text_quality",
+    f"""
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_tokens_bpe,
+           round(CAST(list_sum([length(t) for t in toks]) AS DOUBLE) / len(toks), 6) AS avg_token_len,
+           round(CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','is'))) AS DOUBLE)
+                 / len(toks), 6) AS stopword_ratio
+    FROM (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring features: token counts (whitespace + BPE-ish regex),
+    mean token length, stopword ratio — per-row expressions."""
+    docs = tbl(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        tx.token_count_ws(F.col("text")).alias("n_tokens"),
+        tx.token_count_bpe(F.col("text")).alias("n_tokens_bpe"),
+        tx.avg_token_len(F.col("text")).alias("avg_token_len"),
+        tx.stopword_ratio(F.col("text")).alias("stopword_ratio"),
+    )
+
+
+@query(
+    "lang_id_heuristic",
+    f"""
+    WITH s AS (
+      SELECT doc_id,
+             len(list_filter(toks, t -> t IN ('the','a','of','and','is'))) AS s_en,
+             len(list_filter(toks, t -> t IN ('le','la','les','et','est'))) AS s_fr,
+             len(list_filter(toks, t -> t IN ('der','die','das','und','ist'))) AS s_de,
+             len(list_filter(toks, t -> t IN ('el','la','los','y','es'))) AS s_es
+      FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+    )
+    SELECT doc_id,
+           CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+                WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+                WHEN s_es >= s_fr THEN 'es'
+                ELSE 'fr' END AS lang_pred
+    FROM s
+    """,
+)
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-stopword language ID with a deterministic lexicographic
+    tie-break — the cheap language prior of a data pipeline."""
+    docs = tbl(spark, sf_dir, "documents")
+    return docs.select("doc_id", tx.lang_id(F.col("text")).alias("lang_pred"))
+
+
+@query(
+    "doc_fingerprint",
+    f"""
+    SELECT doc_id, md5(array_to_string({_TOKS}, ' ')) AS fp
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical document fingerprint (whitespace/case-invariant md5)."""
+    docs = tbl(spark, sf_dir, "documents")
+    return docs.select("doc_id", tx.fingerprint(F.col("text")).alias("fp"))
+
+
+# ---------------------------------------------------------------------------
+# Embedding similarity search
+# ---------------------------------------------------------------------------
+
+@query(
+    "embedding_topk_cosine",
+    """
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id,
+           round(
+             list_sum([embedding[i]::DOUBLE * qe[i]::DOUBLE
+                       for i in range(1, len(embedding)+1)])
+             / (sqrt(list_sum([embedding[i]::DOUBLE * embedding[i]::DOUBLE
+                               for i in range(1, len(embedding)+1)]))
+                * sqrt(list_sum([qe[i]::DOUBLE * qe[i]::DOUBLE
+                                 for i in range(1, len(qe)+1)]))), 6) AS cos_sim
+    FROM embeddings, q
+    ORDER BY cos_sim DESC, vec_id
+    LIMIT 10
+    """,
+)
+def embedding_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 against vec_id=0 (the ANN baseline).
+
+    Plans as map + TakeOrderedAndProject: per-partition top-k heaps, a
+    k-row driver merge — no global sort at any corpus size.
+    """
+    emb = tbl(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    return sim.cosine_topk(emb, qv, k=10)
+
+
+@query(
+    "ivf_topk_per_label",
+    """
+    WITH cent AS (
+      SELECT label AS cell, i, round(avg(embedding[i]::DOUBLE), 6) AS c
+      FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS i) s
+      GROUP BY label, i
+    ),
+    dist AS (
+      SELECT e.label AS cell, e.vec_id,
+             round(sum((e.embedding[c.i]::DOUBLE - c.c) * (e.embedding[c.i]::DOUBLE - c.c)), 6) AS dist2
+      FROM embeddings e JOIN cent c ON e.label = c.cell
+      GROUP BY e.label, e.vec_id
+    )
+    SELECT cell, vec_id, dist2, CAST(rn AS INT) AS rn FROM (
+      SELECT cell, vec_id, dist2,
+             row_number() OVER (PARTITION BY cell ORDER BY dist2, vec_id) AS rn
+      FROM dist
+    ) WHERE rn <= 3
+    """,
+)
+def ivf_topk_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe: per-cell centroid (coarse quantizer) + 3 nearest vectors
+    per cell — the partitioned scale path of similarity search."""
+    return sim.ivf_topk_per_cell(tbl(spark, sf_dir, "embeddings"), k=3)
+
+
+# ---------------------------------------------------------------------------
+# Semi-structured extraction
+# ---------------------------------------------------------------------------
+
+@query(
+    "json_props_extract",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_bucket
+    FROM events
+    """,
+)
+def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON property extraction from the events.props column
+    (get_json_object — JVM-side path evaluation, no parsing UDFs)."""
+    ev = tbl(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return ev.select("event_id", k.alias("k"), (k % 10).alias("k_bucket"))
