@@ -15,6 +15,8 @@ Scale design (the 100 TB contract):
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -141,6 +143,91 @@ def lsh_candidate_pairs(
         )
         .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .distinct()
+    )
+
+
+def hyperplane_signs(band: int, nbits: int, dim: int) -> list[list[int]]:
+    """Deterministic ±1 random-hyperplane components, md5-derived.
+
+    sign(b, i) = +1 iff the first hex char of md5("band:b|i") is >= '8'
+    (an unbiased coin from the hash's top bit). Pure-Python constants:
+    the planes are literals in the generated plan, and any engine can
+    re-derive the identical family — no RNG state to ship.
+    """
+    out = []
+    for b in range(nbits):
+        row = []
+        for i in range(dim):
+            h = hashlib.md5(f"{band}:{b}|{i}".encode()).hexdigest()
+            row.append(1 if h[0] >= "8" else -1)
+        out.append(row)
+    return out
+
+
+def hyperplane_code(vec: Column, signs: list[list[int]]) -> Column:
+    """SimHash-style LSH bucket code: bit b = [Σ_i sign(b,i)·v_i >= 0].
+
+    Each projection is an index-ordered zip_with/aggregate sum in double —
+    bit-identical across engines for identical float inputs, so the sign
+    (and hence the bucket) is engine-portable. Per-row, no shuffle.
+    """
+    dbl = F.transform(vec, lambda x: x.cast("double"))
+    code = F.lit(0)
+    for b, row in enumerate(signs):
+        plane = F.array(*[F.lit(float(s)) for s in row])
+        proj = F.aggregate(
+            F.zip_with(dbl, plane, lambda x, s: x * s),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        code = code + F.when(proj >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+    return code
+
+
+def embedding_neardup_pairs(
+    df: DataFrame, threshold: float = 0.4, nbits: int = 4, nbands: int = 2,
+    dim: int = 64, id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup via random-hyperplane LSH + verify.
+
+    Codes are per-row expressions; candidate pairs come from a self-join
+    on (band, code) — the shuffle key is the bucket, never all pairs.
+    Survivors are cosine-verified (≥ threshold). At 100 TB, recall is
+    tuned with nbits/nbands, and the verify join touches only bucket
+    collisions.
+    """
+    from etl_process_spark.operators.similarity import cosine
+
+    dbl_norm = df.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("v"),
+    )
+    banded = None
+    for band in range(nbands):
+        signs = hyperplane_signs(band, nbits, dim)
+        part = dbl_norm.select(
+            "vid", "v", F.lit(band).alias("band"),
+            hyperplane_code(F.col("v"), signs).alias("code"),
+        )
+        banded = part if banded is None else banded.unionByName(part)
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.code") == F.col("b.code"))
+            & (F.col("a.vid") < F.col("b.vid")),
+        )
+        .select(
+            F.col("a.vid").alias("vec_a"), F.col("b.vid").alias("vec_b"),
+            F.col("a.v").alias("va"), F.col("b.v").alias("vb"),
+        )
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    return (
+        cand.withColumn("cos_sim", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("vec_a", "vec_b", "cos_sim")
     )
 
 

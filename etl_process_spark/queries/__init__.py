@@ -10,3 +10,4 @@ that gate locally.
 from etl_process_spark.queries.registry import QUERIES, QuerySpec, query  # noqa: F401
 from etl_process_spark.queries import parity  # noqa: F401  (registers)
 from etl_process_spark.queries import llmdata  # noqa: F401  (registers)
+from etl_process_spark.queries import streams  # noqa: F401  (registers)

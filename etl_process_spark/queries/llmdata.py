@@ -285,6 +285,53 @@ def ivf_topk_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ivf_topk_per_cell(tbl(spark, sf_dir, "embeddings"), k=3)
 
 
+def _neardup_codes_sql(nbits: int = 4, nbands: int = 2, dim: int = 64) -> str:
+    """DuckDB mirror of the hyperplane bucket codes (literal sign arrays)."""
+    parts = []
+    for band in range(nbands):
+        signs = dd.hyperplane_signs(band, nbits, dim)
+        bits = []
+        for b, row in enumerate(signs):
+            lits = "[" + ",".join(f"{float(s)}" for s in row) + "]"
+            bits.append(
+                f"(CASE WHEN list_sum([embedding[i]::DOUBLE * ({lits})[i] "
+                f"for i in range(1, {dim + 1})]) >= 0 THEN {1 << b} ELSE 0 END)"
+            )
+        parts.append(
+            f"SELECT vec_id, {band} AS band, {' + '.join(bits)} AS code FROM embeddings"
+        )
+    return " UNION ALL ".join(parts)
+
+
+@query(
+    "embedding_neardup_pairs",
+    f"""
+    WITH codes AS ({_neardup_codes_sql()}),
+         cand AS (
+           SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+           FROM codes a
+           JOIN codes b ON a.band = b.band AND a.code = b.code AND a.vec_id < b.vec_id
+         ),
+         n AS (SELECT vec_id, embedding,
+                      sqrt(list_sum([x::DOUBLE * x::DOUBLE for x in embedding])) AS nrm
+               FROM embeddings)
+    SELECT c.vec_a, c.vec_b,
+           round(list_sum([a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE
+                           for i in range(1, 65)]) / (a.nrm * b.nrm), 6) AS cos_sim
+    FROM cand c
+    JOIN n a ON c.vec_a = a.vec_id
+    JOIN n b ON c.vec_b = b.vec_id
+    WHERE round(list_sum([a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE
+                          for i in range(1, 65)]) / (a.nrm * b.nrm), 6) >= 0.4
+    """,
+)
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: random-hyperplane LSH buckets (2 bands ×
+    4 bits, md5-derived planes) + cosine ≥ 0.4 verification — candidate
+    generation shuffles on bucket keys, never all pairs."""
+    return dd.embedding_neardup_pairs(tbl(spark, sf_dir, "embeddings"))
+
+
 # ---------------------------------------------------------------------------
 # Semi-structured extraction
 # ---------------------------------------------------------------------------

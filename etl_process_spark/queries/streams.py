@@ -1,0 +1,76 @@
+"""Streaming-shaped queries, batch-checkable (SURVEY §2.9 extension).
+
+Each builder here is the batch run of a window operator whose logical plan
+is identical on a stream (see etl_process_spark.streaming) — registering
+them gives the windowed semantics a DuckDB oracle, while the
+stream-vs-batch equivalence itself is covered in tests/test_streaming.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from etl_process_spark.queries.registry import query, tbl
+from etl_process_spark.streaming.stateful import sessionize_batch
+from etl_process_spark.streaming.windows import session_agg, sliding_counts
+
+_SESSION_ORACLE = """
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR date_diff('microsecond', lag(ts) OVER w, ts) >= 1800000000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts, value,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM sess
+    GROUP BY user_id, sid
+"""
+
+
+@query("session_windows", _SESSION_ORACLE)
+def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-sessionization via the native session_window aggregate (events
+    within 30 min of the previous one merge; window closes gap after the
+    last event). Identical plan runs streaming with a state store."""
+    return session_agg(tbl(spark, sf_dir, "events"), gap="30 minutes")
+
+
+@query("sessionize_batch_twin", _SESSION_ORACLE)
+def sessionize_batch_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The gaps-and-islands sessionizer (lag → flag → running sid → agg) —
+    the batch twin of the applyInPandasWithState streaming operator, which
+    must agree with session_windows row-for-row."""
+    return sessionize_batch(tbl(spark, sf_dir, "events"), gap_seconds=1800)
+
+
+@query(
+    "sliding_window_counts",
+    """
+    SELECT window_start,
+           window_start + INTERVAL 1 HOUR AS window_end,
+           count(*) AS n_events
+    FROM (
+      SELECT unnest([time_bucket(INTERVAL '30 minutes', ts),
+                     time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'])
+             AS window_start
+      FROM events
+    )
+    GROUP BY window_start
+    """,
+)
+def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) 1h/30min event counts — each event fans out to
+    its two covering windows before a single map-combined aggregate."""
+    return sliding_counts(tbl(spark, sf_dir, "events"))

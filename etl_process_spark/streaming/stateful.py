@@ -1,0 +1,162 @@
+"""Custom stateful streaming: gap-sessionization via applyInPandasWithState.
+
+``session_agg`` (windows.py) covers standard gap sessions with the native
+``session_window`` aggregate. This module is the template for semantics the
+built-ins can't express (per-group imperative state machines): the same
+sessionizer written as an ``applyInPandasWithState`` operator, plus its
+batch twin (window functions) used as the differential oracle in tests.
+
+State design for scale: state per key is ONE open session (4 scalars), not
+the event history — memory is O(active keys). Closed sessions are emitted
+as soon as the in-batch gap closes them or the event-time watermark passes
+``last_ts + gap`` (event-time timeout), so state never grows with time.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+SESSION_SCHEMA = (
+    "user_id bigint, session_start timestamp, session_end timestamp, "
+    "n_events bigint, total_value double"
+)
+# epoch-microsecond longs: engine-portable, no tz ambiguity in the state store
+_STATE_SCHEMA = "session_start long, last_ts long, n_events long, total_value double"
+
+
+def _emit(user_id: Any, ss: int, lt: int, n: int, tv: float, gap_us: int) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "session_start": [pd.Timestamp(ss, unit="us")],
+            "session_end": [pd.Timestamp(lt + gap_us, unit="us")],
+            "n_events": [n],
+            "total_value": [round(tv, 2)],
+        }
+    )
+
+
+def _make_sessionizer(gap_seconds: int):
+    gap_us = gap_seconds * 1_000_000
+
+    def fn(
+        key: Tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            ss, lt, n, tv = state.get
+            state.remove()
+            yield _emit(user_id, ss, lt, n, tv, gap_us)
+            return
+
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values("ts", kind="mergesort")
+        ts_us = rows["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        vals = rows["value"].to_numpy()
+
+        if state.exists:
+            ss, lt, n, tv = state.get
+        else:
+            ss = None
+            lt = n = 0
+            tv = 0.0
+
+        closed: list[tuple[int, int, int, float]] = []
+        for t, v in zip(ts_us, vals):
+            t = int(t)
+            if ss is None:
+                ss, lt, n, tv = t, t, 1, float(v)
+            elif t - lt >= gap_us:
+                closed.append((ss, lt, n, tv))
+                ss, lt, n, tv = t, t, 1, float(v)
+            else:
+                lt, n, tv = t, n + 1, tv + float(v)
+
+        # If the watermark already passed the open session's close point,
+        # a timeout in the past would be rejected — close it now instead.
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        if ss is not None and lt + gap_us <= wm_us:
+            closed.append((ss, lt, n, tv))
+            state.remove()
+        else:
+            state.update((ss, lt, n, tv))
+            state.setTimeoutTimestamp((lt + gap_us) // 1000)
+
+        for c in closed:
+            yield _emit(user_id, *c, gap_us)
+
+    return fn
+
+
+def sessionize_stream(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Streaming gap-sessionizer (custom stateful operator).
+
+    Emits one row per CLOSED session (append semantics): a session closes
+    when a later event of the same key arrives ≥ gap after it, or when the
+    event-time watermark passes ``last_ts + gap``.
+    """
+    src = events.withWatermark(ts_col, watermark)
+    return src.groupBy(key_col).applyInPandasWithState(
+        _make_sessionizer(gap_seconds),
+        outputStructType=SESSION_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def sessionize_batch(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Batch gap-sessionization (gaps-and-islands) — the differential twin
+    of ``sessionize_stream``: lag → new-session flag → running session id →
+    per-session aggregate. Same output schema and close semantics
+    (``session_end = last event + gap``)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(ts_col, order_col)
+    flagged = events.select(
+        key_col,
+        ts_col,
+        value_col,
+        order_col,
+        F.when(
+            F.lag(ts_col).over(w).isNull()
+            | (
+                F.col(ts_col).cast("double") - F.lag(ts_col).over(w).cast("double")
+                >= F.lit(float(gap_seconds))
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_sess"),
+    )
+    sess = flagged.withColumn("sid", F.sum("new_sess").over(w))
+    return (
+        sess.groupBy(key_col, "sid")
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            (F.max(ts_col) + F.expr(f"INTERVAL {gap_seconds} SECOND")).alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(value_col), 2).alias("total_value"),
+        )
+        .select(key_col, "session_start", "session_end", "n_events", "total_value")
+    )

@@ -1,0 +1,118 @@
+"""Structured Streaming: stream runs must agree with their batch twins.
+
+Strategy: split the sf0.001 events table into time-ordered parquet files
+in a temp inbox, stream them with maxFilesPerTrigger=1 (multiple
+microbatches → real incremental state), collect into a memory sink with
+Trigger.AvailableNow, and compare against the identical batch computation.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_process_spark.queries.registry import tbl
+from etl_process_spark.streaming import (
+    read_event_stream,
+    sessionize_batch,
+    sessionize_stream,
+    tumbling_counts,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def event_inbox(spark, tmp_path_factory):
+    """Events split into 3 time-ordered files (arrival order = event time)."""
+    base = tmp_path_factory.mktemp("event_inbox")
+    ev = tbl(spark, SF_DIR, "events").orderBy("ts")
+    bounds = ev.select(
+        F.percentile_approx("ts", [1 / 3, 2 / 3], 10000).alias("q")
+    ).first()["q"]
+    parts = [
+        ev.filter(F.col("ts") <= bounds[0]),
+        ev.filter((F.col("ts") > bounds[0]) & (F.col("ts") <= bounds[1])),
+        ev.filter(F.col("ts") > bounds[1]),
+    ]
+    for i, p in enumerate(parts):
+        p.coalesce(1).write.parquet(str(base / f"chunk_{i}"))
+    # one flat dir of parquet files, lexicographic order = time order
+    import shutil
+
+    inbox = base / "inbox"
+    inbox.mkdir()
+    for i in range(3):
+        src = next((base / f"chunk_{i}").glob("part-*.parquet"))
+        shutil.copy(src, inbox / f"events_{i}.parquet")
+        shutil.rmtree(base / f"chunk_{i}")
+    return str(inbox)
+
+
+def _run_stream(spark, df, tmpdir, name):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmpdir}/ckpt_{name}")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+def _canon(df, cols):
+    return sorted(tuple(str(v) for v in r) for r in df.select(*cols).collect())
+
+
+def test_tumbling_stream_matches_batch(spark, event_inbox, tmp_path):
+    stream = read_event_stream(spark, event_inbox, max_files_per_trigger=1)
+    got = _run_stream(
+        spark, tumbling_counts(stream, watermark="0 seconds"), tmp_path, "tumbling"
+    )
+    batch = tumbling_counts(tbl(spark, SF_DIR, "events"), watermark=None)
+    # append mode only emits windows the final watermark has passed
+    max_ts = tbl(spark, SF_DIR, "events").agg(F.max("ts")).first()[0]
+    expected = batch.filter(F.col("window_end") <= F.lit(max_ts))
+    cols = ["window_start", "window_end", "event_type", "n_events", "total_value"]
+    assert _canon(got, cols) == _canon(expected, cols)
+    assert got.count() > 0
+
+
+def test_stateful_sessionizer_matches_batch(spark, event_inbox, tmp_path):
+    stream = read_event_stream(spark, event_inbox, max_files_per_trigger=1)
+    got = _run_stream(
+        spark, sessionize_stream(stream, gap_seconds=1800), tmp_path, "sessions"
+    )
+    batch = sessionize_batch(tbl(spark, SF_DIR, "events"), gap_seconds=1800)
+    cols = ["user_id", "session_start", "session_end", "n_events", "total_value"]
+    got_rows = _canon(got, cols)
+    batch_rows = _canon(batch, cols)
+    # every emitted session is exactly a batch session (no corruption)
+    assert set(got_rows) <= set(batch_rows)
+    # completeness: at most the still-open last session per user is withheld
+    missing = set(batch_rows) - set(got_rows)
+    n_users = tbl(spark, SF_DIR, "events").select("user_id").distinct().count()
+    assert len(missing) <= n_users
+    # the stream must have closed the overwhelming majority
+    assert len(got_rows) >= len(batch_rows) - n_users
+    assert len(got_rows) > 0
+
+
+def test_sessionizer_gap_boundary(spark, tmp_path):
+    """An event exactly `gap` after the last one starts a NEW session (the
+    strict >= split that session_window also uses)."""
+    import datetime as dt
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 0, 0, 0), 7, "click", 1.0, "{}"),
+        (2, dt.datetime(2024, 1, 1, 0, 30, 0), 7, "click", 2.0, "{}"),  # == gap
+        (3, dt.datetime(2024, 1, 1, 0, 40, 0), 7, "click", 3.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    out = sessionize_batch(df, gap_seconds=1800).orderBy("session_start").collect()
+    assert [r["n_events"] for r in out] == [1, 2]
+    assert out[0]["session_end"] == dt.datetime(2024, 1, 1, 0, 30, 0)
