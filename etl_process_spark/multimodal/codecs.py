@@ -1,0 +1,103 @@
+"""Decoders — the ONE swap point between real codecs and the stand-in.
+
+The container has no Pillow/ffmpeg/librosa, so each decode function
+gates on an import-try: with the real library present it decodes real
+bytes; without it falls back to a DETERMINISTIC FAKE that derives the
+observable properties from the md5 of the content. The fake is not a
+mock-object shortcut — it is a pure function of the bytes, reproducible
+in any engine (the DuckDB oracle recomputes it), so the full Spark
+plumbing around it (schemas, Arrow batches, partitioning) is exercised
+for real.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+try:  # pragma: no cover - not installed in this container
+    from PIL import Image  # type: ignore
+
+    HAVE_PIL = True
+except ImportError:
+    HAVE_PIL = False
+
+FRAME_BYTES = 256  # fake video container: fixed-size frame chunks
+
+
+def decode_image(content: bytes) -> dict:
+    """Decode an image to (width, height, channels, mean_luma).
+
+    Real path: Pillow. Fake path: md5-derived — width = 16 + hex[0:2],
+    height = 16 + hex[2:4], channels = 1 + hex[4] % 3, mean_luma =
+    hex[6:8] / 255 (all hex pairs read as base-16 ints).
+    """
+    if HAVE_PIL:  # pragma: no cover
+        import io
+
+        with Image.open(io.BytesIO(content)) as img:
+            import numpy as np
+
+            arr = np.asarray(img.convert("L"), dtype="float64")
+            return {
+                "width": img.width,
+                "height": img.height,
+                "channels": len(img.getbands()),
+                "mean_luma": round(float(arr.mean()) / 255.0, 6),
+            }
+    h = hashlib.md5(content).hexdigest()
+    return {
+        "width": 16 + int(h[0:2], 16),
+        "height": 16 + int(h[2:4], 16),
+        "channels": 1 + int(h[4], 16) % 3,
+        "mean_luma": round(int(h[6:8], 16) / 255.0, 6),
+    }
+
+
+def resize_image(content: bytes, width: int, height: int) -> bytes:
+    """Resize an image's bytes to (width, height).
+
+    Real path: Pillow re-encode. Without a codec there is nothing
+    meaningful to produce, so the fake path is an explicit stub: a tagged
+    header + the original bytes, letting downstream plumbing (schema,
+    sizes, lineage) be tested while making the substitution impossible to
+    miss in data.
+    """
+    if HAVE_PIL:  # pragma: no cover
+        import io
+
+        with Image.open(io.BytesIO(content)) as img:
+            out = io.BytesIO()
+            img.resize((width, height)).save(out, format=img.format or "PNG")
+            return out.getvalue()
+    return b"FAKERESIZE:%dx%d:" % (width, height) + content
+
+
+def decode_audio(content: bytes) -> dict:
+    """Audio features from raw bytes treated as unsigned 8-bit PCM.
+
+    (With librosa/soundfile present this would parse the container; the
+    byte-level features below are themselves deterministic and real.)
+    """
+    import numpy as np
+
+    samples = np.frombuffer(content, dtype=np.uint8).astype("float64")
+    if samples.size == 0:
+        return {"n_samples": 0, "mean_amp": 0.0, "rms": 0.0}
+    centered = samples - 128.0
+    return {
+        "n_samples": int(samples.size),
+        "mean_amp": round(float(np.abs(centered).mean()), 6),
+        "rms": round(float(np.sqrt((centered**2).mean())), 6),
+    }
+
+
+def iter_frames(content: bytes, every_n: int = 1):
+    """Frame iterator over the fake fixed-chunk video container.
+
+    Yields (frame_idx, frame_bytes) for every ``every_n``-th FRAME_BYTES
+    chunk. A real container would seek keyframes via ffmpeg; the chunk
+    walk preserves the exact access pattern (sequential, bounded memory).
+    """
+    n_frames = max(1, -(-len(content) // FRAME_BYTES))
+    for idx in range(0, n_frames, every_n):
+        yield idx, content[idx * FRAME_BYTES : (idx + 1) * FRAME_BYTES]

@@ -1,0 +1,114 @@
+"""Multimodal operators: Arrow-batched mapInPandas over binary columns.
+
+Shape rules that make these scale:
+
+* Decoding is the unavoidable Python stage, so it runs inside
+  ``mapInPandas`` — one Arrow batch of (id, bytes) rows in, one batch of
+  features out; no row-at-a-time Python UDF, no collect.
+* Operators never widen the batch with bytes they don't need: feature
+  extractors drop ``content`` in the output schema; frame sampling emits
+  bounded chunks. The Arrow transfer carries exactly the declared schema.
+* Partitioning is inherited — a decode is embarrassingly parallel, so no
+  repartition/shuffle is introduced. Batch size is governed by
+  ``spark.sql.execution.arrow.maxRecordsPerBatch`` when assets are large.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from etl_process_spark.multimodal import codecs
+
+IMAGE_STATS_SCHEMA = (
+    "asset_id long, width int, height int, channels int, mean_luma double"
+)
+AUDIO_FEATURES_SCHEMA = "asset_id long, n_samples int, mean_amp double, rms double"
+FRAME_SCHEMA = "asset_id long, frame_idx int, frame_len int, frame_bytes binary"
+
+
+def decode_image_stats(assets: DataFrame) -> DataFrame:
+    """Decode each image asset to intrinsic stats (width/height/channels/
+    mean luma). Output drops the bytes — only features cross the wire."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [codecs.decode_image(bytes(c)) for c in pdf["content"]]
+            out = pd.DataFrame(decoded)
+            out.insert(0, "asset_id", pdf["asset_id"].to_numpy())
+            yield out
+
+    return assets.select("asset_id", "content").mapInPandas(fn, IMAGE_STATS_SCHEMA)
+
+
+def resize_images(assets: DataFrame, width: int, height: int) -> DataFrame:
+    """Re-encode image assets at (width, height); bytes in, bytes out.
+
+    Output keeps the asset key and the new content + updated meta — the
+    write-back shape for a derived-asset table.
+    """
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = [
+                codecs.resize_image(bytes(c), width, height) for c in pdf["content"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"].to_numpy(),
+                    "content": resized,
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return assets.select("asset_id", "content").mapInPandas(
+        fn, "asset_id long, content binary, width int, height int"
+    )
+
+
+def audio_features(assets: DataFrame) -> DataFrame:
+    """Byte-level audio features (sample count, mean amplitude, RMS)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [codecs.decode_audio(bytes(c)) for c in pdf["content"]]
+            out = pd.DataFrame(feats)
+            out.insert(0, "asset_id", pdf["asset_id"].to_numpy())
+            yield out
+
+    return assets.select("asset_id", "content").mapInPandas(fn, AUDIO_FEATURES_SCHEMA)
+
+
+def sample_frames(assets: DataFrame, every_n: int = 2) -> DataFrame:
+    """Sample every n-th frame of each video asset into its own row.
+
+    One input row fans out to ceil(n_frames / every_n) output rows — the
+    explode happens inside the Arrow batch, so a long video never
+    materializes all frames in one Python list beyond its own chunks.
+    """
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            idxs: list[int] = []
+            lens: list[int] = []
+            frames: list[bytes] = []
+            for aid, content in zip(pdf["asset_id"], pdf["content"]):
+                for idx, chunk in codecs.iter_frames(bytes(content), every_n):
+                    ids.append(aid)
+                    idxs.append(idx)
+                    lens.append(len(chunk))
+                    frames.append(chunk)
+            yield pd.DataFrame(
+                {
+                    "asset_id": ids,
+                    "frame_idx": idxs,
+                    "frame_len": lens,
+                    "frame_bytes": frames,
+                }
+            )
+
+    return assets.select("asset_id", "content").mapInPandas(fn, FRAME_SCHEMA)

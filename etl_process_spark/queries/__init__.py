@@ -11,3 +11,4 @@ from etl_process_spark.queries.registry import QUERIES, QuerySpec, query  # noqa
 from etl_process_spark.queries import parity  # noqa: F401  (registers)
 from etl_process_spark.queries import llmdata  # noqa: F401  (registers)
 from etl_process_spark.queries import streams  # noqa: F401  (registers)
+from etl_process_spark.queries import media  # noqa: F401  (registers)

@@ -1,0 +1,105 @@
+"""Multimodal plumbing: schemas, Arrow batch shapes, decode determinism."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_process_spark.multimodal import (
+    asset_schema,
+    audio_features,
+    decode_image_stats,
+    resize_images,
+    sample_frames,
+    synthesize_assets,
+)
+from etl_process_spark.multimodal.codecs import FRAME_BYTES, decode_image, iter_frames
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def assets(spark):
+    return synthesize_assets(spark, SF_DIR).cache()
+
+
+def test_asset_schema_and_meta_consistency(spark, assets):
+    # same field names/types as the declared contract (nullability may
+    # differ: literal-derived columns come out non-nullable)
+    want = [(f.name, f.dataType.simpleString()) for f in asset_schema().fields]
+    got = [(f.name, f.dataType.simpleString()) for f in assets.schema.fields]
+    assert got == want
+    # ingest-time meta must equal decode-time observation for every asset
+    stats = decode_image_stats(assets)
+    joined = assets.select(
+        "asset_id",
+        F.col("meta.width").alias("mw"),
+        F.col("meta.height").alias("mh"),
+        F.col("meta.channels").alias("mc"),
+    ).join(stats, "asset_id")
+    bad = joined.filter(
+        (F.col("mw") != F.col("width"))
+        | (F.col("mh") != F.col("height"))
+        | (F.col("mc") != F.col("channels"))
+    )
+    assert bad.count() == 0
+
+
+def test_fake_decoder_is_pure_md5(assets):
+    row = assets.first()
+    content = bytes(row["content"])
+    h = hashlib.md5(content).hexdigest()
+    d = decode_image(content)
+    assert d["width"] == 16 + int(h[0:2], 16)
+    assert d["height"] == 16 + int(h[2:4], 16)
+    assert d["channels"] == 1 + int(h[4], 16) % 3
+    assert d["mean_luma"] == round(int(h[6:8], 16) / 255.0, 6)
+
+
+def test_decode_preserves_partitioning(spark):
+    # decode is map-only: input partitioning survives and the decode
+    # itself introduces no shuffle (the only Exchange is the explicit
+    # repartition upstream of it)
+    fresh = synthesize_assets(spark, SF_DIR).repartition(7)
+    stats = decode_image_stats(fresh)
+    assert stats.rdd.getNumPartitions() == 7
+    plan = stats._sc._jvm.PythonSQLUtils.explainString(
+        decode_image_stats(synthesize_assets(spark, SF_DIR))._jdf.queryExecution(),
+        "formatted",
+    )
+    assert "Exchange" not in plan
+
+
+def test_resize_stub_is_tagged_and_schema_stable(assets):
+    out = resize_images(assets.limit(5), 32, 32)
+    rows = out.collect()
+    assert [f.name for f in out.schema.fields] == ["asset_id", "content", "width", "height"]
+    for r in rows:
+        assert r["width"] == 32 and r["height"] == 32
+        assert bytes(r["content"]).startswith(b"FAKERESIZE:32x32:")
+
+
+def test_audio_features_match_numpy(assets):
+    import numpy as np
+
+    sample = assets.limit(3).collect()
+    got = {r["asset_id"]: r for r in audio_features(assets.limit(3)).collect()}
+    for row in sample:
+        content = bytes(row["content"])
+        arr = np.frombuffer(content, dtype=np.uint8).astype("float64") - 128.0
+        g = got[row["asset_id"]]
+        assert g["n_samples"] == len(content)
+        assert g["rms"] == pytest.approx(float(np.sqrt((arr**2).mean())), abs=1e-6)
+
+
+def test_frame_sampling_fanout(assets):
+    row = assets.orderBy(F.col("meta.n_bytes").desc()).first()
+    content = bytes(row["content"])
+    expected = list(iter_frames(content, every_n=2))
+    one = sample_frames(assets.filter(F.col("asset_id") == row["asset_id"]), every_n=2)
+    got = sorted(one.collect(), key=lambda r: r["frame_idx"])
+    assert [(r["frame_idx"], bytes(r["frame_bytes"])) for r in got] == expected
+    n_frames = max(1, -(-len(content) // FRAME_BYTES))
+    assert len(got) == len(range(0, n_frames, 2))

@@ -42,9 +42,18 @@ def event_inbox(spark, tmp_path_factory):
 
     inbox = base / "inbox"
     inbox.mkdir()
+    import os
+    import time
+
+    now = time.time()
     for i in range(3):
         src = next((base / f"chunk_{i}").glob("part-*.parquet"))
-        shutil.copy(src, inbox / f"events_{i}.parquet")
+        dst = inbox / f"events_{i}.parquet"
+        shutil.copy(src, dst)
+        # the file source orders by modification time: pin strictly
+        # increasing mtimes so arrival order is deterministically = event
+        # time order (identical mtimes would randomize watermark behavior)
+        os.utime(dst, (now + 10 * i, now + 10 * i))
         shutil.rmtree(base / f"chunk_{i}")
     return str(inbox)
 
