@@ -26,36 +26,89 @@ from etl_process_spark.operators.text import tokens
 def shingles(text: Column | str, k: int = 3) -> Column:
     """Word k-shingles of the canonical token stream.
 
-    Empty array when the document has fewer than k tokens (guarded — Spark's
-    sequence() would otherwise generate a descending range).
+    Built by zipping k shifted slices of the token array — NOT by indexing
+    with element_at inside a transform lambda: expressions captured in a
+    lambda body are re-evaluated per element, so the index formulation
+    re-tokenizes the whole document at every shingle position (quadratic).
+    Slices evaluate the token array a constant number of times. Empty
+    array when the document has fewer than k tokens.
     """
     t = tokens(text)
     n = F.size(t)
-    idx = F.sequence(F.lit(1), n - (k - 1))
-    make = F.transform(
-        idx, lambda i: F.concat_ws(" ", *[F.element_at(t, i + j) for j in range(k)])
-    )
-    return F.when(n >= k, make).otherwise(F.array().cast("array<string>"))
+    length = F.greatest(n - (k - 1), F.lit(0))
+    parts = [F.slice(t, j + 1, length) for j in range(k)]
+    zipped = parts[0]
+    for p in parts[1:]:
+        zipped = F.zip_with(zipped, p, lambda a, b: F.concat_ws(" ", a, b))
+    return zipped
 
 
-def minhash_signature(text: Column | str, num_hashes: int = 4, k: int = 3) -> list[Column]:
-    """MinHash signature: per seed s, min over shingles of md5('s|'+shingle).
+def shingle_rows(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:
+    """One (doc, shingle) row per shingle position (duplicates preserved).
 
-    Lexicographic min over md5 hex strings is a valid min-wise hash family
-    substitute and is bit-identical across engines. Returns one Column per
-    seed, NULL for documents with < k tokens.
+    Tokenization happens once in a materialized projection (CollapseProject
+    keeps non-cheap aliases used k times from being re-inlined), after
+    spreading a narrow input across the cluster — the fan-out point every
+    shingle-based operator builds on.
     """
-    sh = shingles(text, k)
+    toks = ensure_parallelism(df).select(
+        F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("t")
+    )
+    n = F.size("t")
+    length = F.greatest(n - (k - 1), F.lit(0))
+    parts = [F.slice(F.col("t"), j + 1, length) for j in range(k)]
+    zipped = parts[0]
+    for p in parts[1:]:
+        zipped = F.zip_with(zipped, p, lambda a, b: F.concat_ws(" ", a, b))
+    return toks.select("doc", F.explode(zipped).alias("sh"))
 
-    def one(seed: int) -> Column:
-        # NB: the lambda must take exactly one arg — a two-parameter lambda
-        # (e.g. `lambda x, s=s`) is treated by pyspark as (element, index).
-        prefix = f"{seed}|"
-        return F.array_min(
-            F.transform(sh, lambda x: F.md5(F.concat(F.lit(prefix), x)))
-        ).alias(f"minhash_{seed}")
 
-    return [one(s) for s in range(num_hashes)]
+def ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Spread a narrow input across the cluster before CPU-heavy map work.
+
+    A small parquet table arrives as one split → one task, serializing an
+    embarrassingly parallel computation on a single core. At real scale
+    inputs have thousands of splits and this is a no-op; the repartition
+    only fires when the scan produced fewer partitions than the session's
+    parallelism, and it shuffles raw input rows once (cheap relative to
+    the per-row compute it unlocks).
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
+def _rot_hex(h: Column, chars: int) -> Column:
+    """Left-rotate a 32-char hex digest by ``chars`` characters."""
+    if chars == 0:
+        return h
+    return F.concat(F.substring(h, chars + 1, 32 - chars), F.substring(h, 1, chars))
+
+
+def minhash_signatures_df(
+    df: DataFrame, text_col: str, id_col: str, num_hashes: int = 4, k: int = 3,
+) -> DataFrame:
+    """MinHash signatures: min over shingles of rotations of one md5.
+
+    Data-flow shape (the 100 TB-honest one): explode distinct shingles →
+    ONE md5 per shingle → groupBy(doc) with ``min`` aggregates over hex
+    rotations of that digest. The min is a map-side partial aggregate, so
+    the shuffle carries one 32-char row per (partition, doc); hashing cost
+    is 1× md5 regardless of signature width (each rotation is a bijection
+    of the hash space — uniform marginally, a standard one-base-hash
+    family). Documents with < k tokens produce no shingles and are absent
+    from the output, mirroring the oracle's length guard.
+    """
+    hashed = shingle_rows(df, text_col, id_col, k).select(
+        F.col("doc").alias(id_col), F.md5("sh").alias("h")
+    )
+    step = 32 // num_hashes
+    aggs = [
+        F.min(_rot_hex(F.col("h"), s * step)).alias(f"minhash_{s}")
+        for s in range(num_hashes)
+    ]
+    return hashed.groupBy(id_col).agg(*aggs)
 
 
 def simhash16(text: Column | str) -> Column:
@@ -107,43 +160,76 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def bucket_pairs(banded: DataFrame, id_col: str = "doc") -> DataFrame:
+    """All unordered id pairs sharing a (band, bucket): groupBy + in-bucket
+    pair explosion.
+
+    Deliberately NOT a self-join: joining the banded frame to itself
+    duplicates the (expensive) signature expression tree on both sides —
+    twice the compute and, with wide trees, pathological plan-compile
+    times. groupBy(bucket) -> collect ids -> explode combinations computes
+    signatures once, shuffles only (bucket, id) rows, and a bucket's pairs
+    are generated locally. Bucket skew (a giant near-dup cluster) is the
+    known LSH pathology — at 100 TB, cap or sample oversized buckets
+    upstream; pair count within a bucket is quadratic by nature.
+    """
+    grouped = (
+        banded.groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_set(id_col)).alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
+    n = F.size("ds")
+    pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: F.transform(
+                F.sequence(i + 1, n - 1),
+                lambda j: F.struct(
+                    F.get("ds", i).alias("doc_a"), F.get("ds", j).alias("doc_b")
+                ),
+            ),
+        )
+    )
+    return (
+        grouped.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.doc_a"), F.col("p.doc_b"))
+        .distinct()
+    )
+
+
+def lsh_bands(
+    df: DataFrame, text_col: str, id_col: str, num_hashes: int = 4, band_size: int = 2,
+    k: int = 3,
+) -> DataFrame:
+    """(doc, band, bucket) assignments: shingle -> minhash -> banded md5.
+
+    Bucket ids are built from the aggregated signature columns (one cheap
+    md5 over band_size 32-char strings per band) and fanned out with a
+    single posexplode — signatures are computed exactly once per doc.
+    """
+    sigs = minhash_signatures_df(df, text_col, id_col, num_hashes, k)
+    buckets = []
+    for b0 in range(0, num_hashes, band_size):
+        cols = [f"minhash_{s}" for s in range(b0, min(b0 + band_size, num_hashes))]
+        buckets.append(F.md5(F.concat_ws("|", *cols)))
+    return sigs.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(F.array(*buckets)).alias("band", "bucket"),
+    )
+
+
 def lsh_candidate_pairs(
     df: DataFrame, text_col: str, id_col: str, num_hashes: int = 4, band_size: int = 2,
     k: int = 3,
 ) -> DataFrame:
-    """MinHash-LSH candidate pairs: band the signature, bucket-join.
+    """MinHash-LSH candidate pairs: band the signature, bucket-group.
 
-    shingle -> minhash -> band -> bucket join (the classic pipeline). Docs
-    sharing any band bucket become a candidate pair exactly once
-    (DISTINCT over pairs). The self-join shuffles on the band key only;
-    band keys are md5 strings so bucket skew tracks true near-dup density.
+    shingle -> minhash -> band -> bucket grouping (the classic pipeline).
+    Docs sharing any band bucket become a candidate pair exactly once
+    (DISTINCT over pairs). The only shuffle carries (doc, band, bucket)
+    rows; no all-pairs comparison ever happens.
     """
-    sigs = df.select(F.col(id_col).alias("doc"), *minhash_signature(F.col(text_col), num_hashes, k))
-    bands = []
-    for b0 in range(0, num_hashes, band_size):
-        cols = [f"minhash_{s}" for s in range(b0, min(b0 + band_size, num_hashes))]
-        bands.append(
-            sigs.select(
-                "doc",
-                F.lit(b0 // band_size).alias("band"),
-                F.md5(F.concat_ws("|", *cols)).alias("bucket"),
-            ).filter(F.col(cols[0]).isNotNull())
-        )
-    banded = bands[0]
-    for b in bands[1:]:
-        banded = banded.unionByName(b)
-    left = banded.alias("a")
-    right = banded.alias("b")
-    return (
-        left.join(
-            right,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc") < F.col("b.doc")),
-        )
-        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
-        .distinct()
-    )
+    return bucket_pairs(lsh_bands(df, text_col, id_col, num_hashes, band_size, k))
 
 
 def hyperplane_signs(band: int, nbits: int, dim: int) -> list[list[int]]:
@@ -170,11 +256,20 @@ def hyperplane_code(vec: Column, signs: list[list[int]]) -> Column:
     Each projection is an index-ordered zip_with/aggregate sum in double —
     bit-identical across engines for identical float inputs, so the sign
     (and hence the bucket) is engine-portable. Per-row, no shuffle.
+
+    The ±1 planes are encoded as one '+-…' string literal per bit and
+    expanded row-side: a 64-element literal array per plane would put
+    thousands of literal nodes into the plan and push Janino compile time
+    past the query's own runtime.
     """
     dbl = F.transform(vec, lambda x: x.cast("double"))
     code = F.lit(0)
     for b, row in enumerate(signs):
-        plane = F.array(*[F.lit(float(s)) for s in row])
+        pattern = "".join("+" if s > 0 else "-" for s in row)
+        plane = F.transform(
+            F.split(F.lit(pattern), ""),
+            lambda c: F.when(c == "+", F.lit(1.0)).otherwise(F.lit(-1.0)),
+        )
         proj = F.aggregate(
             F.zip_with(dbl, plane, lambda x, s: x * s),
             F.lit(0.0),
@@ -185,7 +280,7 @@ def hyperplane_code(vec: Column, signs: list[list[int]]) -> Column:
 
 
 def embedding_neardup_pairs(
-    df: DataFrame, threshold: float = 0.4, nbits: int = 4, nbands: int = 2,
+    df: DataFrame, threshold: float = 0.4, nbits: int = 8, nbands: int = 4,
     dim: int = 64, id_col: str = "vec_id", vec_col: str = "embedding",
 ) -> DataFrame:
     """Embedding-cosine near-dup via random-hyperplane LSH + verify.
@@ -198,34 +293,27 @@ def embedding_neardup_pairs(
     """
     from etl_process_spark.operators.similarity import cosine
 
-    dbl_norm = df.select(
-        F.col(id_col).alias("vid"),
-        F.col(vec_col).alias("v"),
+    codes = ensure_parallelism(df).select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(
+            F.array(
+                *[
+                    hyperplane_code(F.col(vec_col), hyperplane_signs(band, nbits, dim))
+                    for band in range(nbands)
+                ]
+            )
+        ).alias("band", "bucket"),
     )
-    banded = None
-    for band in range(nbands):
-        signs = hyperplane_signs(band, nbits, dim)
-        part = dbl_norm.select(
-            "vid", "v", F.lit(band).alias("band"),
-            hyperplane_code(F.col("v"), signs).alias("code"),
-        )
-        banded = part if banded is None else banded.unionByName(part)
-    a, b = banded.alias("a"), banded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.code") == F.col("b.code"))
-            & (F.col("a.vid") < F.col("b.vid")),
-        )
-        .select(
-            F.col("a.vid").alias("vec_a"), F.col("b.vid").alias("vec_b"),
-            F.col("a.v").alias("va"), F.col("b.v").alias("vb"),
-        )
-        .dropDuplicates(["vec_a", "vec_b"])
-    )
+    cand = bucket_pairs(codes)
+    # candidate rows carry only id pairs through the shuffle; vectors are
+    # re-attached by key for the verify stage
+    va = df.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"))
+    vb = df.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"))
     return (
-        cand.withColumn("cos_sim", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        cand.select(F.col("doc_a").alias("vec_a"), F.col("doc_b").alias("vec_b"))
+        .join(va, "vec_a")
+        .join(vb, "vec_b")
+        .withColumn("cos_sim", F.round(cosine(F.col("va"), F.col("vb")), 6))
         .filter(F.col("cos_sim") >= threshold)
         .select("vec_a", "vec_b", "cos_sim")
     )
@@ -243,18 +331,33 @@ def ngram_jaccard_pairs(
     degrades to all pairs sharing ≥1 shingle (fine at test scale, explicit
     opt-in only).
     """
-    sh = (
-        df.select(F.col(id_col).alias("doc"), F.explode(F.array_distinct(shingles(F.col(text_col), k))).alias("sh"))
-    )
+    # distinct shingle sets via a parallel shuffle-dedup (array_distinct
+    # inside a row is a quadratic single-core scan of each array)
+    sh = shingle_rows(df, text_col, id_col, k).distinct()
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc") < F.col("b.doc")))
-        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
     if candidates is not None:
-        inter = inter.join(candidates, on=["doc_a", "doc_b"], how="left_semi")
+        # Restrict BEFORE intersecting: fan each candidate pair out by
+        # doc_a's shingles, then equi-join on (doc_b, shingle) to keep only
+        # shared ones. Work is O(candidate pairs × shingles per doc) — at
+        # 100 TB this is the difference between verifying LSH's output and
+        # accidentally intersecting every co-shingle pair in the corpus.
+        sh_a = sh.select(F.col("doc").alias("doc_a"), "sh")
+        sh_b = sh.select(F.col("doc").alias("doc_b"), "sh")
+        inter = (
+            candidates.select("doc_a", "doc_b")
+            .join(sh_a, "doc_a")
+            .join(sh_b, ["doc_b", "sh"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
+    else:
+        # all pairs sharing ≥1 shingle — explicit opt-in, test scale only
+        a, b = sh.alias("a"), sh.alias("b")
+        inter = (
+            a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc") < F.col("b.doc")))
+            .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
     sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("n_b"))
     return (

@@ -27,12 +27,14 @@ _SHINGLES = f"""
   FROM (SELECT doc_id, {_TOKS} AS t FROM documents)
   WHERE len(t) >= 3
 """
+# Signature family: min over shingles of left-rotations of ONE md5 digest
+# (rotation = bijection of the hash space; 1x hashing for any width).
 _SIGS = """
   SELECT doc_id,
-         list_aggregate([md5('0|' || x) for x in s], 'min') AS m0,
-         list_aggregate([md5('1|' || x) for x in s], 'min') AS m1,
-         list_aggregate([md5('2|' || x) for x in s], 'min') AS m2,
-         list_aggregate([md5('3|' || x) for x in s], 'min') AS m3
+         list_aggregate([md5(x) for x in s], 'min') AS m0,
+         list_aggregate([substr(md5(x), 9) || substr(md5(x), 1, 8) for x in s], 'min') AS m1,
+         list_aggregate([substr(md5(x), 17) || substr(md5(x), 1, 16) for x in s], 'min') AS m2,
+         list_aggregate([substr(md5(x), 25) || substr(md5(x), 1, 24) for x in s], 'min') AS m3
   FROM sh
 """
 _BANDS = """
@@ -73,12 +75,11 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signatures (4 hashes over word 3-shingles), per-row JVM
-    expressions — the signature stage of MinHash-LSH dedup."""
+    """MinHash signatures (4 rotations of one md5 over word 3-shingles):
+    explode shingles → hash once → min-aggregate per doc (map-side
+    partial agg; the shuffle carries one digest per partition×doc)."""
     docs = tbl(spark, sf_dir, "documents")
-    return docs.select("doc_id", *dd.minhash_signature(F.col("text"), num_hashes=4, k=3)).filter(
-        F.col("minhash_0").isNotNull()
-    )
+    return dd.minhash_signatures_df(docs, "text", "doc_id", num_hashes=4, k=3)
 
 
 @query(
@@ -285,7 +286,7 @@ def ivf_topk_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ivf_topk_per_cell(tbl(spark, sf_dir, "embeddings"), k=3)
 
 
-def _neardup_codes_sql(nbits: int = 4, nbands: int = 2, dim: int = 64) -> str:
+def _neardup_codes_sql(nbits: int = 8, nbands: int = 4, dim: int = 64) -> str:
     """DuckDB mirror of the hyperplane bucket codes (literal sign arrays)."""
     parts = []
     for band in range(nbands):
@@ -326,8 +327,8 @@ def _neardup_codes_sql(nbits: int = 4, nbands: int = 2, dim: int = 64) -> str:
     """,
 )
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup: random-hyperplane LSH buckets (2 bands ×
-    4 bits, md5-derived planes) + cosine ≥ 0.4 verification — candidate
+    """Embedding-cosine near-dup: random-hyperplane LSH buckets (4 bands ×
+    8 bits, md5-derived planes) + cosine ≥ 0.4 verification — candidate
     generation shuffles on bucket keys, never all pairs."""
     return dd.embedding_neardup_pairs(tbl(spark, sf_dir, "embeddings"))
 
