@@ -1,0 +1,96 @@
+"""Physical-plan audits: the plan each query runs is the plan we designed.
+
+These tests encode the scale contract — pushdown reached the scan, small
+dims broadcast, no cartesian products, Python only where declared — so a
+refactor that silently regresses a plan fails CI even though results stay
+correct.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_process_spark.plans import (
+    broadcast_join_count,
+    exchange_count,
+    has_cartesian,
+    plan_summary,
+    pushed_filters,
+    python_stage_count,
+    read_schemas,
+)
+from etl_process_spark.queries import QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# queries whose plan legitimately crosses into Python (mapInPandas decode)
+PYTHON_OK = {"image_decode_stats", "video_frame_sample"}
+# single-query-vector top-k uses a broadcast nested-loop (1-row side)
+NESTED_LOOP_OK = {"embedding_topk_cosine"}
+
+
+def _df(spark, name):
+    return QUERIES[name].builder(spark, SF_DIR)
+
+
+def test_filter_and_projection_reach_the_scan(spark):
+    df = _df(spark, "filtered_projection")
+    pushed = " ".join(pushed_filters(df))
+    assert "l_shipdate" in pushed and "l_discount" in pushed
+    schemas = read_schemas(df)
+    assert len(schemas) == 1
+    # 5 of 11 lineitem columns read (2 keys + 2 measures + shipdate)
+    assert schemas[0].count(":") == 5, schemas[0]
+    for unused in ("l_partkey", "l_tax", "l_comment"):
+        assert unused not in schemas[0]
+
+
+def test_pricing_summary_partial_aggregation(spark):
+    df = _df(spark, "pricing_summary")
+    plan = plan_summary(df)
+    # map-side partial agg + final agg => exactly one shuffle
+    assert plan["exchanges"] == 1, plan
+    assert plan["pushed_filters"], "shipdate filter must reach the scan"
+
+
+def test_small_dims_broadcast_in_join_chains(spark):
+    for name in ("order_region_denorm", "suppliers_with_shipments"):
+        df = _df(spark, name)
+        assert broadcast_join_count(df) >= 1, name
+        assert not has_cartesian(df), name
+
+
+def test_asof_join_is_broadcast_with_band_postfilter(spark):
+    df = _df(spark, "events_asof_join")
+    assert broadcast_join_count(df) >= 1
+    assert not has_cartesian(df)
+
+
+def test_no_cartesian_products_anywhere(spark):
+    for name, spec in sorted(QUERIES.items()):
+        df = spec.builder(spark, SF_DIR)
+        assert not has_cartesian(df), f"{name} plans a CartesianProduct"
+
+
+def test_python_only_where_declared(spark):
+    for name, spec in sorted(QUERIES.items()):
+        df = spec.builder(spark, SF_DIR)
+        n = python_stage_count(df)
+        if name in PYTHON_OK:
+            assert n >= 1, f"{name} should run its decode via mapInPandas"
+        else:
+            assert n == 0, f"{name} has an undeclared Python stage in the plan"
+
+
+def test_dedup_pipeline_shuffle_budget(spark):
+    # explode -> md5 -> partial-agg min: one shuffle for the signature agg,
+    # one for the bucket grouping, one for the final distinct, plus the
+    # parallelism spread of the narrow test input
+    df = _df(spark, "lsh_candidate_pairs")
+    assert exchange_count(df) <= 4, plan_summary(df)
+
+
+def test_exact_dedup_single_shuffle(spark):
+    df = _df(spark, "dedup_exact")
+    # fingerprint groupBy: partial agg then one exchange on the hash
+    assert exchange_count(df) == 1, plan_summary(df)
