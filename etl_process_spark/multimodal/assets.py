@@ -61,7 +61,11 @@ def synthesize_assets(
     the same derivation the fake decoder and the DuckDB oracle use, so
     ingest-time metadata and decode-time observation provably agree.
     """
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from etl_process_spark.operators.dedup import ensure_parallelism
+
+    # spread the narrow test input before the (partition-preserving)
+    # decode operators downstream — they inherit this parallelism
+    docs = ensure_parallelism(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     content = F.encode(F.col("text"), "UTF-8")
     h = F.md5(content)
     return docs.select(

@@ -18,22 +18,51 @@ def explain_str(df: DataFrame, mode: str = "formatted") -> str:
     return sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), mode)
 
 
+def _final_node_blocks(plan: str) -> list[tuple[str, str]]:
+    """(header, body) of each node detail block belonging to the CURRENT
+    plan.
+
+    An executed adaptive plan renders '== Final Plan ==' plus an
+    '== Initial Plan ==' copy with its own node ids; only ids reachable
+    from the final tree are audited, so results are identical before and
+    after execution.
+    """
+    tree = plan.split("\n\n")[0].split("== Initial Plan ==")[0]
+    live = set(re.findall(r"\((\d+)\)", tree))
+    parts = re.split(r"^\((\d+)\) (.+)$", plan, flags=re.MULTILINE)
+    blocks = []
+    # parts = [prefix, id, header, body, id, header, body, ...]
+    for i in range(1, len(parts) - 2, 3):
+        if parts[i] in live:
+            blocks.append((parts[i + 1].strip(), parts[i + 2]))
+    return blocks
+
+
 def pushed_filters(df: DataFrame) -> list[str]:
     """Filters that reached the parquet scan (one entry per scan node)."""
-    plan = explain_str(df)
-    return [m.group(1).strip() for m in re.finditer(r"PushedFilters: \[(.*?)\]", plan)]
+    out = []
+    for header, body in _final_node_blocks(explain_str(df)):
+        m = re.search(r"PushedFilters: \[(.*?)\]", body)
+        if m:
+            out.append(m.group(1).strip())
+    return out
 
 
 def read_schemas(df: DataFrame) -> list[str]:
     """ReadSchema of every file scan — the column-pruning audit point."""
-    plan = explain_str(df)
-    return [m.group(1).strip() for m in re.finditer(r"ReadSchema: (.*)", plan)]
+    out = []
+    for header, body in _final_node_blocks(explain_str(df)):
+        m = re.search(r"ReadSchema: (.*)", body)
+        if m:
+            out.append(m.group(1).strip())
+    return out
 
 
 def _count_nodes(plan: str, token: str) -> int:
-    """Count physical operators by their detail header '(N) <Op>' — the
-    tree rendering repeats every node, so raw substring counts double."""
-    return len(re.findall(rf"^\(\d+\) \S*{token}", plan, re.MULTILINE))
+    """Count physical operators of the current plan by detail header."""
+    return sum(
+        1 for header, _ in _final_node_blocks(plan) if re.match(rf"\S*{token}", header)
+    )
 
 
 def exchange_count(df: DataFrame) -> int:

@@ -59,17 +59,14 @@ def test_fake_decoder_is_pure_md5(assets):
 
 
 def test_decode_preserves_partitioning(spark):
-    # decode is map-only: input partitioning survives and the decode
-    # itself introduces no shuffle (the only Exchange is the explicit
-    # repartition upstream of it)
+    # decode is map-only: input partitioning survives and the operator
+    # introduces no shuffle of its own (exchange count unchanged vs input)
+    from etl_process_spark.plans import exchange_count
+
     fresh = synthesize_assets(spark, SF_DIR).repartition(7)
     stats = decode_image_stats(fresh)
     assert stats.rdd.getNumPartitions() == 7
-    plan = stats._sc._jvm.PythonSQLUtils.explainString(
-        decode_image_stats(synthesize_assets(spark, SF_DIR))._jdf.queryExecution(),
-        "formatted",
-    )
-    assert "Exchange" not in plan
+    assert exchange_count(stats) == exchange_count(fresh)
 
 
 def test_resize_stub_is_tagged_and_schema_stable(assets):

@@ -1,0 +1,150 @@
+"""Property-based SCD2 invariants (SURVEY §5 item 4).
+
+Hypothesis drives random multi-day sequences of upserts / deletes /
+resurrections through scd2_merge and asserts the timeline invariants that
+define SCD2 correctness, independent of any specific fixture:
+
+* per key: exactly one OPEN version (effective_to = infinity)
+* closed versions end exactly 1 second before their successor opens
+  (the reference's `-1 second` close, terminals.py:134)
+* version intervals are non-overlapping and ordered
+* the current version reflects the latest observed state
+* re-applying the final batch is a no-op (idempotent merge)
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from etl_process_spark.operators.scd2 import scd2_current, scd2_init, scd2_merge
+
+INF = dt.datetime(9999, 12, 31)
+KEYS = ["k1", "k2", "k3"]
+
+# One "day" of source state: key -> value (absent key = deleted from source).
+# Values include None so null-safe change detection is exercised.
+day_state = st.dictionaries(
+    st.sampled_from(KEYS),
+    st.one_of(st.none(), st.integers(min_value=0, max_value=3)),
+    min_size=0,
+    max_size=len(KEYS),
+)
+histories = st.lists(day_state, min_size=1, max_size=4)
+
+
+def _day_ts(i: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1) + dt.timedelta(days=i)
+
+
+def _mk_batch(spark, state: dict, ts: dt.datetime):
+    rows = [(k, v, ts) for k, v in sorted(state.items())]
+    return spark.createDataFrame(rows, "k string, v int, batch_ts timestamp")
+
+
+def _materialize(spark, df):
+    """Collect + recreate: cuts the per-day lineage chain so N merges cost
+    N small jobs, not one exponentially re-analyzed plan."""
+    rows = [tuple(r) for r in df.collect()]
+    schema = "k string, v int, effective_from timestamp, effective_to timestamp, deleted_flg string"
+    return spark.createDataFrame(rows, schema), rows
+
+
+def _run_history(spark, days: list[dict]):
+    ts0 = _day_ts(0)
+    dim = scd2_init(_mk_batch(spark, days[0], ts0), "k", ["v"], F.col("batch_ts"))
+    dim, rows = _materialize(spark, dim)
+    last_batch = None
+    for i, state in enumerate(days[1:], start=1):
+        ts = _day_ts(i)
+        batch = _mk_batch(spark, state, ts)
+        dim = scd2_merge(
+            dim,
+            batch,
+            "k",
+            ["v"],
+            new_effective_from=F.col("batch_ts"),
+            changed_effective_from=F.col("batch_ts"),
+            source_keys=batch.select("k"),
+            clock=ts,
+        )
+        dim, rows = _materialize(spark, dim)
+        last_batch = (state, ts)
+    return dim, rows, last_batch
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(days=histories)
+def test_scd2_timeline_invariants(spark, days):
+    dim, rows, _ = _run_history(spark, days)
+
+    by_key: dict[str, list] = {}
+    for r in rows:
+        by_key.setdefault(r[0], []).append(r)
+
+    # which keys ever appeared
+    seen = set().union(*[set(d) for d in days]) if days else set()
+    assert set(by_key) == seen
+
+    # final truth: last state in which each key appeared, and whether it
+    # was deleted afterwards (absent from a later day's source)
+    for k, versions in by_key.items():
+        versions.sort(key=lambda r: r[2])  # by effective_from
+        opens = [r for r in versions if r[3] == INF]
+        assert len(opens) == 1, f"{k}: exactly one open version, got {versions}"
+
+        # ordered, non-overlapping, -1s closes against the successor
+        for a, b in zip(versions, versions[1:]):
+            assert a[2] <= a[3], f"{k}: inverted interval {a}"
+            assert a[3] == b[2] - dt.timedelta(seconds=1), (
+                f"{k}: close must be 1s before successor open: {a} -> {b}"
+            )
+
+        # current content matches the latest source observation
+        last_day_present = max(i for i, d in enumerate(days) if k in d)
+        deleted_after = any(k not in d for d in days[last_day_present + 1:])
+        cur = opens[0]
+        if deleted_after:
+            assert cur[4] == "Y", f"{k}: should be tombstoned, got {cur}"
+        else:
+            assert cur[4] == "N"
+            assert cur[1] == days[last_day_present][k], f"{k}: stale current {cur}"
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(days=histories.filter(lambda d: len(d) >= 2))
+def test_scd2_merge_idempotent(spark, days):
+    dim, rows, last = _run_history(spark, days)
+    state, ts = last
+    again = scd2_merge(
+        dim,
+        _mk_batch(spark, state, ts),
+        "k",
+        ["v"],
+        new_effective_from=F.col("batch_ts"),
+        changed_effective_from=F.col("batch_ts"),
+        source_keys=_mk_batch(spark, state, ts).select("k"),
+        clock=ts,
+    )
+    canon = lambda rs: sorted((tuple(r) for r in rs), key=repr)  # noqa: E731 (None-safe sort)
+    assert canon(again.collect()) == canon(rows)
+
+
+def test_scd2_current_filters_tombstones(spark):
+    days = [{"k1": 1, "k2": 2}, {"k1": 1}]
+    dim, _, _ = _run_history(spark, days)
+    cur = {r["k"] for r in scd2_current(dim).collect()}
+    assert cur == {"k1"}
+    cur_all = {r["k"] for r in scd2_current(dim, include_deleted=True).collect()}
+    assert cur_all == {"k1", "k2"}
