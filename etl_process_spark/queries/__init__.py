@@ -12,3 +12,4 @@ from etl_process_spark.queries import parity  # noqa: F401  (registers)
 from etl_process_spark.queries import llmdata  # noqa: F401  (registers)
 from etl_process_spark.queries import streams  # noqa: F401  (registers)
 from etl_process_spark.queries import media  # noqa: F401  (registers)
+from etl_process_spark.queries import analytics  # noqa: F401  (registers)

@@ -56,6 +56,32 @@ def sessionize_batch_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "decreasing_runs",
+    """
+    WITH lg AS (
+      SELECT user_id, event_id, ts, value,
+             lag(value, 1) OVER w AS v1,
+             lag(value, 2) OVER w AS v2,
+             lag(ts, 2) OVER w AS run_start
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_id, ts, run_start
+    FROM lg
+    WHERE value < v1 AND v1 < v2
+      AND date_diff('microsecond', run_start, ts) <= 21600000000
+    """,
+)
+def decreasing_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential pattern (reference rule 4 shape, report.py:109-113):
+    strictly decreasing 3-run within 6h per user — lag columns in batch,
+    the applyInPandasWithState detector on a stream (same output)."""
+    from etl_process_spark.streaming.patterns import decreasing_run_batch
+
+    return decreasing_run_batch(tbl(spark, sf_dir, "events"), k=3, window_seconds=6 * 3600)
+
+
+@query(
     "sliding_window_counts",
     """
     SELECT window_start,

@@ -109,6 +109,25 @@ def test_stateful_sessionizer_matches_batch(spark, event_inbox, tmp_path):
     assert len(got_rows) > 0
 
 
+def test_pattern_detector_stream_matches_batch(spark, event_inbox, tmp_path):
+    """The decreasing-run detector must agree with its lag-window batch
+    twin EXACTLY: alerts are emitted on arrival (not watermark-gated), so
+    in-order input gives identical output across microbatch boundaries."""
+    from etl_process_spark.streaming.patterns import (
+        decreasing_run_batch,
+        decreasing_run_stream,
+    )
+
+    stream = read_event_stream(spark, event_inbox, max_files_per_trigger=1)
+    got = _run_stream(
+        spark, decreasing_run_stream(stream, k=3, window_seconds=6 * 3600), tmp_path, "runs"
+    )
+    batch = decreasing_run_batch(tbl(spark, SF_DIR, "events"), k=3, window_seconds=6 * 3600)
+    cols = ["user_id", "event_id", "ts", "run_start"]
+    assert _canon(got, cols) == _canon(batch, cols)
+    assert got.count() > 0
+
+
 def test_sessionizer_gap_boundary(spark, tmp_path):
     """An event exactly `gap` after the last one starts a NEW session (the
     strict >= split that session_window also uses)."""
