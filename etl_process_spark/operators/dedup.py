@@ -262,21 +262,37 @@ def hyperplane_code(vec: Column, signs: list[list[int]]) -> Column:
     thousands of literal nodes into the plan and push Janino compile time
     past the query's own runtime.
     """
+    nbits = len(signs)
+    dim = len(signs[0])
+    # one '+-…' pattern string per bit; a literal-array encoding (dim×bits
+    # literal nodes) or one aggregate per bit (bits× the operator tree)
+    # both blow up Janino compile time past the query's own runtime
+    patterns = F.array(
+        *[F.lit("".join("+" if s > 0 else "-" for s in row)) for row in signs]
+    )
     dbl = F.transform(vec, lambda x: x.cast("double"))
-    code = F.lit(0)
-    for b, row in enumerate(signs):
-        pattern = "".join("+" if s > 0 else "-" for s in row)
-        plane = F.transform(
-            F.split(F.lit(pattern), ""),
-            lambda c: F.when(c == "+", F.lit(1.0)).otherwise(F.lit(-1.0)),
-        )
-        proj = F.aggregate(
-            F.zip_with(dbl, plane, lambda x, s: x * s),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        code = code + F.when(proj >= 0, F.lit(1 << b)).otherwise(F.lit(0))
-    return code
+    # ONE pass over the vector, accumulating all nbits projections in an
+    # array: acc[b] += v_i * sign(b, i). Index order i ascending per bit —
+    # the same summation order the per-bit formulation and the SQL oracle
+    # use, so signs (hence buckets) stay engine-portable.
+    zero = F.array(*[F.lit(0.0) for _ in range(nbits)])
+    idx = F.sequence(F.lit(1), F.lit(dim))
+    projs = F.aggregate(
+        F.zip_with(dbl, idx, lambda x, i: F.struct(x.alias("x"), i.alias("i"))),
+        zero,
+        lambda acc, e: F.zip_with(
+            acc,
+            patterns,
+            lambda a, p: a
+            + e["x"]
+            * F.when(F.substr(p, e["i"], F.lit(1)) == "+", F.lit(1.0)).otherwise(
+                F.lit(-1.0)
+            ),
+        ),
+    )
+    # code = Σ bit_b << b  via an MSB-first fold: acc*2 + bit
+    flags = F.transform(projs, lambda p: F.when(p >= 0, F.lit(1)).otherwise(F.lit(0)))
+    return F.aggregate(F.reverse(flags), F.lit(0), lambda acc, x: acc * 2 + x)
 
 
 def embedding_neardup_pairs(

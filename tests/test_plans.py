@@ -9,6 +9,7 @@ correct.
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from etl_process_spark.plans import (
     broadcast_join_count,
@@ -94,3 +95,31 @@ def test_exact_dedup_single_shuffle(spark):
     df = _df(spark, "dedup_exact")
     # fingerprint groupBy: partial agg then one exchange on the hash
     assert exchange_count(df) == 1, plan_summary(df)
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
+    """Co-located join: same bucket key + count on both sides ⇒ the join
+    needs NO exchange (the 'pay the shuffle once at write time' contract
+    of TableCatalog.write_bucketed)."""
+    from etl_process_spark.queries.registry import tbl
+    from etl_process_spark.sources.tables import TableCatalog
+
+    cat = TableCatalog(spark, str(tmp_path / "wh"))
+    orders = tbl(spark, SF_DIR, "orders")
+    lineitem = tbl(spark, SF_DIR, "lineitem")
+    cat.write_bucketed("b_orders", orders, ["o_orderkey"], 4, sort_cols=["o_orderkey"])
+    cat.write_bucketed("b_lineitem", lineitem, ["l_orderkey"], 4, sort_cols=["l_orderkey"])
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = cat.read_bucketed("b_lineitem").join(
+            cat.read_bucketed("b_orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        assert exchange_count(joined) == 0, plan_summary(joined)
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
