@@ -89,6 +89,89 @@ def grouping_sets_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "distinct_users_per_type",
+    """
+    SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def distinct_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregation (two-phase: dedup shuffle then count)."""
+    ev = tbl(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@query("approx_distinct_users", None)  # no oracle: HLL sketches differ per engine
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct estimate — the sketch path for 100 TB where
+    exact distinct's dedup shuffle is the bottleneck. rsd=0.01 keeps the
+    estimate within ~1%; no DuckDB oracle because HLL implementations are
+    engine-specific (driver records the weaker rows-only check)."""
+    ev = tbl(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.01).alias("n_users_approx"))
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "salted_hot_key_agg",
+    """
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def salted_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe aggregation: identical semantics to a plain groupBy (the
+    oracle IS the plain GROUP BY) but computed in two phases over 16
+    deterministic salt lanes, so a hot key never funnels one reducer."""
+    from etl_process_spark.operators.skew import salted_agg
+
+    ev = tbl(spark, sf_dir, "events").withColumn(
+        "value_dec", F.col("value").cast("decimal(12,4)")
+    )
+    out = salted_agg(
+        ev,
+        ["event_type"],
+        [("count", "event_id", "n_events"), ("sum", "value_dec", "total_value")],
+        salt_col="event_id",
+        n_salts=16,
+    )
+    return out.select(
+        "event_type", "n_events", F.col("total_value").cast("double").alias("total_value")
+    )
+
+
+@query(
+    "json_typed_extract",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) BETWEEN 10 AND 50 AS k_mid
+    FROM events
+    """,
+)
+def json_typed_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read JSON: from_json with a declared struct schema (the
+    typed sibling of get_json_object — parse once, project fields)."""
+    ev = tbl(spark, sf_dir, "events")
+    parsed = F.from_json(F.col("props"), "k INT")
+    return ev.select(
+        "event_id",
+        parsed["k"].alias("k"),
+        parsed["k"].between(10, 50).alias("k_mid"),
+    )
+
+
+@query(
     "priority_customers_intersect",
     """
     SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
