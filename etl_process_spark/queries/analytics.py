@@ -9,7 +9,7 @@ set operations INTERSECT / EXCEPT (hash-based set semantics).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_process_spark.queries.registry import query, tbl
@@ -203,3 +203,155 @@ def parts_never_returned_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     shipped = li.select("l_partkey")
     returned = li.filter(F.col("l_returnflag") == "R").select("l_partkey")
     return shipped.subtract(returned)
+
+
+# ---------------------------------------------------------------------------
+# Ordered-statistics, reshaping, and per-group top-k
+# ---------------------------------------------------------------------------
+
+@query(
+    "brand_price_quantiles",
+    """
+    SELECT p_brand,
+           round(quantile_cont(p_retailprice, 0.25), 6) AS q1,
+           round(quantile_cont(p_retailprice, 0.50), 6) AS median,
+           round(quantile_cont(p_retailprice, 0.75), 6) AS q3
+    FROM part
+    GROUP BY p_brand
+    """,
+)
+def brand_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quantiles per group (percentile requires a full
+    sort per group — one shuffle; for 100 TB where exactness is not needed,
+    approx_percentile computes a mergeable KLL-style sketch map-side
+    instead, same call shape)."""
+    pt = tbl(spark, sf_dir, "part")
+    q = lambda f: F.round(F.percentile("p_retailprice", F.lit(f)), 6)  # noqa: E731
+    return pt.groupBy("p_brand").agg(
+        q(0.25).alias("q1"), q(0.50).alias("median"), q(0.75).alias("q3")
+    )
+
+
+@query(
+    "order_priority_pivot",
+    """
+    SELECT o_orderstatus,
+           count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS urgent,
+           count(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS high,
+           count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS medium,
+           count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS not_specified,
+           count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS low
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def order_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT (long → wide reshape). Values are declared up front — with an
+    explicit value list the pivot is a single groupBy shuffle (no extra
+    distinct-values job), which is the only sane form at 100 TB."""
+    od = tbl(spark, sf_dir, "orders")
+    wide = (
+        od.groupBy("o_orderstatus")
+        .pivot(
+            "o_orderpriority",
+            ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"],
+        )
+        .agg(F.count(F.lit(1)))
+    )
+    names = [
+        ("1-URGENT", "urgent"), ("2-HIGH", "high"), ("3-MEDIUM", "medium"),
+        ("4-NOT SPECIFIED", "not_specified"), ("5-LOW", "low"),
+    ]
+    return wide.select(
+        "o_orderstatus",
+        *[F.coalesce(F.col(f"`{src}`"), F.lit(0)).alias(dst) for src, dst in names],
+    )
+
+
+@query(
+    "topk_orders_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, rk
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      FROM orders
+    )
+    WHERE rk <= 3
+    """,
+)
+def topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group: row_number + filter. Catalyst rewrites the
+    rank-then-filter into a WindowGroupLimit, so each map task keeps only
+    its local top-3 per key before the shuffle — the per-group analog of
+    a global ORDER BY … LIMIT."""
+    od = tbl(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        od.select(
+            "o_custkey", "o_orderkey", "o_totalprice",
+            F.row_number().over(w).alias("rk"),
+        )
+        .filter(F.col("rk") <= 3)
+    )
+
+
+@query(
+    "parts_above_type_avg",
+    """
+    WITH t AS (
+      SELECT p_type,
+             CAST(sum(CAST(p_retailprice AS DECIMAL(12,4))) AS DOUBLE)
+                 / count(*) AS avg_price
+      FROM part GROUP BY p_type
+    )
+    SELECT p.p_partkey, p.p_type, p.p_retailprice, t.avg_price
+    FROM part p JOIN t ON p.p_type = t.p_type
+    WHERE p.p_retailprice > 1.1 * t.avg_price
+    """,
+)
+def parts_above_type_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group average compared back to rows (TPC-H Q17 shape): the
+    decorrelated form — aggregate once, broadcast-join the tiny per-group
+    result back — not a correlated per-row subquery. The exact-decimal sum
+    / count division keeps both engines' doubles bit-identical."""
+    pt = tbl(spark, sf_dir, "part")
+    avg = pt.groupBy("p_type").agg(
+        (
+            F.sum(F.col("p_retailprice").cast("decimal(12,4)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_price")
+    )
+    return (
+        pt.join(F.broadcast(avg), "p_type")
+        .filter(F.col("p_retailprice") > 1.1 * F.col("avg_price"))
+        .select("p_partkey", "p_type", "p_retailprice", "avg_price")
+    )
+
+
+@query(
+    "stratified_hash_sample",
+    """
+    SELECT event_id, event_type
+    FROM (
+      SELECT event_id, event_type,
+             substring(md5(CAST(event_id AS VARCHAR)), 1, 1) AS d
+      FROM events
+    )
+    WHERE CASE WHEN event_type = 'purchase' THEN d <= '7' ELSE d <= '1' END
+    """,
+)
+def stratified_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling by deterministic hash, not rand(): md5 of the
+    row id gives every engine, retry, and re-run the same sample (rand()
+    breaks retry-idempotence on a real cluster — a task retry would draw a
+    different sample). Rates per stratum via hex-digit thresholds:
+    'purchase' keeps digits 0-7 (50%), everything else 0-1 (12.5%).
+    Embarrassingly parallel — a pure map-side filter, zero shuffle."""
+    ev = tbl(spark, sf_dir, "events")
+    d = F.substring(F.md5(F.col("event_id").cast("string")), 1, 1)
+    keep = F.when(F.col("event_type") == "purchase", d <= "7").otherwise(d <= "1")
+    return ev.filter(keep).select("event_id", "event_type")

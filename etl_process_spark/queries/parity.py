@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_process_spark.functions.scalar import euro_decimal, fio, seconds_between
-from etl_process_spark.operators.asof import asof_join
+from etl_process_spark.operators.asof import asof_join, asof_join_merge
 from etl_process_spark.queries.registry import query, tbl
 
 INF_TS = "9999-12-31 00:00:00"
@@ -237,9 +237,7 @@ def nation_balance_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "events_asof_join",
-    f"""
+_ASOF_ORACLE = f"""
     WITH dim AS (
       SELECT user_id, ts AS effective_from,
              coalesce(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
@@ -253,8 +251,27 @@ def nation_balance_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
      AND f.ts > d.effective_from
      AND f.ts < d.effective_to
     WHERE f.event_type = 'purchase'
-    """,
-)
+    """
+
+
+def _signup_scd2_dim(ev: DataFrame) -> DataFrame:
+    """SCD2-style dim derived from 'signup' events (effective_from=ts,
+    effective_to=next signup) — shared by both as-of variants."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.filter(F.col("event_type") == "signup")
+        .select(
+            "user_id",
+            F.col("ts").alias("effective_from"),
+            F.coalesce(F.lead("ts").over(w), F.lit(INF_TS).cast("timestamp")).alias(
+                "effective_to"
+            ),
+        )
+        .withColumn("deleted_flg", F.lit("N"))
+    )
+
+
+@query("events_asof_join", _ASOF_ORACLE)
 def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time (as-of) join, strict inequalities (J4, report.py:38-41).
 
@@ -264,16 +281,7 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary matches nothing.
     """
     ev = tbl(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    dim = (
-        ev.filter(F.col("event_type") == "signup")
-        .select(
-            "user_id",
-            F.col("ts").alias("effective_from"),
-            F.coalesce(F.lead("ts").over(w), F.lit(INF_TS).cast("timestamp")).alias("effective_to"),
-        )
-        .withColumn("deleted_flg", F.lit("N"))
-    )
+    dim = _signup_scd2_dim(ev)
     fact = ev.filter(F.col("event_type") == "purchase")
     return asof_join(
         fact, dim, fact_key="user_id", dim_key="user_id", fact_ts="ts",
@@ -283,6 +291,26 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("f.user_id").alias("user_id"),
         F.col("f.ts").alias("ts"),
         F.col("d.effective_from").alias("version_from"),
+    )
+
+
+@query("events_asof_join_merge", _ASOF_ORACLE)
+def events_asof_join_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union-merge as-of join — same semantics as ``events_asof_join``
+    (the oracle SQL is literally shared) but planned for a dimension too
+    large to broadcast: one shuffle of facts ∪ versions on the key, no
+    per-version fan-out (operators/asof.py::asof_join_merge)."""
+    ev = tbl(spark, sf_dir, "events")
+    dim = _signup_scd2_dim(ev)
+    fact = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    out = asof_join_merge(
+        fact, dim, fact_key="user_id", dim_key="user_id", fact_ts="ts",
+        strict=True, only_live=True, how="left",
+    )
+    return out.select(
+        "event_id", "user_id", "ts", F.col("effective_from").alias("version_from")
     )
 
 
