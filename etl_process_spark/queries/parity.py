@@ -641,3 +641,52 @@ def hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(12,4)")).cast("double").alias("total_value"),
         )
     )
+
+
+@query(
+    "overlapping_click_view_pairs",
+    """
+    WITH c AS (
+      SELECT user_id, event_id AS click_id, ts AS c_start,
+             ts + INTERVAL 30 MINUTE AS c_end
+      FROM events WHERE event_type = 'click'
+    ), v AS (
+      SELECT user_id, event_id AS view_id, ts AS v_start,
+             ts + INTERVAL 30 MINUTE AS v_end
+      FROM events WHERE event_type = 'view'
+    )
+    SELECT c.user_id, c.click_id, v.view_id
+    FROM c JOIN v
+      ON c.user_id = v.user_id
+     AND c.c_start < v.v_end
+     AND v.v_start < c.c_end
+    """,
+)
+def overlapping_click_view_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided interval-overlap join (extension beyond SURVEY §2.3,
+    which notes the reference has no both-sides-range join). The oracle is
+    the naive range-predicate join; the engine runs the binned equi-join
+    rewrite (operators/intervals.py) — a shuffled hash join on
+    (user_id, time-bin) instead of a nested loop."""
+    ev = tbl(spark, sf_dir, "events")
+    half_hour = F.expr("INTERVAL 30 MINUTES")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_start"),
+        (F.col("ts") + half_hour).alias("c_end"),
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("v_start"),
+        (F.col("ts") + half_hour).alias("v_end"),
+    )
+    from etl_process_spark.operators.intervals import interval_overlap_join
+
+    return interval_overlap_join(
+        clicks, views,
+        left_start="c_start", left_end="c_end",
+        right_start="v_start", right_end="v_end",
+        on=["user_id"], bin_width_seconds=1800,
+    ).select("user_id", "click_id", "view_id")
