@@ -355,3 +355,59 @@ def stratified_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = F.substring(F.md5(F.col("event_id").cast("string")), 1, 1)
     keep = F.when(F.col("event_type") == "purchase", d <= "7").otherwise(d <= "1")
     return ev.filter(keep).select("event_id", "event_type")
+
+
+@query(
+    "nation_metrics_unpivot",
+    """
+    WITH w AS (
+      SELECT c_nationkey AS n_nationkey,
+             count(*) FILTER (WHERE c_acctbal >= 0) AS n_pos,
+             count(*) FILTER (WHERE c_acctbal < 0) AS n_neg
+      FROM customer GROUP BY c_nationkey
+    ), u AS (
+      SELECT n_nationkey, 'n_pos' AS metric, n_pos AS v FROM w
+      UNION ALL
+      SELECT n_nationkey, 'n_neg' AS metric, n_neg AS v FROM w
+    )
+    SELECT n_nationkey, metric, v FROM u
+    """,
+)
+def nation_metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide → long, the inverse reshape of pivot). Spark's
+    ``unpivot``/melt expands columns to rows map-side — no shuffle beyond
+    the aggregation that built the wide frame."""
+    cust = tbl(spark, sf_dir, "customer").withColumnRenamed(
+        "c_nationkey", "n_nationkey"
+    )
+    wide = cust.groupBy("n_nationkey").agg(
+        F.count(F.when(F.col("c_acctbal") >= 0, 1)).alias("n_pos"),
+        F.count(F.when(F.col("c_acctbal") < 0, 1)).alias("n_neg"),
+    )
+    return wide.unpivot(
+        ids=["n_nationkey"], values=["n_pos", "n_neg"],
+        variableColumnName="metric", valueColumnName="v",
+    )
+
+
+@query(
+    "top_revenue_orders",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global ORDER BY … LIMIT — the one query shape where a total order
+    matters. Spark plans it as TakeOrderedAndProject: each task keeps a
+    local top-100 heap and the driver merges K heaps — no global sort, no
+    single-reducer shuffle, O(K·100) driver memory at any scale. The
+    (price DESC, orderkey) tie-break makes the result set deterministic."""
+    od = tbl(spark, sf_dir, "orders")
+    return (
+        od.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )

@@ -97,3 +97,27 @@ class TableCatalog:
     def read_bucketed(self, name: str) -> DataFrame:
         """Read a bucketed table through the catalog (keeps bucket info)."""
         return self.spark.table(name)
+
+    def write_partitioned(
+        self, name: str, df: DataFrame, partition_cols: list[str]
+    ) -> None:
+        """Hive-style partitioned table (dt=.../ directories) with the same
+        versioned-pointer atomicity as ``overwrite``.
+
+        Partition pruning is the cluster-scale form of the reference's
+        driver-side file skipping (S5/transaction.py:51 — don't read files
+        ≤ watermark): a predicate on the partition column eliminates whole
+        directories at planning time, so a daily incremental query over a
+        100 TB fact table reads one day's files, not all of them. Choose
+        coarse, low-cardinality keys (a date, a tenant) — one directory and
+        ≥1 file per value; a high-cardinality partition key degenerates
+        into millions of tiny files and kills the scan.
+        """
+        old = self._current_dir(name)
+        version = 0 if old is None else int(os.path.basename(old).rsplit("_v", 1)[1]) + 1
+        new_dir = os.path.join(self.root, f"{name}_v{version}")
+        df.write.mode("overwrite").partitionBy(*partition_cols).parquet(new_dir)
+        tmp = self._pointer(name) + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"dir": new_dir}, fh)
+        os.replace(tmp, self._pointer(name))

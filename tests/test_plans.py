@@ -123,3 +123,38 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_global_topk_avoids_total_sort(spark):
+    """ORDER BY … LIMIT plans as TakeOrderedAndProject (per-task heaps +
+    driver merge), not a global Sort + single-partition exchange."""
+    from etl_process_spark.plans.audit import explain_str
+
+    plan = explain_str(_df(spark, "top_revenue_orders"))
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort [" not in plan  # no separate global sort node
+
+
+def test_partitioned_table_prunes_directories(spark, tmp_path):
+    """A predicate on the partition column must eliminate whole partition
+    directories at planning time (the 100 TB form of the reference's
+    file-date skipping, transaction.py:51)."""
+    from etl_process_spark.sources.tables import TableCatalog
+
+    cat = TableCatalog(spark, str(tmp_path / "wh"))
+    df = spark.range(1000).select(
+        F.col("id"),
+        (F.col("id") % 10).cast("string").alias("day"),
+    )
+    cat.write_partitioned("facts", df, ["day"])
+    pruned = cat.read("facts").filter(F.col("day") == "3")
+    from etl_process_spark.plans.audit import explain_str
+
+    assert "PartitionFilters: [" in explain_str(pruned)
+    # runtime proof: the only files actually opened are the day=3 partition
+    read_files = {
+        r[0]
+        for r in pruned.select(F.input_file_name()).distinct().collect()
+    }
+    assert read_files and all("day=3" in f for f in read_files)
+    assert pruned.count() == 100
