@@ -24,3 +24,7 @@ from etl_process_spark.streaming.stateful import (  # noqa: F401
     sessionize_batch,
     sessionize_stream,
 )
+from etl_process_spark.streaming.joins import (  # noqa: F401
+    time_bounded_join_batch,
+    time_bounded_join_stream,
+)

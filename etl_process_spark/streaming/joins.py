@@ -1,0 +1,78 @@
+"""Stream-stream time-bounded join.
+
+The batch engine's interval/as-of joins (operators/asof.py,
+operators/intervals.py) have one streaming sibling: the watermarked
+stream-stream equi-join with a time-range condition. Spark buffers both
+sides in state keyed by the join key; the watermark + time bound tell the
+state store exactly when a buffered row can never match again and is
+evicted — without the bound, stream-stream state grows forever.
+
+State size is O(rows inside the watermark horizon), independent of stream
+length — the property that makes this run indefinitely at production rates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def time_bounded_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    watermark: str = "1 hour",
+    within: str = "30 minutes",
+) -> DataFrame:
+    """Inner-join two streams on ``key`` where the right event happens in
+    ``[left_ts, left_ts + within)``.
+
+    Both sides carry a watermark of ``watermark``: left state can be
+    dropped once the right watermark passes ``left_ts + within``; right
+    state once the left watermark passes ``right_ts``. Column names (apart
+    from ``key``) must be disjoint.
+    """
+    clash = (set(left.columns) & set(right.columns)) - {key}
+    if clash:
+        raise ValueError(f"left/right column clash: {sorted(clash)}")
+    l = left.withWatermark(left_ts, watermark).alias("l")
+    r = right.withWatermark(right_ts, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}"))
+        & (F.col(f"r.{right_ts}") < F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {within}"))
+    )
+    out_cols = (
+        [F.col(f"l.{key}").alias(key)]
+        + [F.col(f"l.{c}").alias(c) for c in left.columns if c != key]
+        + [F.col(f"r.{c}").alias(c) for c in right.columns if c != key]
+    )
+    return l.join(r, cond, "inner").select(*out_cols)
+
+
+def time_bounded_join_batch(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    within: str = "30 minutes",
+) -> DataFrame:
+    """Batch twin of ``time_bounded_join_stream`` — identical condition,
+    no watermarks. The stream==batch differential test runs both."""
+    l, r = left.alias("l"), right.alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}"))
+        & (F.col(f"r.{right_ts}") < F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {within}"))
+    )
+    out_cols = (
+        [F.col(f"l.{key}").alias(key)]
+        + [F.col(f"l.{c}").alias(c) for c in left.columns if c != key]
+        + [F.col(f"r.{c}").alias(c) for c in right.columns if c != key]
+    )
+    return l.join(r, cond, "inner").select(*out_cols)

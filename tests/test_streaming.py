@@ -144,3 +144,47 @@ def test_sessionizer_gap_boundary(spark, tmp_path):
     out = sessionize_batch(df, gap_seconds=1800).orderBy("session_start").collect()
     assert [r["n_events"] for r in out] == [1, 2]
     assert out[0]["session_end"] == dt.datetime(2024, 1, 1, 0, 30, 0)
+
+
+def test_stream_stream_join_matches_batch(spark, event_inbox, tmp_path):
+    """Watermarked stream-stream time-bounded join ≡ its batch twin.
+
+    Inner time-bound joins emit matches on arrival; the watermark only
+    bounds state. With time-ordered arrival and a 48 h watermark over a
+    24 h bound, no state is evicted before its last possible match — so
+    the stream result must equal the batch join exactly.
+    """
+    from etl_process_spark.streaming.joins import (
+        time_bounded_join_batch,
+        time_bounded_join_stream,
+    )
+
+    def split(df, kind, idc, tsc):
+        return df.filter(F.col("event_type") == kind).select(
+            "user_id",
+            F.col("event_id").alias(idc),
+            F.col("ts").alias(tsc),
+        )
+
+    l_stream = split(read_event_stream(spark, event_inbox, max_files_per_trigger=1),
+                     "click", "click_id", "c_ts")
+    r_stream = split(read_event_stream(spark, event_inbox, max_files_per_trigger=1),
+                     "view", "view_id", "v_ts")
+    got = _run_stream(
+        spark,
+        time_bounded_join_stream(
+            l_stream, r_stream, key="user_id", left_ts="c_ts", right_ts="v_ts",
+            watermark="48 hours", within="24 hours",
+        ),
+        tmp_path,
+        "ss_join",
+    )
+    ev = tbl(spark, SF_DIR, "events")
+    expected = time_bounded_join_batch(
+        split(ev, "click", "click_id", "c_ts"),
+        split(ev, "view", "view_id", "v_ts"),
+        key="user_id", left_ts="c_ts", right_ts="v_ts", within="24 hours",
+    )
+    cols = ["user_id", "click_id", "c_ts", "view_id", "v_ts"]
+    assert _canon(got, cols) == _canon(expected, cols)
+    assert got.count() > 0
