@@ -65,3 +65,33 @@ def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(synthesize_assets(spark, sf_dir), every_n=2).select(
         "asset_id", "frame_idx", "frame_len"
     )
+
+
+@query(
+    "audio_feature_stats",
+    """
+    WITH b AS (
+      SELECT doc_id,
+             [ascii(substr(text, i, 1)) - 128
+              for i in range(1, length(text) + 1)] AS cs
+      FROM documents
+    )
+    SELECT doc_id AS asset_id,
+           CAST(len(cs) AS INTEGER) AS n_samples,
+           round(list_sum([CAST(abs(x) AS DOUBLE) for x in cs]) / len(cs), 6)
+               AS mean_amp,
+           round(sqrt(list_sum([CAST(x AS DOUBLE) * x for x in cs]) / len(cs)), 6)
+               AS rms
+    FROM b
+    """,
+)
+def audio_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature extraction over binary columns via Arrow-batched
+    mapInPandas (multimodal/ops.py::audio_features): bytes → sample count,
+    mean amplitude, RMS, computed vectorized per batch. The stand-in
+    decoder treats bytes as unsigned 8-bit PCM — deterministic, so the
+    Python path is fully oracle-checked (the oracle recomputes the same
+    features from the UTF-8 code points)."""
+    from etl_process_spark.multimodal.ops import audio_features
+
+    return audio_features(synthesize_assets(spark, sf_dir))

@@ -25,7 +25,7 @@ from etl_process_spark.queries import QUERIES
 SF_DIR = "/root/testdata/sf0.001"
 
 # queries whose plan legitimately crosses into Python (mapInPandas decode)
-PYTHON_OK = {"image_decode_stats", "video_frame_sample"}
+PYTHON_OK = {"image_decode_stats", "video_frame_sample", "audio_feature_stats"}
 # single-query-vector top-k uses a broadcast nested-loop (1-row side)
 NESTED_LOOP_OK = {"embedding_topk_cosine"}
 
