@@ -690,3 +690,56 @@ def overlapping_click_view_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_start="v_start", right_end="v_end",
         on=["user_id"], bin_width_seconds=1800,
     ).select("user_id", "click_id", "view_id")
+
+
+@query(
+    "cumulative_revenue_per_customer",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(14,4))) OVER (
+                PARTITION BY o_custkey
+                ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS running_total
+    FROM orders
+    """,
+)
+def cumulative_revenue_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate-over-window with an explicit ROWS frame (extension — the
+    reference uses only default-frame lag, SURVEY §2.5): per-customer
+    running revenue in (date, orderkey) order. Decimal summation keeps the
+    running total exact and engine-identical at any partitioning."""
+    od = tbl(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return od.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(14,4)"))
+        .over(w)
+        .cast("double")
+        .alias("running_total"),
+    )
+
+
+@query(
+    "order_price_ntile",
+    """
+    SELECT o_orderkey, o_orderstatus,
+           ntile(4) OVER (PARTITION BY o_orderstatus
+                          ORDER BY o_totalprice, o_orderkey) AS price_quartile
+    FROM orders
+    """,
+)
+def order_price_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile ranking (extension — no ranking functions in the reference):
+    per-status price quartiles over a unique (price, orderkey) total
+    order, so bucket assignment is deterministic across engines."""
+    od = tbl(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return od.select(
+        "o_orderkey", "o_orderstatus", F.ntile(4).over(w).alias("price_quartile")
+    )
