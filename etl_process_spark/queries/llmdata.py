@@ -352,3 +352,48 @@ def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = tbl(spark, sf_dir, "events")
     k = F.get_json_object(F.col("props"), "$.k").cast("int")
     return ev.select("event_id", k.alias("k"), (k % 10).alias("k_bucket"))
+
+
+@query(
+    "neardup_clusters",
+    f"""
+    WITH RECURSIVE sh AS ({_SHINGLES}),
+         sig AS ({_SIGS}),
+         bands AS ({_BANDS}),
+         pairs AS (
+           SELECT DISTINCT a.doc_id AS pa, b.doc_id AS pb
+           FROM bands a
+           JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+                       AND a.doc_id < b.doc_id
+         ),
+         edges AS (
+           SELECT pa AS ea, pb AS eb FROM pairs
+           UNION
+           SELECT pb, pa FROM pairs
+         ),
+         reach(n, m) AS (
+           SELECT ea, eb FROM edges
+           UNION
+           SELECT r.n, e.eb FROM reach r JOIN edges e ON r.m = e.ea
+         )
+    SELECT n AS doc_id, least(n, min(m)) AS cluster_id
+    FROM reach GROUP BY n
+    """,
+)
+def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: connected components over the MinHash-LSH pair
+    graph (operators/graph.py) — the step that turns pairwise candidates
+    into keep-one-per-cluster dedup decisions. Iterative min-label
+    propagation, one shuffle per round, rounds = cluster diameter (tiny
+    for near-dup graphs). The oracle computes the same components via a
+    recursive-CTE transitive closure — feasible only at oracle scale,
+    which is exactly why the engine side iterates instead."""
+    from etl_process_spark.operators.graph import connected_components
+
+    pairs = dd.lsh_candidate_pairs(
+        tbl(spark, sf_dir, "documents"), "text", "doc_id",
+        num_hashes=4, band_size=2, k=3,
+    )
+    return connected_components(pairs, "doc_a", "doc_b").select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )

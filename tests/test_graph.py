@@ -1,0 +1,68 @@
+"""Connected components: known graphs + random-graph BFS differential."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from etl_process_spark.operators.graph import connected_components
+
+
+def _components(spark, edge_list):
+    df = spark.createDataFrame(edge_list, "src long, dst long")
+    return {
+        (r["node"], r["component"])
+        for r in connected_components(df, "src", "dst").collect()
+    }
+
+
+def _bfs_components(edge_list):
+    """Trusted in-memory answer: min node id per component via BFS."""
+    adj: dict[int, set[int]] = {}
+    for a, b in edge_list:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    seen: dict[int, int] = {}
+    for start in adj:
+        if start in seen:
+            continue
+        stack, comp = [start], [start]
+        seen[start] = -1
+        while stack:
+            n = stack.pop()
+            for m in adj[n]:
+                if m not in seen:
+                    seen[m] = -1
+                    comp.append(m)
+                    stack.append(m)
+        root = min(comp)
+        for n in comp:
+            seen[n] = root
+    return set(seen.items())
+
+
+def test_two_components_and_chain(spark):
+    # chain 1-2-3-4 and triangle 10-11-12
+    edges = [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12)]
+    assert _components(spark, edges) == _bfs_components(edges)
+
+
+def test_single_edge_and_self_loop(spark):
+    edges = [(5, 5), (7, 8)]
+    assert _components(spark, edges) == {(5, 5), (7, 7), (8, 7)}
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_matches_bfs_on_random_graphs(spark, edges):
+    assert _components(spark, edges) == _bfs_components(edges)
