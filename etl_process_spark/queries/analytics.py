@@ -411,3 +411,47 @@ def top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
         .limit(100)
     )
+
+
+@query(
+    "region_return_share",
+    """
+    SELECT n.n_name,
+           CAST(sum(CASE WHEN l.l_returnflag = 'R'
+                         THEN CAST(l.l_extendedprice AS DECIMAL(12,4))
+                         ELSE 0 END) AS DOUBLE)
+           / CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,4))) AS DOUBLE)
+               AS return_share,
+           count(*) AS n_items
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def region_return_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-ratio aggregation (TPC-H Q8 market-share shape):
+    sum(CASE)/sum over a fact→dim join chain. The dims broadcast, so the
+    fact is never shuffled for the joins — only once for the final
+    groupBy; both sums are exact decimals before the double division."""
+    li = tbl(spark, sf_dir, "lineitem")
+    od = tbl(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cu = F.broadcast(tbl(spark, sf_dir, "customer").select("c_custkey", "c_nationkey"))
+    na = F.broadcast(tbl(spark, sf_dir, "nation").select("n_nationkey", "n_name"))
+    price = F.col("l_extendedprice").cast("decimal(12,4)")
+    returned = F.when(F.col("l_returnflag") == "R", price).otherwise(
+        F.lit(0).cast("decimal(12,4)")
+    )
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(cu, od.o_custkey == cu.c_custkey)
+        .join(na, cu.c_nationkey == na.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            (F.sum(returned).cast("double") / F.sum(price).cast("double")).alias(
+                "return_share"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )

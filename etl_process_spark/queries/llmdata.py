@@ -397,3 +397,66 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs, "doc_a", "doc_b").select(
         F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
     )
+
+
+@query(
+    "vocab_top_tokens",
+    f"""
+    SELECT tok, count(*) AS n
+    FROM (SELECT unnest({_TOKS}) AS tok FROM documents)
+    GROUP BY tok
+    ORDER BY n DESC, tok
+    LIMIT 200
+    """,
+)
+def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary building: corpus-wide token frequencies, top-200.
+
+    explode → partial-aggregated groupBy (the shuffle carries one row per
+    (token × partition), not per token occurrence) → TakeOrderedAndProject.
+    The same plan shape builds a BPE corpus-statistics pass at 100 TB; the
+    (n DESC, tok) tie-break keeps the top-k set engine-deterministic."""
+    docs = tbl(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tx.tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "tok")
+        .limit(200)
+    )
+
+
+@query(
+    "quality_filter_keep",
+    f"""
+    WITH q AS (
+      SELECT doc_id,
+             len(toks) AS n_tokens,
+             CAST(list_sum([length(t) for t in toks]) AS DOUBLE) / len(toks)
+                 AS avg_len,
+             CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','is')))
+                  AS DOUBLE) / len(toks) AS stop_ratio
+      FROM (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+    )
+    SELECT doc_id FROM q
+    WHERE n_tokens BETWEEN 8 AND 100000
+      AND avg_len BETWEEN 2.0 AND 12.0
+      AND stop_ratio >= 0.01
+    """,
+)
+def quality_filter_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-gate filter: the keep-set a pretraining pipeline would pass
+    downstream (length window, sane mean token length, minimum stopword
+    density — the Gopher-rules shape). Pure per-row expressions; at 100 TB
+    this is a zero-shuffle map stage fused into the scan."""
+    docs = tbl(spark, sf_dir, "documents")
+    t = tx.tokens(F.col("text"))
+    n = F.size(t)
+    avg_len = F.aggregate(t, F.lit(0), lambda a, x: a + F.length(x)).cast("double") / n
+    stop = F.size(F.filter(t, lambda x: x.isin("the", "a", "of", "and", "is")))
+    stop_ratio = stop.cast("double") / n
+    return docs.filter(
+        n.between(8, 100000)
+        & avg_len.between(2.0, 12.0)
+        & (stop_ratio >= 0.01)
+    ).select("doc_id")

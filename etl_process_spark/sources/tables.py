@@ -121,3 +121,34 @@ class TableCatalog:
         with open(tmp, "w") as fh:
             json.dump({"dir": new_dir}, fh)
         os.replace(tmp, self._pointer(name))
+
+    def compact(self, name: str, target_file_bytes: int = 128 * 1024 * 1024) -> int:
+        """Rewrite a table into ~target-sized files; returns the new file
+        count.
+
+        Append sinks (S8) and streaming sinks accrete small files; at scale
+        a scan's task count — and the namenode's metadata load — is
+        file-bound, so periodic compaction is standing maintenance for any
+        append table. Sizing uses the CURRENT on-disk bytes (true post-
+        compression size), not row counts; the rewrite reuses the
+        versioned-pointer swap, so readers see either the old or the new
+        layout, never a mix.
+        """
+        d = self._current_dir(name)
+        if d is None:
+            raise FileNotFoundError(f"table {name} not initialized under {self.root}")
+        total = sum(
+            os.path.getsize(os.path.join(dirpath, f))
+            for dirpath, _, files in os.walk(d)
+            for f in files
+            if f.endswith(".parquet")
+        )
+        n_files = max(1, -(-total // int(target_file_bytes)))
+        self.overwrite(name, self.read(name).repartition(n_files))
+        new_dir = self._current_dir(name)
+        return sum(
+            1
+            for dirpath, _, files in os.walk(new_dir)
+            for f in files
+            if f.endswith(".parquet")
+        )

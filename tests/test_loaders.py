@@ -65,3 +65,25 @@ def test_watermark_store(spark, tmp_path):
     old = spark.createDataFrame([(dt.datetime(2020, 1, 1),)], "ts timestamp")
     store.advance_from("fact", old, F.col("ts"))
     assert store.get("fact") == "2021-01-02 09:00:00"
+
+
+def test_catalog_compaction_merges_small_files(spark, tmp_path):
+    """Many small appended files compact to few target-sized files with
+    identical data, atomically (versioned-pointer swap)."""
+    from etl_process_spark.sources.tables import TableCatalog
+
+    cat = TableCatalog(spark, str(tmp_path / "wh"))
+    for batch in range(5):
+        cat.append(
+            "ev",
+            spark.range(batch * 100, (batch + 1) * 100).repartition(8),
+        )
+    before_dir = cat._current_dir("ev")
+    n_before = sum(1 for f in os.listdir(before_dir) if f.endswith(".parquet"))
+    assert n_before >= 20  # genuinely fragmented
+
+    n_after = cat.compact("ev", target_file_bytes=64 * 1024)
+    assert n_after < n_before
+    got = sorted(r["id"] for r in cat.read("ev").collect())
+    assert got == list(range(500))
+    assert cat._current_dir("ev") != before_dir  # swapped, not in-place
