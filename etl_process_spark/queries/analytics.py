@@ -455,3 +455,40 @@ def region_return_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+@query(
+    "order_date_features",
+    """
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT) AS y,
+           CAST(month(o_orderdate) AS INT) AS m,
+           CAST(quarter(o_orderdate) AS INT) AS q,
+           CAST(isodow(o_orderdate) AS INT) AS iso_dow,
+           CAST(o_orderdate + INTERVAL 30 DAY AS TIMESTAMP) AS due_ts,
+           CAST(date_trunc('week', o_orderdate) AS TIMESTAMP) AS week_start,
+           CAST(datediff('day', DATE '1995-01-01',
+                         CAST(o_orderdate AS DATE)) AS INT) AS days_since_95
+    FROM orders
+    """,
+)
+def order_date_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time function surface (F1/F8/F9 family breadth): calendar
+    parts, interval arithmetic, week truncation, day diffs. Dialect
+    corners pinned explicitly: ISO day-of-week (Spark's dayofweek is
+    1=Sunday, so weekday()+1 is used for ISO 1=Monday), and Spark
+    date_trunc('week') is already ISO-Monday like DuckDB."""
+    od = tbl(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return od.select(
+        "o_orderkey",
+        F.year(d).cast("int").alias("y"),
+        F.month(d).cast("int").alias("m"),
+        F.quarter(d).cast("int").alias("q"),
+        (F.weekday(d) + 1).cast("int").alias("iso_dow"),
+        (d + F.expr("INTERVAL 30 DAYS")).alias("due_ts"),
+        F.date_trunc("week", d).alias("week_start"),
+        F.datediff(d.cast("date"), F.lit("1995-01-01").cast("date"))
+        .cast("int")
+        .alias("days_since_95"),
+    )

@@ -152,3 +152,55 @@ class TableCatalog:
             for f in files
             if f.endswith(".parquet")
         )
+
+    def versions(self, name: str) -> list[int]:
+        """All retained version numbers of a table, oldest first.
+
+        ``overwrite``/``compact`` never delete prior version directories —
+        each rewrite is a full snapshot, so history is retained for free.
+        """
+        import re
+
+        pat = re.compile(rf"^{re.escape(name)}_v(\d+)$")
+        out = sorted(
+            int(m.group(1))
+            for d in os.listdir(self.root)
+            if (m := pat.match(d)) and os.path.isdir(os.path.join(self.root, d))
+        )
+        return out
+
+    def read_version(self, name: str, version: int) -> DataFrame:
+        """Time travel: read a specific retained snapshot of a table.
+
+        The lakehouse pattern in miniature — an auditor re-runs last
+        week's fraud report against the dimension table AS IT WAS, without
+        restoring backups. (SCD2 gives row-level history inside a version;
+        this gives table-level history across rewrites.)
+        """
+        d = os.path.join(self.root, f"{name}_v{version}")
+        if not os.path.isdir(d):
+            raise FileNotFoundError(
+                f"table {name} has no version {version}; have {self.versions(name)}"
+            )
+        return self.spark.read.parquet(d)
+
+    def vacuum(self, name: str, keep_last: int = 2) -> list[int]:
+        """Drop all but the newest ``keep_last`` version directories;
+        returns the dropped version numbers. The live pointer target is
+        never dropped. Retention is the storage-cost counterweight to
+        ``read_version`` — history is snapshots, so old versions cost
+        full-table storage until vacuumed."""
+        import shutil
+
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        live = self._current_dir(name)
+        vs = self.versions(name)
+        dropped = []
+        for v in vs[:-keep_last] if keep_last < len(vs) else []:
+            d = os.path.join(self.root, f"{name}_v{v}")
+            if d == live:
+                continue
+            shutil.rmtree(d)
+            dropped.append(v)
+        return dropped

@@ -87,3 +87,24 @@ def test_catalog_compaction_merges_small_files(spark, tmp_path):
     got = sorted(r["id"] for r in cat.read("ev").collect())
     assert got == list(range(500))
     assert cat._current_dir("ev") != before_dir  # swapped, not in-place
+
+
+def test_catalog_time_travel_and_vacuum(spark, tmp_path):
+    from etl_process_spark.sources.tables import TableCatalog
+
+    cat = TableCatalog(spark, str(tmp_path / "wh"))
+    for n in (3, 5, 7):
+        cat.overwrite("dim", spark.range(n))
+    assert cat.versions("dim") == [0, 1, 2]
+    assert cat.read_version("dim", 0).count() == 3
+    assert cat.read_version("dim", 1).count() == 5
+    assert cat.read("dim").count() == 7  # pointer at newest
+
+    dropped = cat.vacuum("dim", keep_last=2)
+    assert dropped == [0]
+    assert cat.versions("dim") == [1, 2]
+    assert cat.read("dim").count() == 7
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError, match="no version 0"):
+        cat.read_version("dim", 0)
