@@ -37,8 +37,27 @@ def main() -> None:
     names = [n for n in HEADLINE if n in QUERIES]
     names += [n for n in sorted(QUERIES) if n not in names]
 
-    # warmup: touch every input table + JIT the common operator paths
+    # Warmup (untimed): steady-state throughput is the number that predicts
+    # cluster behavior, so one-time session costs are paid here, not billed
+    # to whichever query alphabetically runs first —
+    # 1. first scan of each input table (footer reads, filesystem cache);
+    # 2. whole-stage-codegen JIT of the common operator families (agg,
+    #    higher-order array funcs, md5) via a representative expression;
+    # 3. the Python/Arrow worker pool for mapInPandas paths.
+    from etl_process_spark.queries.registry import tbl as _tbl
+
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"):
+        _tbl(spark, sf_dir, t).count()
     QUERIES[names[0]].builder(spark, sf_dir).count()
+    from pyspark.sql import functions as F
+
+    _tbl(spark, sf_dir, "documents").select(
+        F.md5(F.concat_ws(" ", F.split(F.lower(F.col("text")), r"\s+"))).alias("h"),
+        F.aggregate(F.split(F.col("text"), r"\s+"), F.lit(0),
+                    lambda a, x: a + F.length(x)).alias("s"),
+    ).count()
+    spark.range(64).mapInPandas(lambda it: it, "id long").count()
 
     timings: dict[str, float] = {}
     for name in names:
