@@ -400,6 +400,50 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "neardup_clusters_star",
+    f"""
+    WITH RECURSIVE sh AS ({_SHINGLES}),
+         sig AS ({_SIGS}),
+         bands AS ({_BANDS}),
+         pairs AS (
+           SELECT DISTINCT a.doc_id AS pa, b.doc_id AS pb
+           FROM bands a
+           JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+                       AND a.doc_id < b.doc_id
+         ),
+         edges AS (
+           SELECT pa AS ea, pb AS eb FROM pairs
+           UNION
+           SELECT pb, pa FROM pairs
+         ),
+         reach(n, m) AS (
+           SELECT ea, eb FROM edges
+           UNION
+           SELECT r.n, e.eb FROM reach r JOIN edges e ON r.m = e.ea
+         )
+    SELECT n AS doc_id, least(n, min(m)) AS cluster_id
+    FROM reach GROUP BY n
+    """,
+)
+def neardup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters via the alternating large-star/small-star
+    algorithm (operators/graph.py::connected_components_star) — the
+    high-diameter scale path: O(log² n) pointer-jumping rounds instead
+    of one round per hop of cluster diameter. Same oracle SQL as
+    ``neardup_clusters``, so the driver proves both engine paths compute
+    identical components."""
+    from etl_process_spark.operators.graph import connected_components_star
+
+    pairs = dd.lsh_candidate_pairs(
+        tbl(spark, sf_dir, "documents"), "text", "doc_id",
+        num_hashes=4, band_size=2, k=3,
+    )
+    return connected_components_star(pairs, "doc_a", "doc_b").select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+
+
+@query(
     "vocab_top_tokens",
     f"""
     SELECT tok, count(*) AS n

@@ -66,3 +66,49 @@ def test_single_edge_and_self_loop(spark):
 )
 def test_matches_bfs_on_random_graphs(spark, edges):
     assert _components(spark, edges) == _bfs_components(edges)
+
+
+def _components_star(spark, edge_list):
+    from etl_process_spark.operators.graph import connected_components_star
+
+    df = spark.createDataFrame(edge_list, "src long, dst long")
+    return {
+        (r["node"], r["component"])
+        for r in connected_components_star(df, "src", "dst").collect()
+    }
+
+
+def test_star_known_graphs(spark):
+    edges = [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12)]
+    assert _components_star(spark, edges) == _bfs_components(edges)
+    assert _components_star(spark, [(5, 5), (7, 8)]) == {
+        (5, 5),
+        (7, 7),
+        (8, 7),
+    }
+
+
+def test_star_high_diameter_path(spark):
+    """A 60-hop path: label propagation needs 60 rounds (more than its
+    default bound); the star algorithm's O(log² n) pointer jumping
+    finishes well inside its bound — the property that makes it the
+    scale path for web-graph-shaped inputs."""
+    edges = [(i, i + 1) for i in range(60)]
+    got = _components_star(spark, edges)
+    assert got == {(i, 0) for i in range(61)}
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_star_matches_bfs_on_random_graphs(spark, edges):
+    assert _components_star(spark, edges) == _bfs_components(edges)
