@@ -492,3 +492,29 @@ def order_date_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("days_since_95"),
     )
+
+
+@query(
+    "heavy_hitter_order_groups",
+    """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+    FROM orders
+    GROUP BY o_orderstatus, o_orderpriority
+    HAVING count(*) >= ceil(0.015625 * (SELECT count(*) FROM orders))
+    """,
+)
+def heavy_hitter_order_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters (groups covering ≥ 1/64 of all orders) via the
+    Misra-Gries candidate phase + exact verify (operators/heavy.py): the
+    shuffle carries O(partitions × capacity) sketch rows instead of one
+    row per distinct key, then a broadcast semi-join re-counts only the
+    candidates — the 100 TB plan for hot-key discovery. The oracle is
+    the naive full GROUP BY … HAVING, proving identical semantics.
+    min_frac = 1/64 is binary-exact, so ceil() agrees across engines."""
+    from etl_process_spark.operators.heavy import heavy_hitters
+
+    return heavy_hitters(
+        tbl(spark, sf_dir, "orders"),
+        ["o_orderstatus", "o_orderpriority"],
+        min_frac=0.015625,
+    )

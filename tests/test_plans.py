@@ -24,7 +24,11 @@ from etl_process_spark.queries import QUERIES
 
 SF_DIR = "/root/testdata/sf0.001"
 
-# queries whose plan legitimately crosses into Python (mapInPandas decode)
+# queries whose plan legitimately crosses into Python (mapInPandas decode).
+# NOTE: heavy_hitter_order_groups also runs a mapInPandas sketch, but that
+# phase executes eagerly at build time (localCheckpoint) — its RETURNED
+# plan (verify scan + broadcast semi-join + exact agg) is JVM-only, which
+# the n == 0 branch below verifies.
 PYTHON_OK = {"image_decode_stats", "video_frame_sample", "audio_feature_stats"}
 # single-query-vector top-k uses a broadcast nested-loop (1-row side)
 NESTED_LOOP_OK = {"embedding_topk_cosine"}
