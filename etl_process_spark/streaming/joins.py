@@ -26,15 +26,25 @@ def time_bounded_join_stream(
     right_ts: str,
     watermark: str = "1 hour",
     within: str = "30 minutes",
+    how: str = "inner",
 ) -> DataFrame:
-    """Inner-join two streams on ``key`` where the right event happens in
+    """Join two streams on ``key`` where the right event happens in
     ``[left_ts, left_ts + within)``.
 
     Both sides carry a watermark of ``watermark``: left state can be
     dropped once the right watermark passes ``left_ts + within``; right
     state once the left watermark passes ``right_ts``. Column names (apart
     from ``key``) must be disjoint.
+
+    ``how="left_outer"`` additionally emits every unmatched left row
+    (right columns NULL) — but only once the watermark has passed
+    ``left_ts + within``, the moment Spark can PROVE no match can still
+    arrive. Matched rows emit on arrival in both modes; the watermark
+    delay is therefore also the outer-result latency, the inherent
+    trade-off of streaming outer joins.
     """
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"how must be inner or left_outer, got {how!r}")
     clash = (set(left.columns) & set(right.columns)) - {key}
     if clash:
         raise ValueError(f"left/right column clash: {sorted(clash)}")
@@ -50,7 +60,7 @@ def time_bounded_join_stream(
         + [F.col(f"l.{c}").alias(c) for c in left.columns if c != key]
         + [F.col(f"r.{c}").alias(c) for c in right.columns if c != key]
     )
-    return l.join(r, cond, "inner").select(*out_cols)
+    return l.join(r, cond, how).select(*out_cols)
 
 
 def time_bounded_join_batch(
@@ -61,9 +71,11 @@ def time_bounded_join_batch(
     left_ts: str,
     right_ts: str,
     within: str = "30 minutes",
+    how: str = "inner",
 ) -> DataFrame:
     """Batch twin of ``time_bounded_join_stream`` — identical condition,
     no watermarks. The stream==batch differential test runs both."""
+    how = {"left_outer": "left"}.get(how, how)
     l, r = left.alias("l"), right.alias("r")
     cond = (
         (F.col(f"l.{key}") == F.col(f"r.{key}"))
@@ -75,4 +87,4 @@ def time_bounded_join_batch(
         + [F.col(f"l.{c}").alias(c) for c in left.columns if c != key]
         + [F.col(f"r.{c}").alias(c) for c in right.columns if c != key]
     )
-    return l.join(r, cond, "inner").select(*out_cols)
+    return l.join(r, cond, how).select(*out_cols)

@@ -188,3 +188,98 @@ def test_stream_stream_join_matches_batch(spark, event_inbox, tmp_path):
     cols = ["user_id", "click_id", "c_ts", "view_id", "v_ts"]
     assert _canon(got, cols) == _canon(expected, cols)
     assert got.count() > 0
+
+
+def test_stream_stream_left_outer_join_matches_batch(spark, event_inbox, tmp_path):
+    """Left-outer stream-stream join ≡ batch left join, split by row kind:
+
+    - matched rows emit on arrival → must equal the batch join's matched
+      rows exactly;
+    - null-extended rows emit only once the watermark proves no match can
+      arrive → every emitted null row must be a batch null row, and every
+      batch null row whose emission point (c_ts + within) lies strictly
+      inside the final watermark must have been emitted.
+    """
+    from etl_process_spark.streaming.joins import (
+        time_bounded_join_batch,
+        time_bounded_join_stream,
+    )
+
+    def split(df, kind, idc, tsc):
+        return df.filter(F.col("event_type") == kind).select(
+            "user_id",
+            F.col("event_id").alias(idc),
+            F.col("ts").alias(tsc),
+        )
+
+    # Outer results flush only when a LATER batch carries the advanced
+    # watermark — the last real chunk's horizon would stay open forever.
+    # Standard production fix: a punctuation (sentinel) event far in the
+    # future arrives last and pushes the watermark past all real data.
+    import datetime as dt
+    import os
+    import shutil
+    import time
+
+    inbox = tmp_path / "inbox_outer"
+    inbox.mkdir()
+    for f in sorted(os.listdir(event_inbox)):
+        shutil.copy(os.path.join(event_inbox, f), inbox / f)
+        os.utime(inbox / f, (os.path.getmtime(os.path.join(event_inbox, f)),) * 2)
+    far = dt.datetime(2024, 6, 1)
+    sentinel = spark.createDataFrame(
+        [(-1, far, -999, "click", 0.0, "{}"), (-2, far, -999, "view", 0.0, "{}")],
+        schema=__import__(
+            "etl_process_spark.streaming.sources", fromlist=["events_schema"]
+        ).events_schema(),
+    )
+    sentinel.coalesce(1).write.parquet(str(tmp_path / "sentinel"))
+    src = next((tmp_path / "sentinel").glob("part-*.parquet"))
+    dst = inbox / "events_9_sentinel.parquet"
+    shutil.copy(src, dst)
+    os.utime(dst, (time.time() + 3600,) * 2)
+
+    l_stream = split(read_event_stream(spark, str(inbox), max_files_per_trigger=1),
+                     "click", "click_id", "c_ts")
+    r_stream = split(read_event_stream(spark, str(inbox), max_files_per_trigger=1),
+                     "view", "view_id", "v_ts")
+    got = _run_stream(
+        spark,
+        time_bounded_join_stream(
+            l_stream, r_stream, key="user_id", left_ts="c_ts", right_ts="v_ts",
+            watermark="0 seconds", within="6 hours", how="left_outer",
+        ),
+        tmp_path,
+        "ss_outer_join",
+    ).filter(F.col("user_id") != -999)
+    ev = tbl(spark, SF_DIR, "events")
+    expected = time_bounded_join_batch(
+        split(ev, "click", "click_id", "c_ts"),
+        split(ev, "view", "view_id", "v_ts"),
+        key="user_id", left_ts="c_ts", right_ts="v_ts",
+        within="6 hours", how="left_outer",
+    )
+    cols = ["user_id", "click_id", "c_ts", "view_id", "v_ts"]
+
+    got_matched = _canon(got.filter(F.col("view_id").isNotNull()), cols)
+    exp_matched = _canon(expected.filter(F.col("view_id").isNotNull()), cols)
+    assert got_matched == exp_matched
+    assert len(got_matched) > 0
+
+    got_nulls = set(_canon(got.filter(F.col("view_id").isNull()), cols))
+    exp_nulls = set(_canon(expected.filter(F.col("view_id").isNull()), cols))
+    assert got_nulls <= exp_nulls
+    # final watermark = max event ts (delay 0); strict margin dodges the
+    # eviction boundary
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    must_emit = set(
+        _canon(
+            expected.filter(
+                F.col("view_id").isNull()
+                & (F.col("c_ts") + F.expr("INTERVAL 6 HOURS") < F.lit(max_ts))
+            ),
+            cols,
+        )
+    )
+    assert must_emit <= got_nulls
+    assert len(got_nulls) > 0
