@@ -122,6 +122,30 @@ class TableCatalog:
             json.dump({"dir": new_dir}, fh)
         os.replace(tmp, self._pointer(name))
 
+    def write_sorted(
+        self, name: str, df: DataFrame, sort_cols: list[str], n_files: int
+    ) -> None:
+        """Range-partitioned, sorted-within-file layout (data clustering).
+
+        ``repartitionByRange`` gives each output file a DISJOINT value
+        range of ``sort_cols`` (sampled range boundaries, one shuffle);
+        ``sortWithinPartitions`` orders rows inside each file, so every
+        parquet row group carries tight min/max statistics. A predicate
+        on the sort column then skips whole files and row groups at scan
+        time — the storage-layout half of predicate pushdown, and the
+        difference between reading 100 TB and reading the one date range
+        a query asks for. This is the write-side complement of
+        ``write_partitioned``: partitioning prunes by directory on
+        coarse keys; sorted layout prunes by stats on continuous ones
+        (timestamps, prices) where per-value directories are infeasible.
+        """
+        self.overwrite(
+            name,
+            df.repartitionByRange(n_files, *sort_cols).sortWithinPartitions(
+                *sort_cols
+            ),
+        )
+
     def compact(self, name: str, target_file_bytes: int = 128 * 1024 * 1024) -> int:
         """Rewrite a table into ~target-sized files; returns the new file
         count.

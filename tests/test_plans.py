@@ -162,3 +162,46 @@ def test_partitioned_table_prunes_directories(spark, tmp_path):
     }
     assert read_files and all("day=3" in f for f in read_files)
     assert pruned.count() == 100
+
+
+def test_sorted_layout_enables_stats_pruning(spark, tmp_path):
+    """write_sorted must produce disjoint per-file value ranges (the
+    layout that lets parquet min/max stats skip files/row-groups), and a
+    narrow range predicate must draw rows from only the overlapping
+    files — unsorted layout would surface rows from every file."""
+    import glob as g
+
+    import pyarrow.parquet as pq
+
+    from etl_process_spark.queries.registry import tbl
+    from etl_process_spark.sources.tables import TableCatalog
+
+    cat = TableCatalog(spark, str(tmp_path / "wh"))
+    lineitem = tbl(spark, SF_DIR, "lineitem")
+    cat.write_sorted("li_sorted", lineitem, ["l_shipdate"], n_files=8)
+
+    files = sorted(g.glob(str(tmp_path / "wh" / "li_sorted_v0" / "*.parquet")))
+    assert len(files) == 8
+    ranges = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        idx = md.schema.names.index("l_shipdate")
+        mins = [md.row_group(i).column(idx).statistics.min for i in range(md.num_row_groups)]
+        maxs = [md.row_group(i).column(idx).statistics.max for i in range(md.num_row_groups)]
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
+        assert hi <= lo, "file value ranges must be disjoint (range partitioning)"
+
+    # runtime: a ~1-month predicate over ~7 years of data draws rows from
+    # at most 2 of the 8 files (the boundary may split a month)
+    pruned = cat.read("li_sorted").filter(
+        (F.col("l_shipdate") >= "1997-03-01") & (F.col("l_shipdate") < "1997-04-01")
+    )
+    assert "l_shipdate" in " ".join(pushed_filters(pruned))
+    touched = {r[0] for r in pruned.select(F.input_file_name()).distinct().collect()}
+    assert 1 <= len(touched) <= 2, touched
+    expected = lineitem.filter(
+        (F.col("l_shipdate") >= "1997-03-01") & (F.col("l_shipdate") < "1997-04-01")
+    ).count()
+    assert pruned.count() == expected > 0
