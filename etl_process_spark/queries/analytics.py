@@ -518,3 +518,108 @@ def heavy_hitter_order_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["o_orderstatus", "o_orderpriority"],
         min_frac=0.015625,
     )
+
+
+@query(
+    "customer_order_distribution",
+    """
+    SELECT n_orders, count(*) AS n_customers
+    FROM (
+      SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+      FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey
+    )
+    GROUP BY n_orders
+    """,
+)
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-count distribution per customer (TPC-H Q13 shape): outer
+    join preserving order-less customers, per-key count (count(col)
+    skips the nulls the outer join introduces), then a re-aggregation
+    over the counts. Two shuffles; the second one is tiny (cardinality =
+    distinct order counts), so the plan scales with the first shuffle
+    only."""
+    cust = tbl(spark, sf_dir, "customer")
+    orders = tbl(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+@query(
+    "trailing_week_user_value",
+    """
+    SELECT event_id, user_id, ts,
+           CAST(sum(CAST(value AS DECIMAL(12,4))) OVER (
+             PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS value_7d
+    FROM events
+    """,
+)
+def trailing_week_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame: per-user trailing-7-day value sum. RANGE
+    frames bound by event time (not row position) are tie-stable — every
+    row with the same ts gets the same frame — so no unique total order
+    is needed for determinism. Decimal sums keep both engines exact;
+    one shuffle on user_id."""
+    ev = tbl(spark, sf_dir, "events").withColumn(
+        "value_dec", F.col("value").cast("decimal(12,4)")
+    )
+    return ev.selectExpr(
+        "event_id",
+        "user_id",
+        "ts",
+        """CAST(sum(value_dec) OVER (
+             PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS value_7d""",
+    )
+
+
+@query(
+    "returned_surplus_parts_exceptall",
+    """
+    SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+    EXCEPT ALL
+    SELECT l_partkey FROM lineitem WHERE l_returnflag = 'N'
+    """,
+)
+def returned_surplus_parts_exceptall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — multiset difference (each part key keeps
+    max(returns - non-returns, 0) copies), completing the set-operation
+    family beyond INTERSECT/EXCEPT's set semantics. Spark plans it as a
+    single hash aggregation on the key with per-side counts — one
+    shuffle, no join."""
+    li = tbl(spark, sf_dir, "lineitem")
+    returned = li.filter(F.col("l_returnflag") == "R").select("l_partkey")
+    kept = li.filter(F.col("l_returnflag") == "N").select("l_partkey")
+    return returned.exceptAll(kept)
+
+
+@query(
+    "order_price_rank_features",
+    """
+    SELECT o_orderkey,
+           round(percent_rank() OVER w, 6) AS pr,
+           round(cume_dist() OVER w, 6) AS cd
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def order_price_rank_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-rank window functions (percent_rank / cume_dist) within
+    each order priority — the feature-engineering normalization path.
+    Partitioned by priority so no single task owns a global sort; the
+    (o_totalprice, o_orderkey) order is a unique total order, making
+    both engines' ranks identical. 6-decimal rounding pins the float
+    division."""
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return tbl(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )
