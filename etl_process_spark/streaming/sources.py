@@ -48,3 +48,26 @@ def read_event_stream(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     return reader.format(fmt).load(path)
+
+
+def dedup_stream(
+    events: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact deduplication: keep the first arrival per key,
+    drop re-deliveries that arrive within the watermark horizon.
+
+    ``dropDuplicatesWithinWatermark`` stores one state row per key and —
+    unlike plain ``dropDuplicates`` on a stream — EVICTS it once the
+    watermark passes the first arrival's event time plus the delay, so
+    state is O(keys per horizon), not O(keys ever seen). This is the
+    streaming twin of the batch anti-join dedup-on-insert
+    (reference transaction.py:80-84) and the ingestion guard of a
+    training-data pipeline: at-least-once upstreams (queues, retried
+    file loads) become exactly-once tables as long as re-deliveries
+    land inside the horizon."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )

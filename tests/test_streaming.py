@@ -283,3 +283,40 @@ def test_stream_stream_left_outer_join_matches_batch(spark, event_inbox, tmp_pat
     )
     assert must_emit <= got_nulls
     assert len(got_nulls) > 0
+
+
+def test_stream_dedup_matches_batch_distinct(spark, event_inbox, tmp_path):
+    """dropDuplicatesWithinWatermark over an at-least-once inbox (every
+    chunk re-delivered) must yield exactly one row per event_id — the
+    same key set as batch dropDuplicates — when re-deliveries arrive
+    inside the watermark horizon."""
+    import os
+    import shutil
+    import time
+
+    from etl_process_spark.streaming.sources import dedup_stream, read_event_stream
+
+    inbox = tmp_path / "dup_inbox"
+    inbox.mkdir()
+    now = time.time()
+    # chunk_i then its duplicate re-delivery, interleaved in arrival order
+    for i, f in enumerate(sorted(os.listdir(event_inbox))):
+        for j, name in enumerate([f, f.replace(".parquet", "_redelivered.parquet")]):
+            dst = inbox / name
+            shutil.copy(os.path.join(event_inbox, f), dst)
+            os.utime(dst, (now + 10 * (2 * i + j),) * 2)
+
+    stream = read_event_stream(spark, str(inbox), max_files_per_trigger=1)
+    # 60-day watermark > the events table's full span: no state expires,
+    # so every re-delivery is inside the horizon -> exact global dedup
+    got = _run_stream(
+        spark,
+        dedup_stream(stream, ["event_id"], watermark="60 days"),
+        tmp_path,
+        "dedup",
+    )
+    ev = tbl(spark, SF_DIR, "events")
+    assert got.count() == got.select("event_id").distinct().count()
+    got_keys = {r[0] for r in got.select("event_id").collect()}
+    exp_keys = {r[0] for r in ev.select("event_id").distinct().collect()}
+    assert got_keys == exp_keys
