@@ -504,3 +504,77 @@ def quality_filter_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         & avg_len.between(2.0, 12.0)
         & (stop_ratio >= 0.01)
     ).select("doc_id")
+
+
+@query(
+    "training_corpus_prep",
+    f"""
+    WITH q AS (
+      SELECT doc_id, toks,
+             len(toks) AS n_tokens,
+             CAST(list_sum([length(t) for t in toks]) AS DOUBLE) / len(toks)
+                 AS avg_len,
+             CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','is')))
+                  AS DOUBLE) / len(toks) AS stop_ratio
+      FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+    ),
+    kept AS (
+      SELECT * FROM q
+      WHERE n_tokens BETWEEN 8 AND 100000
+        AND avg_len BETWEEN 2.0 AND 12.0
+        AND stop_ratio >= 0.01
+    ),
+    fp AS (
+      SELECT doc_id, md5(array_to_string(toks, ' ')) AS f, n_tokens, toks
+      FROM kept
+    ),
+    keep1 AS (
+      SELECT f, min(doc_id) AS doc_id, count(*) AS n_copies
+      FROM fp GROUP BY f
+    ),
+    lang AS (
+      SELECT doc_id,
+             len(list_filter(toks, t -> t IN ('the','a','of','and','is'))) AS s_en,
+             len(list_filter(toks, t -> t IN ('le','la','les','et','est'))) AS s_fr,
+             len(list_filter(toks, t -> t IN ('der','die','das','und','ist'))) AS s_de,
+             len(list_filter(toks, t -> t IN ('el','la','los','y','es'))) AS s_es,
+             n_tokens
+      FROM fp
+    )
+    SELECT k.doc_id, k.n_copies, l.n_tokens,
+           CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+                WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+                WHEN s_es >= s_fr THEN 'es'
+                ELSE 'fr' END AS lang_pred
+    FROM keep1 k JOIN lang l ON k.doc_id = l.doc_id
+    """,
+)
+def training_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data prep pipeline in one plan: Gopher-style
+    quality filter (zero-shuffle map stage) → exact dedup keep-smallest
+    per fingerprint (one hash-agg shuffle on 16-byte digests) → join the
+    keeper's stats back (shuffle on doc_id) → per-doc token count +
+    language tag. One scan of the corpus; the only wide stages carry
+    hashes and ids, never text — the layout that survives 100 TB.
+    Each stage is individually oracle-checked elsewhere; this query
+    proves they COMPOSE without semantic drift."""
+    docs = tbl(spark, sf_dir, "documents")
+    feats = docs.select(
+        "doc_id",
+        F.col("text"),
+        tx.token_count_ws(F.col("text")).alias("n_tokens"),
+        tx.avg_token_len(F.col("text")).alias("avg_len"),
+        tx.stopword_ratio(F.col("text")).alias("stop_ratio"),
+        tx.fingerprint(F.col("text")).alias("f"),
+        tx.lang_id(F.col("text")).alias("lang_pred"),
+    ).filter(
+        F.col("n_tokens").between(8, 100000)
+        & (F.col("avg_len").cast("double").between(2.0, 12.0))
+        & (F.col("stop_ratio").cast("double") >= 0.01)
+    )
+    keep1 = feats.groupBy("f").agg(
+        F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_copies")
+    )
+    return keep1.join(
+        feats.select("doc_id", "n_tokens", "lang_pred"), "doc_id"
+    ).select("doc_id", "n_copies", "n_tokens", "lang_pred")
