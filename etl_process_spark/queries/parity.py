@@ -743,3 +743,69 @@ def order_price_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return od.select(
         "o_orderkey", "o_orderstatus", F.ntile(4).over(w).alias("price_quartile")
     )
+
+
+@query(
+    "forward_fill_user_values",
+    """
+    SELECT event_id, user_id, ts,
+           CAST(last_value(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS filled_value
+    FROM (
+      SELECT event_id, user_id, ts,
+             CASE WHEN event_type = 'view' THEN NULL ELSE value END AS v
+      FROM events
+    )
+    """,
+)
+def forward_fill_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill (last observation carried forward): last_value IGNORE
+    NULLS over a running frame — the gap-filling primitive of sensor /
+    price series. 'view' events are masked to NULL, then each row takes
+    the latest non-null value at or before it per user. Window orders by
+    the unique (ts, event_id) so both engines fill identically; one
+    shuffle on user_id."""
+    ev = tbl(spark, sf_dir, "events")
+    masked = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_type") == "view", F.lit(None)).otherwise(
+            F.col("value")
+        ).alias("v"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return masked.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.last("v", ignorenulls=True).over(w).cast("double").alias("filled_value"),
+    )
+
+
+@query(
+    "props_map_entries",
+    """
+    SELECT event_id, k AS prop_key,
+           CAST(json_extract_string(props, '$."' || k || '"') AS INTEGER)
+               AS prop_value
+    FROM (SELECT event_id, props, unnest(json_keys(props)) AS k FROM events)
+    """,
+)
+def props_map_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read of semi-structured props as a MAP (not a fixed
+    struct): from_json to map<string,string>, exploded to one row per
+    entry — the path for payloads whose key set isn't known at plan
+    time. All JVM-side (from_json + generator); the oracle walks the
+    same JSON with json_keys + unnest."""
+    ev = tbl(spark, sf_dir, "events")
+    m = F.from_json(F.col("props"), "map<string,string>")
+    return ev.select(
+        "event_id", F.explode(m).alias("prop_key", "prop_value")
+    ).withColumn("prop_value", F.col("prop_value").cast("int"))
