@@ -623,3 +623,35 @@ def order_price_rank_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pr"),
         F.round(F.cume_dist().over(w), 6).alias("cd"),
     )
+
+
+@query(
+    "priciest_order_per_customer",
+    """
+    SELECT o_custkey,
+           arg_max(o_orderkey,
+                   CAST(round(o_totalprice * 100) AS BIGINT) * 1000000000
+                   + o_orderkey) AS top_orderkey,
+           CAST(max(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+               AS top_totalprice
+    FROM orders
+    GROUP BY o_custkey
+    """,
+)
+def priciest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by / arg_max — the "row for the max" aggregate, the single-
+    shuffle alternative to a row_number window for top-1-per-group.
+    Ties on price are broken by orderkey through an exact integer
+    composite (price-cents · 10⁹ + orderkey) — float ordering keys with
+    duplicate values would make the chosen row engine-dependent."""
+    orders = tbl(spark, sf_dir, "orders")
+    ordkey = (
+        F.round(F.col("o_totalprice") * 100).cast("bigint") * F.lit(1000000000)
+        + F.col("o_orderkey")
+    )
+    return orders.groupBy("o_custkey").agg(
+        F.max_by("o_orderkey", ordkey).alias("top_orderkey"),
+        F.max(F.col("o_totalprice").cast("decimal(12,2)"))
+        .cast("double")
+        .alias("top_totalprice"),
+    )
