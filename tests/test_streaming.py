@@ -320,3 +320,43 @@ def test_stream_dedup_matches_batch_distinct(spark, event_inbox, tmp_path):
     got_keys = {r[0] for r in got.select("event_id").collect()}
     exp_keys = {r[0] for r in ev.select("event_id").distinct().collect()}
     assert got_keys == exp_keys
+
+
+def test_streaming_scd2_matches_sequential_batch(spark, event_inbox, tmp_path):
+    """foreachBatch SCD2 over 3 microbatches ≡ applying the same 3
+    batches sequentially with the batch merge: identical version
+    history, plus SCD2 invariants on the result."""
+    import os
+
+    from etl_process_spark.sources.tables import TableCatalog
+    from etl_process_spark.streaming.scd2_stream import run_scd2_stream, scd2_sink
+    from etl_process_spark.streaming.sources import read_event_stream
+
+    tracked = ["event_type", "value"]
+
+    stream_cat = TableCatalog(spark, str(tmp_path / "wh_stream"))
+    stream = read_event_stream(spark, event_inbox, max_files_per_trigger=1)
+    q = run_scd2_stream(
+        stream, stream_cat, "user_profile", "user_id", tracked, "ts",
+        checkpoint=str(tmp_path / "ckpt_scd2"),
+    )
+    q.awaitTermination(300)
+
+    batch_cat = TableCatalog(spark, str(tmp_path / "wh_batch"))
+    apply_batch = scd2_sink(batch_cat, "user_profile", "user_id", tracked, "ts")
+    for i, f in enumerate(sorted(os.listdir(event_inbox))):
+        apply_batch(spark.read.parquet(os.path.join(event_inbox, f)), i)
+
+    cols = ["user_id", "event_type", "value", "effective_from", "effective_to", "deleted_flg"]
+    got = _canon(stream_cat.read("user_profile"), cols)
+    exp = _canon(batch_cat.read("user_profile"), cols)
+    assert got == exp
+    assert len(got) > 0
+
+    # invariants: exactly one open version per key; histories may have
+    # multiple versions for users whose latest event changed across chunks
+    dim = stream_cat.read("user_profile")
+    n_users = dim.select("user_id").distinct().count()
+    open_versions = dim.filter(F.col("effective_to") == "9999-12-31 00:00:00")
+    assert open_versions.count() == n_users
+    assert dim.count() > n_users  # at least one user evolved
