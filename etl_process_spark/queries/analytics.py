@@ -655,3 +655,63 @@ def priciest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("top_totalprice"),
     )
+
+
+@query(
+    "resampled_user_values",
+    """
+    WITH obs AS (
+      SELECT user_id, ts,
+             CAST(avg(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS v
+      FROM events
+      GROUP BY user_id, ts
+    ),
+    b AS (
+      SELECT user_id, date_trunc('day', min(ts)) AS lo, max(ts) AS hi
+      FROM obs GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 6 HOUR)) AS ts
+      FROM b
+    ),
+    u AS (
+      SELECT user_id, ts, v, 1 AS is_obs FROM obs
+      UNION ALL
+      SELECT user_id, ts, NULL, 0 FROM grid
+    ),
+    w AS (
+      SELECT user_id, ts, is_obs,
+        last_value((CASE WHEN is_obs = 1
+                         THEN {'t': epoch_us(ts), 'v': v} END) IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY ts, is_obs DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev,
+        first_value((CASE WHEN is_obs = 1
+                          THEN {'t': epoch_us(ts), 'v': v} END) IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY ts, is_obs DESC
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nxt
+      FROM u
+    )
+    SELECT user_id, ts AS grid_ts,
+           round(CASE
+                   WHEN prev IS NOT NULL AND prev.t = epoch_us(ts) THEN prev.v
+                   WHEN prev IS NULL OR nxt IS NULL THEN NULL
+                   WHEN nxt.t = prev.t THEN prev.v
+                   ELSE prev.v + (nxt.v - prev.v)
+                        * (CAST(epoch_us(ts) - prev.t AS DOUBLE)
+                           / (nxt.t - prev.t))
+                 END, 6) AS value_interp
+    FROM w WHERE is_obs = 0
+    """,
+)
+def resampled_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample each user's irregular event values onto a 6-hour grid
+    with linear interpolation (operators/timeseries.py): ONE shuffle —
+    grid rows are unioned into the stream and both surrounding
+    observations recovered by frame-bounded window functions over a
+    single sort. The oracle mirrors the same union-window construction,
+    pinning boundary semantics (NULL before first observation,
+    exact-hit grid points take the observation value)."""
+    from etl_process_spark.operators.timeseries import resample_interpolate
+
+    ev = tbl(spark, sf_dir, "events")
+    return resample_interpolate(ev, "user_id", "ts", F.col("value"), step="6 hours")
