@@ -205,3 +205,19 @@ def test_sorted_layout_enables_stats_pruning(spark, tmp_path):
         (F.col("l_shipdate") >= "1997-03-01") & (F.col("l_shipdate") < "1997-04-01")
     ).count()
     assert pruned.count() == expected > 0
+
+
+def test_new_query_plan_budgets(spark):
+    """Shuffle budgets for the newest operators: the resample pipeline
+    stays within its designed 4 exchanges (obs agg, bounds agg, union
+    window — plus input spread), and the heavy-hitter verify phase joins
+    its candidate set by broadcast, never a shuffle join."""
+    df = _df(spark, "resampled_user_values")
+    assert exchange_count(df) <= 4, plan_summary(df)
+
+    # broadcast is the load-bearing property: the fact table is never
+    # shuffled for the join; the ≤3 exchanges are the candidate agg, the
+    # exact-count agg (candidate keys only), and input spread
+    hh = _df(spark, "heavy_hitter_order_groups")
+    assert broadcast_join_count(hh) >= 1, plan_summary(hh)
+    assert exchange_count(hh) <= 3, plan_summary(hh)
