@@ -63,3 +63,41 @@ def salted_agg(
             for fn, in_col, out in aggs
         ]
     )
+
+
+def salted_join(
+    large: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt_col: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: shard each hot key across ``n_salts`` lanes.
+
+    AQE splits skewed SORT-MERGE partitions at runtime, but only at
+    shuffle-block granularity and only for supported join types; this is
+    the explicit, planner-independent form. The LARGE side gets a
+    deterministic lane from a row-identity column (crc32, never rand()
+    — retries and re-runs land in the same lane); the SMALL side is
+    replicated ×``n_salts`` (explode over a literal lane array), so
+    every (key, lane) pair finds its match. Results are EXACTLY the
+    plain join's — salting changes physical distribution only.
+
+    Replication multiplies the small side's shuffle volume by
+    ``n_salts``: use for dimension-vs-skewed-fact joins where the dim is
+    too big to broadcast outright but ``n_salts × |dim|`` still shuffles
+    comfortably. ``how`` supports inner/left (left_anti and left_semi
+    would double-count lanes; use the plain join for those).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    clash = (set(large.columns) & set(small.columns)) - {key}
+    if clash:
+        raise ValueError(f"column clash outside the join key: {sorted(clash)}")
+    lane = (F.crc32(F.col(salt_col).cast("string")) % n_salts).cast("int")
+    lanes = F.array(*[F.lit(i) for i in range(n_salts)])
+    l = large.withColumn("__lane", lane)
+    s = small.withColumn("__lane", F.explode(lanes))
+    out = l.join(s, [key, "__lane"], how).drop("__lane")
+    return out

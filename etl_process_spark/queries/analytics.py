@@ -715,3 +715,36 @@ def resampled_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = tbl(spark, sf_dir, "events")
     return resample_interpolate(ev, "user_id", "ts", F.col("value"), step="6 hours")
+
+
+@query(
+    "salted_hot_key_join",
+    """
+    SELECT l.l_orderkey, l.l_linenumber, s.s_name
+    FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    """,
+)
+def salted_hot_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe salted join (operators/skew.py::salted_join): the fact
+    side's hot keys are sharded across 8 deterministic lanes and the
+    dimension replicated ×8, so no reducer owns a whole hot key — the
+    explicit fallback when a dim is too big to broadcast and AQE's
+    skew splitting doesn't apply. The oracle is the PLAIN join: salting
+    must change distribution only, never results."""
+    from etl_process_spark.operators.skew import salted_join
+
+    li = (
+        tbl(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", F.col("l_suppkey").alias("suppkey"))
+        .withColumn(
+            "__rid",
+            F.col("l_orderkey") * F.lit(10000) + F.col("l_linenumber"),
+        )
+    )
+    sup = tbl(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("suppkey"), "s_name"
+    )
+    return (
+        salted_join(li, sup, "suppkey", salt_col="__rid", n_salts=8)
+        .select("l_orderkey", "l_linenumber", "s_name")
+    )

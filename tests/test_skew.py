@@ -35,3 +35,24 @@ def test_salt_lanes_are_deterministic(spark):
     a = salted_agg(df, ["k"], [("count", "id", "n")], salt_col="id").first()
     b = salted_agg(df, ["k"], [("count", "id", "n")], salt_col="id").first()
     assert a == b and a["n"] == 100
+
+
+def test_salted_join_equals_plain_join(spark):
+    """salted_join ≡ plain join for inner and left, including unmatched
+    left rows and a hot key owning most of the input."""
+    from etl_process_spark.operators.skew import salted_join
+
+    large = spark.createDataFrame(
+        [(i, 7 if i % 10 else i % 5, float(i)) for i in range(2000)],
+        "row_id long, k long, v double",
+    ).repartition(8)
+    small = spark.createDataFrame(
+        [(k, f"dim_{k}") for k in range(9)], "k long, label string"
+    )
+    for how in ("inner", "left"):
+        got = salted_join(large, small, "k", salt_col="row_id", n_salts=8, how=how)
+        exp = large.join(small, "k", how)
+        cols = sorted(got.columns)
+        assert sorted(map(tuple, got.select(*cols).collect())) == sorted(
+            map(tuple, exp.select(*cols).collect())
+        ), how
