@@ -748,3 +748,54 @@ def salted_hot_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         salted_join(li, sup, "suppkey", salt_col="__rid", n_salts=8)
         .select("l_orderkey", "l_linenumber", "s_name")
     )
+
+
+@query(
+    "sole_failing_supplier_per_order",
+    """
+    SELECT s.s_name, count(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey AND l1.l_returnflag = 'R'
+    WHERE EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s.s_name
+    """,
+)
+def sole_failing_supplier_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: correlated EXISTS + NOT EXISTS with an
+    inequality correlation (same order, DIFFERENT supplier), decorrelated
+    into a semi-join then an anti-join on (orderkey, suppkey≠) — returned
+    line items where other suppliers shared the order but none of THEM
+    had a return. Both probe joins shuffle on l_orderkey (one key reuse);
+    the supplier name attach is a broadcast."""
+    li = tbl(spark, sf_dir, "lineitem")
+    l1 = li.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_suppkey"
+    ).alias("l1")
+    l2 = li.select("l_orderkey", "l_suppkey", "l_returnflag").alias("l2")
+    multi = l1.join(
+        l2,
+        (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+        "left_semi",
+    )
+    l3 = li.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_suppkey"
+    ).alias("l3")
+    sole = multi.alias("m").join(
+        l3,
+        (F.col("m.l_orderkey") == F.col("l3.l_orderkey"))
+        & (F.col("m.l_suppkey") != F.col("l3.l_suppkey")),
+        "left_anti",
+    )
+    sup = F.broadcast(tbl(spark, sf_dir, "supplier"))
+    return (
+        sole.join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )

@@ -108,3 +108,26 @@ def test_catalog_time_travel_and_vacuum(spark, tmp_path):
 
     with _pytest.raises(FileNotFoundError, match="no version 0"):
         cat.read_version("dim", 0)
+
+
+def test_observed_metrics_ride_the_action(spark, tmp_path):
+    """observe() metrics (row count, null counts, watermark bounds) must
+    be available after a single write action — no second scan."""
+    import datetime as dt
+
+    from etl_process_spark.pipeline.quality import observed
+
+    rows = [
+        (1, "a", dt.datetime(2024, 1, 1)),
+        (2, None, dt.datetime(2024, 1, 3)),
+        (3, "c", None),
+    ]
+    df = spark.createDataFrame(rows, "id long, name string, update_dt timestamp")
+    df2, obs = observed(df, null_check_cols=["name", "update_dt"], watermark_col="update_dt")
+    df2.write.mode("overwrite").parquet(str(tmp_path / "out"))
+    got = obs.get
+    assert got["n_rows"] == 3
+    assert got["n_nulls_name"] == 1
+    assert got["n_nulls_update_dt"] == 1
+    assert got["wm_max"] == dt.datetime(2024, 1, 3)
+    assert got["wm_min"] == dt.datetime(2024, 1, 1)
