@@ -799,3 +799,73 @@ def sole_failing_supplier_per_order(spark: SparkSession, sf_dir: str) -> DataFra
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+
+
+@query(
+    "price_moments_exact",
+    """
+    WITH s AS (
+      SELECT l_returnflag,
+             count(*) AS n,
+             sum(CAST(l_extendedprice AS DECIMAL(19,4))) AS sx,
+             sum(CAST(l_extendedprice AS DECIMAL(19,4))
+                 * CAST(l_extendedprice AS DECIMAL(19,4))) AS sxx,
+             sum(CAST(l_discount AS DECIMAL(8,4))) AS sy,
+             sum(CAST(l_discount AS DECIMAL(8,4))
+                 * CAST(l_discount AS DECIMAL(8,4))) AS syy,
+             sum(CAST(l_extendedprice AS DECIMAL(19,4))
+                 * CAST(l_discount AS DECIMAL(8,4))) AS sxy
+      FROM lineitem
+      GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           round(CAST(sx AS DOUBLE) / n, 6) AS price_mean,
+           round((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+                 / (n - 1), 6) AS price_var,
+           round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+                 6) AS price_discount_corr
+    FROM s
+    """,
+)
+def price_moments_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical moments (mean / sample variance / correlation) computed
+    EXACTLY: built-in var_samp/corr stream floating-point partials whose
+    merge order varies per run and per engine, so this query derives the
+    moments from exact decimal power sums (Σx, Σx², Σxy — algebraic, so
+    map-side combine still applies) and converts to double only at the
+    end. One shuffle, bit-identical across engines AND across re-runs —
+    the form to use when a metric feeds a regression test or a drift
+    alarm. (Dialect corner: the oracle casts prices to DECIMAL(19,4) —
+    DuckDB clamps a (12,4)×(12,4) product to int64-backed DECIMAL(18,8),
+    which overflows; pushing precision past 18 forces int128. Spark's
+    (12,4) product is DECIMAL(25,8), exact either way.)"""
+    li = tbl(spark, sf_dir, "lineitem")
+    x = F.col("l_extendedprice").cast("decimal(12,4)")
+    y = F.col("l_discount").cast("decimal(8,4)")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y).alias("sy"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    n = F.col("n")
+    sx = F.col("sx").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sy = F.col("sy").cast("double")
+    syy = F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.round(sx / n, 6).alias("price_mean"),
+        F.round((sxx - sx * sx / n) / (n - 1), 6).alias("price_var"),
+        F.round(
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)),
+            6,
+        ).alias("price_discount_corr"),
+    )
