@@ -42,14 +42,14 @@ def decode_image(content: bytes) -> dict:
                 "width": img.width,
                 "height": img.height,
                 "channels": len(img.getbands()),
-                "mean_luma": round(float(arr.mean()) / 255.0, 6),
+                "mean_luma": _round6_half_up(float(arr.mean()) / 255.0),
             }
     h = hashlib.md5(content).hexdigest()
     return {
         "width": 16 + int(h[0:2], 16),
         "height": 16 + int(h[2:4], 16),
         "channels": 1 + int(h[4], 16) % 3,
-        "mean_luma": round(int(h[6:8], 16) / 255.0, 6),
+        "mean_luma": _round6_half_up(int(h[6:8], 16) / 255.0),
     }
 
 
@@ -72,6 +72,19 @@ def resize_image(content: bytes, width: int, height: int) -> bytes:
     return b"FAKERESIZE:%dx%d:" % (width, height) + content
 
 
+def _round6_half_up(x: float) -> float:
+    """round(x, 6) with ties AWAY from zero (x >= 0), matching SQL round.
+
+    Python/numpy round half-to-even, but both DuckDB and Spark round
+    doubles half-away-from-zero. mean_amp is an integer sum divided by a
+    power-of-two sample count, so exact 6-decimal ties (…0625 → …063)
+    genuinely occur and the two conventions diverge on real data.
+    """
+    import math
+
+    return math.floor(x * 1e6 + 0.5) / 1e6
+
+
 def decode_audio(content: bytes) -> dict:
     """Audio features from raw bytes treated as unsigned 8-bit PCM.
 
@@ -86,8 +99,8 @@ def decode_audio(content: bytes) -> dict:
     centered = samples - 128.0
     return {
         "n_samples": int(samples.size),
-        "mean_amp": round(float(np.abs(centered).mean()), 6),
-        "rms": round(float(np.sqrt((centered**2).mean())), 6),
+        "mean_amp": _round6_half_up(float(np.abs(centered).mean())),
+        "rms": _round6_half_up(float(np.sqrt((centered**2).mean()))),
     }
 
 

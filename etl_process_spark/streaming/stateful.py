@@ -29,6 +29,15 @@ SESSION_SCHEMA = (
 _STATE_SCHEMA = "session_start long, last_ts long, n_events long, total_value double"
 
 
+def _round2_half_up(x: float) -> float:
+    """round(x, 2) with ties away from zero (x >= 0) — matches the batch
+    twin's JVM F.round; Python's round() is half-to-even and would
+    diverge on an exact tie."""
+    import math
+
+    return math.floor(x * 100 + 0.5) / 100
+
+
 def _emit(user_id: Any, ss: int, lt: int, n: int, tv: float, gap_us: int) -> pd.DataFrame:
     return pd.DataFrame(
         {
@@ -36,7 +45,7 @@ def _emit(user_id: Any, ss: int, lt: int, n: int, tv: float, gap_us: int) -> pd.
             "session_start": [pd.Timestamp(ss, unit="us")],
             "session_end": [pd.Timestamp(lt + gap_us, unit="us")],
             "n_events": [n],
-            "total_value": [round(tv, 2)],
+            "total_value": [_round2_half_up(tv)],
         }
     )
 

@@ -221,3 +221,29 @@ def test_new_query_plan_budgets(spark):
     hh = _df(spark, "heavy_hitter_order_groups")
     assert broadcast_join_count(hh) >= 1, plan_summary(hh)
     assert exchange_count(hh) <= 3, plan_summary(hh)
+
+
+def test_join_strategy_hints_change_plan_not_results(spark):
+    """Physical-strategy control: the same logical join planned as
+    sort-merge (default, spill-safe) and as shuffle-hash (no sort, wins
+    when one side is much smaller but above the broadcast threshold)
+    must produce identical rows — the engine's knob for tuning a 100 TB
+    join without touching its semantics."""
+    from etl_process_spark.plans.audit import explain_str
+    from etl_process_spark.queries.registry import tbl
+
+    li = tbl(spark, SF_DIR, "lineitem").select("l_orderkey", "l_extendedprice")
+    od = tbl(spark, SF_DIR, "orders").select("o_orderkey", "o_orderpriority")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        smj = li.join(od, li.l_orderkey == od.o_orderkey)
+        shj = li.join(od.hint("shuffle_hash"), li.l_orderkey == od.o_orderkey)
+        assert "SortMergeJoin" in explain_str(smj)
+        assert "ShuffledHashJoin" in explain_str(shj)
+        cols = sorted(smj.columns)
+        assert sorted(map(tuple, smj.select(*cols).collect())) == sorted(
+            map(tuple, shj.select(*cols).collect())
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
