@@ -247,3 +247,45 @@ def test_join_strategy_hints_change_plan_not_results(spark):
         )
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_zorder_layout_prunes_on_both_dimensions(spark, tmp_path):
+    """Z-order clustering: with files range-partitioned on the Morton
+    key, a small 2-D box predicate draws rows from a minority of files —
+    on BOTH dimensions — where a 1-D sorted layout only prunes its own
+    sort column and reads everything for the other."""
+    from etl_process_spark.operators.zorder import zorder_key
+    from etl_process_spark.queries.registry import tbl
+    from etl_process_spark.sources.tables import TableCatalog
+
+    n_files = 16
+    df = (
+        spark.range(64 * 64)
+        .select(
+            (F.col("id") % 64).alias("x"),
+            (F.col("id") / 64).cast("long").alias("y"),
+        )
+        .withColumn("z", zorder_key(F.col("x"), F.col("y"), bits=6))
+    )
+    cat = TableCatalog(spark, str(tmp_path / "wh"))
+    cat.write_sorted("z_tbl", df, ["z"], n_files=n_files)
+    cat.write_sorted("x_tbl", df, ["x"], n_files=n_files)
+
+    def files_touched(name, pred):
+        d = cat.read(name).filter(pred)
+        return d.select(F.input_file_name()).distinct().count()
+
+    box = (F.col("x") >= 8) & (F.col("x") < 16) & (F.col("y") >= 8) & (F.col("y") < 16)
+    y_band = (F.col("y") >= 8) & (F.col("y") < 16)
+
+    # a 1/64-area box: Z-layout confines it to few files
+    assert files_touched("z_tbl", box) <= 4
+    # y-only predicate: x-sorted layout reads EVERY file; Z-layout skips
+    assert files_touched("x_tbl", y_band) == n_files
+    assert files_touched("z_tbl", y_band) <= n_files // 2
+    # correctness unchanged by layout
+    assert (
+        cat.read("z_tbl").filter(box).count()
+        == cat.read("x_tbl").filter(box).count()
+        == 64
+    )
