@@ -65,3 +65,33 @@ def test_multi_key_and_threshold_boundary(spark):
         for r in heavy_hitters(df, ["k1", "k2"], 0.3, capacity=2).collect()
     }
     assert got6 == {("a", "x", 10)}
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@given(
+    data=st.lists(st.integers(0, 12), min_size=1, max_size=200),
+    min_frac=st.sampled_from([0.05, 0.1, 0.25, 0.5]),
+    capacity=st.sampled_from([1, 3, 30]),
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_heavy_hitters_property(spark, data, min_frac, capacity):
+    """Random multisets: heavy_hitters == exact GROUP BY ... HAVING for
+    every (data, threshold, capacity) combination — including capacities
+    below the completeness floor, which must be clamped, not wrong."""
+    df = spark.createDataFrame([(v,) for v in data], "k long").repartition(4)
+    got = {
+        (r["k"], r["cnt"])
+        for r in heavy_hitters(df, ["k"], min_frac, capacity=capacity).collect()
+    }
+    thr = math.ceil(min_frac * len(data))
+    from collections import Counter
+
+    exp = {(k, c) for k, c in Counter(data).items() if c >= thr}
+    assert got == exp
