@@ -102,10 +102,13 @@ def _large_star(edges: DataFrame) -> DataFrame:
     sym = edges.unionByName(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
     )
-    with_self = sym.unionByName(
-        sym.select(F.col("a"), F.col("a").alias("b")).distinct()
+    # min(Γ⁺(u)) = least(min(Γ(u)), u) — folding the self-edge into the
+    # aggregate saves a union+distinct shuffle every round
+    m = (
+        sym.groupBy("a")
+        .agg(F.min("b").alias("mb"))
+        .select("a", F.least(F.col("mb"), F.col("a")).alias("m"))
     )
-    m = with_self.groupBy("a").agg(F.min("b").alias("m"))
     return (
         sym.join(m, "a")
         .filter(F.col("b") > F.col("a"))
