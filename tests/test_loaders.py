@@ -244,3 +244,50 @@ def test_read_excel_stdlib_parser(spark, tmp_path):
     assert [r[0] for r in other.collect()] == ["T1"]
     with _pytest.raises(ValueError, match="not found"):
         read_excel(spark, path, "nope", [])
+
+
+def test_terminals_xlsx_snapshot_scd2_flow(spark, tmp_path):
+    """The reference's terminals flow end-to-end with REAL xlsx input
+    (terminals.py:50-194): daily full-snapshot workbooks -> staged
+    strings -> SCD2 merge with effective_from = file date and staged
+    keys as the delete snapshot. Day 2 changes T1's city, drops T2,
+    adds T3 — the history must show the -1 s close, the tombstone, and
+    the new key."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from etl_process_spark.operators.scd2 import scd2_init, scd2_merge
+    from etl_process_spark.sources.readers import read_excel
+
+    def snapshot(name, rows):
+        path = str(tmp_path / name)
+        _write_xlsx(path, {"terminals": [["terminal_id", "city"]] + rows})
+        return path
+
+    d1 = snapshot("terminals_01012024.xlsx", [["T1", "Moscow"], ["T2", "Kazan"]])
+    d2 = snapshot("terminals_02012024.xlsx", [["T1", "Tver"], ["T3", "Omsk"]])
+
+    s1 = read_excel(spark, d1, "terminals", ["terminal_id", "city"])
+    dim = scd2_init(s1, "terminal_id", ["city"], F.lit("2024-01-01 00:00:00"))
+    s2 = read_excel(spark, d2, "terminals", ["terminal_id", "city"])
+    dim = scd2_merge(
+        dim, s2, "terminal_id", ["city"],
+        new_effective_from=F.lit("2024-01-02 00:00:00"),
+        changed_effective_from=F.lit("2024-01-02 00:00:00"),
+        source_keys=s2,
+        clock="2024-01-02 00:00:00",
+    )
+    rows = {
+        (r["terminal_id"], r["city"], str(r["effective_from"]),
+         str(r["effective_to"]), r["deleted_flg"])
+        for r in dim.collect()
+    }
+    inf = "9999-12-31 00:00:00"
+    close = "2024-01-01 23:59:59"  # day2 - 1 second (F8)
+    assert ("T1", "Moscow", "2024-01-01 00:00:00", close, "N") in rows
+    assert ("T1", "Tver", "2024-01-02 00:00:00", inf, "N") in rows
+    assert ("T3", "Omsk", "2024-01-02 00:00:00", inf, "N") in rows
+    tomb = [r for r in rows if r[0] == "T2" and r[4] == "Y"]
+    assert len(tomb) == 1 and tomb[0][3] == inf
+    assert ("T2", "Kazan", "2024-01-01 00:00:00", close, "N") in rows
