@@ -289,3 +289,39 @@ def test_zorder_layout_prunes_on_both_dimensions(spark, tmp_path):
         == cat.read("x_tbl").filter(box).count()
         == 64
     )
+
+
+def test_aqe_splits_skewed_join_partition_at_runtime(spark):
+    """AQE skew-join handling, demonstrated at runtime: a sort-merge join
+    where one key owns ~90% of the fact side gets its oversized shuffle
+    partition split (`skew=true` in the final adaptive plan) — the
+    built-in complement to operators/skew.py's explicit salting, and the
+    reason a hot key can't strand a 100 TB join on one reducer."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.shuffle.partitions": "8",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        big = spark.range(400_000).select(
+            F.when(F.col("id") % 10 != 0, F.lit(7)).otherwise(F.col("id") % 97).alias("k"),
+            F.concat(F.lit("x" * 60), F.col("id").cast("string")).alias("payload"),
+        )
+        small = spark.range(100).select(F.col("id").alias("k"), F.col("id").alias("v"))
+        j = big.join(small, "k")
+        assert len(j.collect()) == 400_000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert plan.count("skew=true") >= 1, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
