@@ -408,3 +408,34 @@ def test_checkpoint_restart_is_exactly_once(spark, event_inbox, tmp_path):
     # exactly-once across the restart: every row lands once, none twice
     assert got2.count() == sum(counts.values())
     assert got2.select("event_id").distinct().count() == got2.count()
+
+
+def test_stateful_query_on_rocksdb_state_store(spark, event_inbox, tmp_path):
+    """The same stateful query (streaming dedup) on the RocksDB state
+    store provider — the production configuration when state exceeds
+    executor heap (state lives off-heap/on-disk with incremental
+    checkpoints). Results must be identical to the default provider."""
+    from etl_process_spark.streaming.sources import dedup_stream, read_event_stream
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    saved = spark.conf.get(key, None)
+    try:
+        spark.conf.set(
+            key,
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+        stream = read_event_stream(spark, event_inbox, max_files_per_trigger=1)
+        got = _run_stream(
+            spark,
+            dedup_stream(stream, ["event_id"], watermark="60 days"),
+            tmp_path,
+            "dedup_rocks",
+        )
+        ev = tbl(spark, SF_DIR, "events")
+        assert got.count() == ev.select("event_id").distinct().count()
+        assert got.count() == got.select("event_id").distinct().count()
+    finally:
+        if saved is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, saved)
