@@ -325,3 +325,104 @@ def test_aqe_splits_skewed_join_partition_at_runtime(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_q19_disjunction_pushes_cnf_residue_to_both_scans(spark):
+    """brand_size_disjunction (Q19 shape): Catalyst's CNF conversion must
+    extract each side's single-table residue of the OR-of-ANDs and push it
+    into the parquet scan — the part scan gets the brand/size disjunction,
+    the lineitem scan the quantity-range disjunction. Losing this pushdown
+    means reading both tables in full at 100 TB."""
+    df = _df(spark, "brand_size_disjunction")
+    pushed = pushed_filters(df)
+    li_pushed = [p for p in pushed if "l_quantity" in p]
+    part_pushed = [p for p in pushed if "p_brand" in p]
+    assert li_pushed and "Or(" in li_pushed[0], pushed
+    assert part_pushed and "Or(" in part_pushed[0], pushed
+
+
+def test_q15_aggregate_reused_not_recomputed(spark):
+    """peak_revenue_suppliers (Q15 shape): the per-supplier revenue
+    aggregate feeds both the join and its own max; AQE must plan the
+    second consumer as a ReusedExchange so lineitem is scanned and
+    shuffled once. (Reuse requires canonically identical subplans — the
+    query states isnotnull(l_suppkey) on both consumers for exactly this
+    reason.)"""
+    df = _df(spark, "peak_revenue_suppliers")
+    df.collect()  # reuse is decided at runtime under AQE
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in final, final[:2000]
+
+
+def test_not_in_plans_null_aware_anti_join(spark):
+    """customers_outside_regions: a NOT IN subquery is NOT a plain anti
+    join (one NULL in the subquery must empty the result). Catalyst's
+    single-column specialization must plan it as a null-aware
+    BroadcastHashJoin (trailing `true` = isNullAware) — O(n) hash probes
+    instead of the naive nested loop general NOT IN would need."""
+    from etl_process_spark.plans.audit import explain_str
+
+    df = _df(spark, "customers_outside_regions")
+    simple = explain_str(df, "simple")
+    import re
+
+    assert re.search(r"BroadcastHashJoin .*LeftAnti, BuildRight, true", simple), simple
+
+
+def test_dynamic_partition_pruning_from_join_filter(spark, tmp_path):
+    """Runtime partition pruning: a selective filter on the dim side must
+    prune the partitioned fact's directories at runtime via a dynamic
+    subquery — at 100 TB this is the difference between scanning 7 years
+    and 2. The scan must carry a dynamicpruningexpression PartitionFilter,
+    and the rows read must match a static two-year filter exactly."""
+    from etl_process_spark.plans.audit import explain_str
+
+    sf = SF_DIR
+    od = spark.read.parquet(f"{sf}/orders.parquet").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    path = str(tmp_path / "orders_by_year")
+    od.write.partitionBy("o_year").parquet(path)
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [(y, "keep" if y in (1996, 1997) else "drop") for y in range(1995, 2002)],
+        "d_year int, tag string",
+    )
+    joined = fact.join(dim.filter(F.col("tag") == "keep"), fact.o_year == dim.d_year)
+    plan = explain_str(joined)
+    assert "dynamicpruningexpression" in plan, plan[:1500]
+    static = od.filter(F.col("o_year").isin(1996, 1997)).count()
+    assert joined.count() == static
+
+
+def test_bloom_filter_runtime_row_pruning(spark):
+    """Runtime row-level filtering: when a shuffle join's small side is
+    selectively filtered, the engine injects a bloom filter built from the
+    creation side into the large side's scan (might_contain on the join
+    key), discarding non-joining rows before the shuffle. Thresholds are
+    sized for clusters, so the test lowers the application-side floor to
+    demonstrate the mechanism; results must equal the unfiltered join."""
+    from etl_process_spark.plans.audit import explain_str
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+            "l_orderkey", "l_extendedprice"
+        )
+        od = spark.read.parquet(f"{SF_DIR}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        joined = li.join(od, li.l_orderkey == od.o_orderkey)
+        assert "might_contain" in explain_str(joined), "bloom filter not injected"
+        n_bloom = joined.count()
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
+    assert n_bloom == li.join(od, li.l_orderkey == od.o_orderkey).count()
