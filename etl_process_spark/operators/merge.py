@@ -1,0 +1,60 @@
+"""Keyed MERGE (SCD Type 1 upsert): update-matched / insert-new / optional
+delete, as an atomic table rewrite.
+
+The reference's correlated ``UPDATE ... FROM`` + insert pair
+(``py_scripts/cards.py:125-141`` close/replace, ``:86-102`` insert) is SCD2;
+this operator is its history-less sibling — the latest version WINS and old
+rows are simply replaced. Spark has no in-place UPDATE, so the merge is
+expressed as the union of two disjoint slices and swapped in atomically via
+the TableCatalog's versioned-pointer overwrite (write-temp-then-swap,
+SURVEY §7 "hard parts (a)").
+
+Scale shape: ONE shuffle of the target (the anti join on the merge key) +
+the source union — no window, no global sort. When the target lives in a
+bucketed layout on the key (``TableCatalog.write_bucketed``) the anti join
+plans with zero exchanges on the target side, making merge cost
+O(source + touched buckets).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from etl_process_spark.sources.tables import TableCatalog
+
+
+def merge_upsert(
+    target: DataFrame,
+    source: DataFrame,
+    key: list[str] | str,
+    delete_keys: DataFrame | None = None,
+) -> DataFrame:
+    """Return the merged table: source rows win on key collision, target
+    rows without a source match survive, keys in ``delete_keys`` drop.
+
+    Whole-row semantics (the source must carry the full schema) — the
+    MERGE every warehouse needs for dimension refresh where history is
+    not tracked. Idempotent: re-merging the same source is a no-op.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    untouched = target.join(source, keys, "left_anti")
+    merged = untouched.unionByName(source)
+    if delete_keys is not None:
+        merged = merged.join(delete_keys, keys, "left_anti")
+    return merged
+
+
+def catalog_merge(
+    cat: TableCatalog,
+    name: str,
+    source: DataFrame,
+    key: list[str] | str,
+    delete_keys: DataFrame | None = None,
+) -> None:
+    """MERGE INTO a catalog table: read current version, merge, atomic
+    pointer swap. Readers concurrently see either the old or the new
+    version, never a mix."""
+    if not cat.exists(name):
+        cat.overwrite(name, source)
+        return
+    cat.overwrite(name, merge_upsert(cat.read(name), source, key, delete_keys))

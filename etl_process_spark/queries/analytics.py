@@ -869,3 +869,55 @@ def price_moments_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("price_discount_corr"),
     )
+
+
+@query(
+    "orders_table_profile",
+    """
+    SELECT 'o_orderkey' AS col_name, count(*) - count(o_orderkey) AS n_nulls,
+           count(DISTINCT o_orderkey) AS n_distinct FROM orders
+    UNION ALL
+    SELECT 'o_custkey', count(*) - count(o_custkey), count(DISTINCT o_custkey) FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', count(*) - count(o_orderstatus), count(DISTINCT o_orderstatus) FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', count(*) - count(o_totalprice), count(DISTINCT o_totalprice) FROM orders
+    UNION ALL
+    SELECT 'o_orderdate', count(*) - count(o_orderdate), count(DISTINCT o_orderdate) FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', count(*) - count(o_orderpriority), count(DISTINCT o_orderpriority) FROM orders
+    """,
+)
+def orders_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table profiling (ANALYZE-style column statistics) in ONE pass:
+    exact null and distinct counts for every column of orders, emitted
+    long-format via stack().
+
+    The multi-distinct aggregate plans as a single Expand + aggregate
+    job — one scan of the table regardless of column count (the oracle
+    does six scans; same numbers). At 100 TB swap count_distinct for
+    approx_count_distinct to trade the expand shuffle for HLL sketches
+    (see approx_distinct_users); exact mode is the correctness anchor.
+    """
+    od = tbl(spark, sf_dir, "orders")
+    cols = [
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    ]
+    aggs = []
+    for c in cols:
+        aggs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"nn_{c}")
+        )
+        aggs.append(F.count_distinct(F.col(c)).alias(f"nd_{c}"))
+    wide = od.agg(*aggs)
+    stack_args = ", ".join(f"'{c}', nn_{c}, nd_{c}" for c in cols)
+    return wide.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) AS (col_name, n_nulls, n_distinct)"
+        )
+    )

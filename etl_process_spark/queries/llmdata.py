@@ -578,3 +578,107 @@ def training_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keep1.join(
         feats.select("doc_id", "n_tokens", "lang_pred"), "doc_id"
     ).select("doc_id", "n_copies", "n_tokens", "lang_pred")
+
+
+@query(
+    "eval_decontamination",
+    """
+    WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    grams AS (
+      SELECT doc_id,
+             list_aggregate(w[i+1:i+4], 'string_agg', ' ') AS g
+      FROM words, unnest(range(0, len(w)-3)) AS t(i)),
+    eval_grams AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0),
+    hits AS (
+      SELECT g2.doc_id, count(DISTINCT g2.g) AS n_hits
+      FROM grams g2 JOIN eval_grams e ON g2.g = e.g
+      WHERE g2.doc_id % 50 <> 0
+      GROUP BY g2.doc_id)
+    SELECT doc_id, n_hits FROM hits
+    """,
+)
+def eval_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any word
+    4-gram with a held-out eval set (here: every 50th doc stands in for
+    the benchmark).
+
+    The canonical pre-training hygiene pass (n-gram overlap against eval
+    suites). Eval n-grams are distinct-ed and BROADCAST — eval sets are
+    small by definition, so the exploded training grams are never
+    shuffled for the join; the only shuffle is the per-doc hit count.
+    Gram explosion is map-side (transform+slice over the token array,
+    all codegen); a 100 TB corpus streams through scan → explode →
+    broadcast-semi probe → partial count.
+    """
+    docs = tbl(spark, sf_dir, "documents")
+    words = docs.select("doc_id", F.split("text", " ").alias("w")).filter(
+        F.size("w") >= 4
+    )
+    grams = words.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(w)-4), i -> concat_ws(' ', slice(w, i+1, 4)))"
+            )
+        ).alias("g"),
+    )
+    eval_grams = (
+        grams.filter(F.col("doc_id") % 50 == 0).select("g").distinct()
+    )
+    return (
+        grams.filter(F.col("doc_id") % 50 != 0)
+        .join(F.broadcast(eval_grams), "g")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("g").alias("n_hits"))
+    )
+
+
+@query(
+    "doc_repetition_ratio",
+    """
+    WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    grams AS (
+      SELECT doc_id, w[i+1] || ' ' || w[i+2] AS g
+      FROM words, unnest(range(0, len(w)-1)) AS t(i)),
+    counts AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY doc_id, g),
+    tot AS (SELECT doc_id, max(c) AS top_c, sum(c) AS n_grams
+            FROM counts GROUP BY doc_id)
+    SELECT doc_id, top_c, n_grams,
+           CAST(top_c AS DOUBLE) / n_grams AS top_gram_ratio
+    FROM tot
+    """,
+)
+def doc_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition (Gopher-style quality signal): the share
+    of a document's word 2-grams taken by its single most frequent 2-gram.
+    High values mean boilerplate/looping text — a standard pre-training
+    drop rule alongside the length/stopword filters in quality_filter_keep.
+
+    Two key shuffles, both doc_id-prefixed: the (doc_id, gram) count
+    shuffle carries map-side-combined partials (far smaller than the raw
+    exploded grams), and the per-doc max/sum regroups those counts. The
+    ratio divides two exact integers in IEEE doubles — deterministic
+    across engines.
+    """
+    docs = tbl(spark, sf_dir, "documents")
+    words = docs.select("doc_id", F.split("text", " ").alias("w")).filter(
+        F.size("w") >= 2
+    )
+    grams = words.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(w)-2), i -> concat_ws(' ', slice(w, i+1, 2)))"
+            )
+        ).alias("g"),
+    )
+    counts = grams.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+    tot = counts.groupBy("doc_id").agg(
+        F.max("c").alias("top_c"), F.sum("c").alias("n_grams")
+    )
+    return tot.select(
+        "doc_id",
+        "top_c",
+        "n_grams",
+        (F.col("top_c").cast("double") / F.col("n_grams")).alias("top_gram_ratio"),
+    )

@@ -25,6 +25,7 @@ from etl_process_spark.streaming.stateful import (  # noqa: F401
     sessionize_stream,
 )
 from etl_process_spark.streaming.joins import (  # noqa: F401
+    enrich_stream,
     time_bounded_join_batch,
     time_bounded_join_stream,
 )

@@ -88,3 +88,22 @@ def time_bounded_join_batch(
         + [F.col(f"r.{c}").alias(c) for c in right.columns if c != key]
     )
     return l.join(r, cond, how).select(*out_cols)
+
+
+def enrich_stream(stream: DataFrame, dim: DataFrame, key: str, how: str = "left") -> DataFrame:
+    """Stream-static enrichment join — the streaming sibling of the
+    reference report's dimension joins (``py_scripts/report.py:42-47``).
+
+    Each micro-batch joins against the CURRENT snapshot of the static
+    side: the join is stateless (nothing buffered between batches, no
+    watermark required), so it runs forever at O(batch) cost. The static
+    side is broadcast — at production scale the dim is the small side by
+    construction; if it outgrows broadcast, swap the hint for a bucketed
+    layout.
+
+    Because the static side is re-resolved per micro-batch, an external
+    process can atomically replace the dim (TableCatalog pointer swap)
+    and in-flight streams pick up the new version on the next batch —
+    the streaming analog of SCD2 "current version" semantics.
+    """
+    return stream.join(F.broadcast(dim), key, how)

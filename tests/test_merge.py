@@ -1,0 +1,59 @@
+"""SCD1 merge_upsert: update / insert / delete slices, idempotence, and
+catalog atomicity."""
+
+from __future__ import annotations
+
+from etl_process_spark.operators.merge import catalog_merge, merge_upsert
+from etl_process_spark.sources.tables import TableCatalog
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_merge_updates_inserts_and_deletes(spark):
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "id long, name string, v double"
+    )
+    source = spark.createDataFrame(
+        [(2, "b2", 21.0), (4, "d", 40.0)], "id long, name string, v double"
+    )
+    deletes = spark.createDataFrame([(3,)], "id long")
+    merged = merge_upsert(target, source, "id", delete_keys=deletes)
+    assert _rows(merged) == [
+        (1, "a", 10.0),   # untouched
+        (2, "b2", 21.0),  # updated (source wins)
+        (4, "d", 40.0),   # inserted
+    ]  # id=3 deleted
+
+
+def test_merge_is_idempotent(spark):
+    target = spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string")
+    source = spark.createDataFrame([(2, "b2"), (3, "c")], "id long, name string")
+    once = merge_upsert(target, source, "id")
+    twice = merge_upsert(once, source, "id")
+    assert _rows(once) == _rows(twice)
+
+
+def test_merge_multi_column_key(spark):
+    target = spark.createDataFrame(
+        [(1, "x", 1.0), (1, "y", 2.0)], "id long, sub string, v double"
+    )
+    source = spark.createDataFrame([(1, "y", 9.0)], "id long, sub string, v double")
+    merged = merge_upsert(target, source, ["id", "sub"])
+    assert _rows(merged) == [(1, "x", 1.0), (1, "y", 9.0)]
+
+
+def test_catalog_merge_swaps_versions_atomically(spark, tmp_path):
+    cat = TableCatalog(spark, str(tmp_path / "wh"))
+    v1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string")
+    catalog_merge(cat, "dim", v1, "id")  # bootstrap
+    assert len(cat.versions("dim")) == 1
+    catalog_merge(
+        cat, "dim", spark.createDataFrame([(2, "b2")], "id long, name string"), "id"
+    )
+    assert _rows(cat.read("dim")) == [(1, "a"), (2, "b2")]
+    # previous version still readable (time travel), new version is current
+    versions = cat.versions("dim")
+    assert len(versions) == 2
+    assert _rows(cat.read_version("dim", versions[0])) == [(1, "a"), (2, "b")]

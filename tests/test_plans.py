@@ -426,3 +426,25 @@ def test_bloom_filter_runtime_row_pruning(spark):
         for k, v in prev.items():
             spark.conf.set(k, v)
     assert n_bloom == li.join(od, li.l_orderkey == od.o_orderkey).count()
+
+
+def test_catalog_append_with_schema_evolution(spark, tmp_path):
+    """Warehouse tables evolve: a later batch may carry a new column.
+    Appending it and reading with mergeSchema must surface the union
+    schema, with NULLs for old rows — no rewrite of existing files (the
+    only affordable semantics at 100 TB)."""
+    from etl_process_spark.sources.tables import TableCatalog
+
+    cat = TableCatalog(spark, str(tmp_path / "wh"))
+    v1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string")
+    cat.overwrite("dim", v1)
+    v2 = spark.createDataFrame(
+        [(3, "c", "extra")], "id long, name string, note string"
+    )
+    cat.append("dim", v2)
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        cat._current_dir("dim")
+    )
+    assert set(merged.columns) == {"id", "name", "note"}
+    rows = {r["id"]: r["note"] for r in merged.collect()}
+    assert rows == {1: None, 2: None, 3: "extra"}

@@ -439,3 +439,32 @@ def test_stateful_query_on_rocksdb_state_store(spark, event_inbox, tmp_path):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, saved)
+
+
+def test_stream_static_enrichment_matches_batch(spark, event_inbox, tmp_path):
+    """Stream-static join: every micro-batch enriched against the same
+    static dim must equal the one-shot batch join — stateless, so append
+    mode emits every row immediately (no watermark holdback)."""
+    from etl_process_spark.streaming.joins import enrich_stream
+
+    dim = spark.createDataFrame(
+        [("click", "interactive"), ("view", "passive"), ("purchase", "revenue")],
+        "event_type string, label string",
+    )
+    stream = read_event_stream(spark, event_inbox, max_files_per_trigger=1)
+    got = _run_stream(
+        spark,
+        enrich_stream(stream, dim, "event_type").select(
+            "event_id", "event_type", "label"
+        ),
+        tmp_path,
+        "enriched",
+    )
+    batch = (
+        tbl(spark, SF_DIR, "events")
+        .join(dim, "event_type", "left")
+        .select("event_id", "event_type", "label")
+    )
+    cols = ["event_id", "event_type", "label"]
+    assert _canon(got, cols) == _canon(batch, cols)
+    assert got.count() == tbl(spark, SF_DIR, "events").count()
