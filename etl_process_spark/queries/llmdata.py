@@ -682,3 +682,107 @@ def doc_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_grams",
         (F.col("top_c").cast("double") / F.col("n_grams")).alias("top_gram_ratio"),
     )
+
+
+@query(
+    "doc_token_chunks",
+    f"""
+    WITH tok AS (SELECT doc_id, {_TOKS} AS t FROM documents)
+    SELECT doc_id,
+           CAST((s - 1) // 24 AS BIGINT) AS chunk_id,
+           array_to_string(t[s:s+31], ' ') AS chunk_text,
+           CAST(len(t[s:s+31]) AS BIGINT) AS n_tokens
+    FROM tok, unnest(generate_series(1, len(t), 24)) AS u(s)
+    """,
+)
+def doc_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: split each document into 32-token chunks
+    with an 8-token overlap (stride 24) — the standard prep for embedding
+    or training long documents against a fixed context size.
+
+    Chunk starts are generated per row (``sequence(1, n_tokens, stride)``)
+    and exploded; each chunk is an array ``slice`` re-joined to text. The
+    whole operator is a map-side expression — ZERO shuffles at any corpus
+    size, and the explode multiplies rows only by ceil(n/stride) (bounded
+    fan-out, no skew: a doc's chunks stay in its input partition). Tail
+    chunks shorter than the window are kept (the overlap guarantees no
+    token is orphaned).
+    """
+    docs = tbl(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("t")
+    )
+    return (
+        toks.select(
+            "doc_id",
+            "t",
+            F.explode(F.sequence(F.lit(1), F.size("t"), F.lit(24))).alias("s"),
+        )
+        .select(
+            "doc_id",
+            F.expr("CAST((s - 1) div 24 AS BIGINT)").alias("chunk_id"),
+            F.concat_ws(" ", F.expr("slice(t, s, 32)")).alias("chunk_text"),
+            F.expr("CAST(size(slice(t, s, 32)) AS BIGINT)").alias("n_tokens"),
+        )
+    )
+
+
+@query(
+    "packed_training_sequences",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, lang, CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+      FROM documents),
+    placed AS (
+      SELECT lang, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum
+      FROM tok)
+    SELECT lang, CAST((cum - n_tokens) // 512 AS BIGINT) AS seq_id,
+           count(*) AS n_docs, sum(n_tokens) AS total_tokens
+    FROM placed
+    GROUP BY lang, (cum - n_tokens) // 512
+    """,
+)
+def packed_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: concatenate documents (in deterministic doc_id
+    order, per language) into fixed-budget training sequences of 512
+    tokens — the running-total bin assignment used to pack short docs
+    into full context windows without padding waste.
+
+    A document lands in the sequence its PRECEDING cumulative token count
+    falls into (``(cum - own) div budget``), so assignment is a pure
+    window cumsum — one shuffle on the ``lang`` partition key, then a
+    map-side bin id and one more (lang, seq)-keyed aggregate. At 100 TB
+    the lang partition is too coarse (a single reducer per language);
+    the scale deployment packs per (lang, shard) where shard =
+    ``hash(doc_id) % k`` — same plan shape, k-way parallel, at the cost
+    of k partially-filled tail sequences per language.
+    """
+    docs = tbl(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    tok = docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    placed = tok.withColumn("cum", F.sum("n_tokens").over(w))
+    return (
+        placed.withColumn(
+            "seq_id", F.expr("CAST((cum - n_tokens) div 512 AS BIGINT)")
+        )
+        .groupBy("lang", "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+    )

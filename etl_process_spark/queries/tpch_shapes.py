@@ -4,10 +4,14 @@ analogs) reshaped onto the testdata schema.
 The reference has exactly one analytic query (the fraud report,
 ``py_scripts/report.py:12-113``); these widen the engine's analytic surface
 with the remaining canonical decision-support shapes the corpus did not yet
-cover: correlated-max join-back (Q2), bi-directional join-pair filters (Q7),
-HAVING-against-global-scalar (Q11), agg-reused-as-its-own-max (Q15),
-IN-aggregated-subquery (Q18), disjunctive OR-of-ANDs pushdown (Q19), nested
-IN subqueries (Q20), and scalar-avg threshold + anti join (Q22).
+cover: correlated-max join-back (Q2), join+agg top-k (Q3), EXISTS priority
+counts (Q4), local-supplier nation correlation (Q5), the pure
+scan-aggregate (Q6), bi-directional join-pair filters (Q7), multi-way profit
+expression agg (Q9), returned-item top-k (Q10), HAVING-against-global-scalar
+(Q11), conditional-share single-pass agg (Q14), agg-reused-as-its-own-max
+(Q15), distinct-count with excluded set (Q16), IN-aggregated-subquery (Q18),
+disjunctive OR-of-ANDs pushdown (Q19), nested IN subqueries (Q20), and
+scalar-avg threshold + anti join (Q22).
 
 Scale notes are per-query; the common rules: dims (nation/region) broadcast,
 aggregates combine map-side before their one key shuffle, and money math is
@@ -468,4 +472,399 @@ def customers_outside_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
           WHERE r_name IN ('AFRICA','AMERICA'))
         GROUP BY c_mktsegment
         """
+    )
+
+
+@query(
+    "order_priority_semi_counts",
+    """
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+    GROUP BY o_orderpriority
+    """,
+)
+def order_priority_semi_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 shape: count orders per priority that have at least one
+    qualifying line (EXISTS → left-semi join).
+
+    The semi join probes orders with lineitem's qualifying orderkeys and
+    emits each order at most once — no distinct pass needed. Both sides
+    are pre-filtered at their scans (date range on orders, returnflag on
+    lineitem, both visible as PushedFilters), so the one orderkey shuffle
+    moves only the ~1/8 of orders in the quarter and the 'R' subset of
+    lines. The 5-row priority aggregate after it is map-combined.
+    """
+    od = tbl(spark, sf_dir, "orders")
+    li = tbl(spark, sf_dir, "lineitem")
+    window = od.filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    returned = li.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        window.join(returned, window.o_orderkey == returned.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@query(
+    "discount_revenue_forecast",
+    """
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4))
+               * CAST(l_discount AS DECIMAL(6,4))) AS DOUBLE) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """,
+)
+def discount_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 shape: the canonical selective scan-aggregate (no join at all).
+
+    Everything before the single global aggregate happens inside the
+    parquet scan: all three predicates push down as PushedFilters (and
+    prune row groups via column stats), and only 3 of 11 columns are
+    read. At 100 TB this query is pure scan bandwidth — the plan has no
+    exchange except the final 1-row partial-agg gather, which is the
+    optimum for any engine. Money math in exact decimals, cast to double
+    only at the edge.
+    """
+    li = tbl(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(12,4)")
+    disc = F.col("l_discount").cast("decimal(6,4)")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(price * disc).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "nation_year_profit",
+    """
+    SELECT n_name, CAST(year(o_orderdate) AS INT) AS order_year,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4))
+                    * (1 - CAST(l_discount AS DECIMAL(6,4)))
+                  - CAST(p_retailprice AS DECIMAL(12,4))
+                    * CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) AS profit
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN orders ON o_orderkey = l_orderkey
+         JOIN nation ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%green%'
+    GROUP BY n_name, year(o_orderdate)
+    """,
+)
+def nation_year_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 shape: profit (revenue minus cost) per supplier nation per year.
+
+    The testdata has no partsupp table, so retail price × quantity stands
+    in for supply cost — the shape (5-way join, expression aggregate,
+    two-key groupBy) is what matters. Join order: the p_name LIKE filter
+    survives on a small part subset that BROADCASTS into lineitem first,
+    shrinking the fact before the one big orderkey shuffle; supplier and
+    nation broadcast too, so lineitem↔orders is the only exchange of
+    consequence. The LIKE '%green%' is a contains filter — pushed to the
+    part scan (StringContains), not evaluable from stats, but part is the
+    small side anyway.
+    """
+    li = tbl(spark, sf_dir, "lineitem")
+    part = tbl(spark, sf_dir, "part")
+    supp = tbl(spark, sf_dir, "supplier")
+    od = tbl(spark, sf_dir, "orders")
+    nat = tbl(spark, sf_dir, "nation")
+    green = part.filter(F.col("p_name").like("%green%")).select(
+        "p_partkey", "p_retailprice"
+    )
+    cost = F.col("p_retailprice").cast("decimal(12,4)") * F.col("l_quantity").cast(
+        "decimal(12,4)"
+    )
+    return (
+        li.join(F.broadcast(green), li.l_partkey == green.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(od, li.l_orderkey == od.o_orderkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .groupBy("n_name", F.year("o_orderdate").cast("int").alias("order_year"))
+        .agg(F.sum(_disc_price() - cost).cast("double").alias("profit"))
+    )
+
+
+@query(
+    "top_returned_customers",
+    """
+    SELECT c_custkey, c_name, n_name,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4))
+               * (1 - CAST(l_discount AS DECIMAL(6,4)))) AS DOUBLE) AS revenue
+    FROM customer JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON l_orderkey = o_orderkey
+         JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-04-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY sum(CAST(l_extendedprice AS DECIMAL(12,4))
+               * (1 - CAST(l_discount AS DECIMAL(6,4)))) DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def top_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 shape: top-k customers by revenue lost to returned items.
+
+    The quarter filter lands on the orders scan and rides the broadcast
+    into lineitem (only qualifying orderkeys probe), the returnflag
+    filter lands on the lineitem scan, so the custkey aggregate shuffles
+    only returned lines from one quarter. Top-20 is ordered on the EXACT
+    decimal sum with custkey as a total tie-break (a double sort key
+    could disagree with the oracle on the cut line), and plans as
+    TakeOrderedAndProject — per-partition heaps, no global sort.
+    """
+    cust = tbl(spark, sf_dir, "customer")
+    od = tbl(spark, sf_dir, "orders")
+    li = tbl(spark, sf_dir, "lineitem")
+    nat = tbl(spark, sf_dir, "nation")
+    quarter = od.filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    returned = li.filter(F.col("l_returnflag") == "R")
+    return (
+        returned.join(F.broadcast(quarter), returned.l_orderkey == quarter.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.sum(_disc_price()).alias("rev_dec"))
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .orderBy(F.col("rev_dec").desc(), F.col("c_custkey"))
+        .limit(20)
+        .select(
+            "c_custkey", "c_name", "n_name",
+            F.col("rev_dec").cast("double").alias("revenue"),
+        )
+    )
+
+
+@query(
+    "promo_revenue_share",
+    """
+    WITH s AS (
+      SELECT sum(CASE WHEN p_type = 'PROMO'
+                      THEN CAST(l_extendedprice AS DECIMAL(12,4))
+                           * (1 - CAST(l_discount AS DECIMAL(6,4)))
+                      ELSE CAST(0 AS DECIMAL(12,4)) END) AS promo_dec,
+             sum(CAST(l_extendedprice AS DECIMAL(12,4))
+                 * (1 - CAST(l_discount AS DECIMAL(6,4)))) AS total_dec
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE l_shipdate >= TIMESTAMP '1997-09-01' AND l_shipdate < TIMESTAMP '1997-10-01')
+    SELECT CAST(promo_dec AS DOUBLE) AS promo_revenue,
+           CAST(total_dec AS DOUBLE) AS total_revenue,
+           100.0 * CAST(promo_dec AS DOUBLE) / CAST(total_dec AS DOUBLE) AS promo_share
+    FROM s
+    """,
+)
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 shape: conditional share of revenue from one product class.
+
+    Both the PROMO-only and the total sum ride a single aggregate over
+    the month's lines (one CASE, one pass — not two scans), with part
+    broadcast into the date-pruned lineitem scan. The share is computed
+    double÷double AFTER exact-decimal summation: decimal division
+    rounding rules differ across engines, but decimal→double conversion
+    and IEEE division are bit-identical everywhere, so the oracle agrees
+    to the last bit.
+    """
+    li = tbl(spark, sf_dir, "lineitem")
+    part = tbl(spark, sf_dir, "part")
+    month = li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01 00:00:00").cast("timestamp"))
+    )
+    promo = F.when(F.col("p_type") == "PROMO", _disc_price()).otherwise(
+        F.lit(0).cast("decimal(12,4)")
+    )
+    return (
+        month.join(F.broadcast(part), part.p_partkey == month.l_partkey)
+        .agg(
+            F.sum(promo).alias("promo_dec"),
+            F.sum(_disc_price()).alias("total_dec"),
+        )
+        .select(
+            F.col("promo_dec").cast("double").alias("promo_revenue"),
+            F.col("total_dec").cast("double").alias("total_revenue"),
+            (
+                F.lit(100.0) * F.col("promo_dec").cast("double")
+                / F.col("total_dec").cast("double")
+            ).alias("promo_share"),
+        )
+    )
+
+
+@query(
+    "brandwise_supplier_counts",
+    """
+    SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#4' AND p_type <> 'MEDIUM'
+      AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def brandwise_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 shape: distinct-supplier counts per part bucket, minus an
+    excluded supplier set.
+
+    The testdata has no partsupp, so lineitem's (partkey, suppkey) pairs
+    play the association table. The NOT IN exclusion is an anti join
+    against the (tiny, filtered, non-null-key) supplier subset —
+    broadcast, zero extra shuffles. count(DISTINCT suppkey) expands to
+    the standard two-phase plan: partial dedup of (brand,type,size,
+    suppkey) map-side, then one shuffle keyed on the group — the
+    distinct never concentrates on a single node, so the shape scales
+    with group cardinality, not row count.
+    """
+    li = tbl(spark, sf_dir, "lineitem")
+    part = tbl(spark, sf_dir, "part")
+    supp = tbl(spark, sf_dir, "supplier")
+    buckets = part.filter(
+        (F.col("p_brand") != "Brand#4")
+        & (F.col("p_type") != "MEDIUM")
+        & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad_suppliers = supp.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(F.broadcast(buckets), li.l_partkey == buckets.p_partkey)
+        .join(
+            F.broadcast(bad_suppliers),
+            li.l_suppkey == bad_suppliers.s_suppkey,
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+    )
+
+
+@query(
+    "shipping_priority_topk",
+    """
+    SELECT l_orderkey, o_orderdate, o_orderpriority,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4))
+               * (1 - CAST(l_discount AS DECIMAL(6,4)))) AS DOUBLE) AS revenue
+    FROM customer JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01' AND l_shipdate > TIMESTAMP '1998-01-01'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY sum(CAST(l_extendedprice AS DECIMAL(12,4))
+               * (1 - CAST(l_discount AS DECIMAL(6,4)))) DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def shipping_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 shape: unshipped-order revenue, top-k on the aggregate.
+
+    The mktsegment filter shrinks customer before it broadcasts into
+    orders; the date filters push to both fact scans. The orderkey
+    aggregate is the one shuffle, and the top-10 on its output plans as
+    TakeOrderedAndProject over the aggregate's partitions (per-partition
+    heaps — no global sort even though the sort key is a computed
+    aggregate). Ordered on the exact decimal with orderkey tie-break so
+    the cut line is engine-independent.
+    """
+    cust = tbl(spark, sf_dir, "customer")
+    od = tbl(spark, sf_dir, "orders")
+    li = tbl(spark, sf_dir, "lineitem")
+    building = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    open_orders = (
+        od.filter(F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        .join(F.broadcast(building), od.o_custkey == building.c_custkey)
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    )
+    late_lines = li.filter(
+        F.col("l_shipdate") > F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    return (
+        late_lines.join(F.broadcast(open_orders),
+                        late_lines.l_orderkey == open_orders.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(_disc_price()).alias("rev_dec"))
+        .orderBy(F.col("rev_dec").desc(), F.col("l_orderkey"))
+        .limit(10)
+        .select(
+            "l_orderkey", "o_orderdate", "o_orderpriority",
+            F.col("rev_dec").cast("double").alias("revenue"),
+        )
+    )
+
+
+@query(
+    "regional_local_volume",
+    """
+    SELECT n_name, CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4))
+               * (1 - CAST(l_discount AS DECIMAL(6,4)))) AS DOUBLE) AS revenue
+    FROM customer JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON l_orderkey = o_orderkey
+         JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    """,
+)
+def regional_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 shape: revenue where customer and supplier share a nation.
+
+    The signature feature is the c_nationkey = s_nationkey correlation
+    between two tables that are NOT adjacent in the join chain — it
+    can only be applied once both keys are in scope, so the plan carries
+    customer's nationkey through the orders broadcast into lineitem and
+    evaluates the correlation inside the lineitem↔supplier join
+    condition (supplier is broadcast: composite equi-key (suppkey,
+    nationkey), still a hash join — no residual filter pass). Region
+    restriction prunes nation to the ~1/5 ASIA subset before anything
+    joins. One shuffle total (the 5-row nation aggregate's).
+    """
+    cust = tbl(spark, sf_dir, "customer")
+    od = tbl(spark, sf_dir, "orders")
+    li = tbl(spark, sf_dir, "lineitem")
+    supp = tbl(spark, sf_dir, "supplier")
+    nat = tbl(spark, sf_dir, "nation")
+    reg = tbl(spark, sf_dir, "region")
+    asia_nations = nat.join(
+        F.broadcast(reg.filter(F.col("r_name") == "ASIA")),
+        nat.n_regionkey == reg.r_regionkey,
+    ).select("n_nationkey", "n_name")
+    asia_cust = cust.join(
+        F.broadcast(asia_nations), cust.c_nationkey == asia_nations.n_nationkey
+    ).select("c_custkey", "c_nationkey")
+    year_orders = (
+        od.filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        )
+        .join(F.broadcast(asia_cust), od.o_custkey == asia_cust.c_custkey)
+        .select("o_orderkey", "c_nationkey")
+    )
+    enriched = li.join(
+        F.broadcast(year_orders), li.l_orderkey == year_orders.o_orderkey
+    )
+    local = enriched.join(
+        F.broadcast(supp),
+        (enriched.l_suppkey == supp.s_suppkey)
+        & (enriched.c_nationkey == supp.s_nationkey),
+    )
+    return (
+        local.join(F.broadcast(asia_nations.withColumnRenamed("n_nationkey", "nk")),
+                   F.col("s_nationkey") == F.col("nk"))
+        .groupBy("n_name")
+        .agg(F.sum(_disc_price()).cast("double").alias("revenue"))
     )
