@@ -291,3 +291,43 @@ def test_terminals_xlsx_snapshot_scd2_flow(spark, tmp_path):
     tomb = [r for r in rows if r[0] == "T2" and r[4] == "Y"]
     assert len(tomb) == 1 and tomb[0][3] == inf
     assert ("T2", "Kazan", "2024-01-01 00:00:00", close, "N") in rows
+
+
+def test_events_loader_normalizes_any_ts_physical_type(spark, tmp_path):
+    """The driver has regenerated events.parquet with different physical
+    types for ts across rounds (int64 nanos, then timestamp[us]); tbl()
+    must hand every downstream query one stable TimestampType column with
+    identical wall-clock values regardless of which format is on disk."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import types as T
+
+    from etl_process_spark.queries.registry import tbl
+
+    base = dt.datetime(2024, 5, 1, 12, 30, 45, 123456)
+    micros = int(base.timestamp() * 1_000_000) + 456  # non-zero sub-ms tail
+    rows = {
+        "event_id": [1],
+        "user_id": [7],
+        "event_type": ["click"],
+        "value": [1.5],
+        "props": ['{"k": 1}'],
+    }
+
+    variants = {
+        "nanos": pa.array([micros * 1000], type=pa.int64()),
+        "micros_ntz": pa.array([micros], type=pa.timestamp("us")),
+    }
+    seen = []
+    for label, ts_arr in variants.items():
+        d = tmp_path / label
+        d.mkdir()
+        table = pa.table({"event_id": rows["event_id"], "ts": ts_arr, **{
+            k: v for k, v in rows.items() if k != "event_id"}})
+        pq.write_table(table, str(d / "events.parquet"))
+        df = tbl(spark, str(d), "events")
+        assert isinstance(df.schema["ts"].dataType, T.TimestampType), label
+        seen.append((label, df.select("ts").first()[0]))
+
+    (_, ts_a), (_, ts_b) = seen
+    assert ts_a == ts_b, f"wall-clock drift across physical types: {seen}"
