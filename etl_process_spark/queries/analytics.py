@@ -921,3 +921,69 @@ def orders_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"stack({len(cols)}, {stack_args}) AS (col_name, n_nulls, n_distinct)"
         )
     )
+
+
+@query(
+    "orders_quality_report",
+    """
+    WITH base AS (SELECT count(*) AS n FROM orders)
+    SELECT 'not_null_o_custkey' AS rule, 'not_null' AS kind,
+           (SELECT count(*) FROM orders WHERE o_custkey IS NULL) AS n_violations,
+           n AS n_checked FROM base
+    UNION ALL
+    SELECT 'accepted_values_o_orderstatus', 'accepted_values',
+           (SELECT count(*) FROM orders
+            WHERE o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('P','O','F')),
+           n FROM base
+    UNION ALL
+    SELECT 'in_range_o_totalprice', 'in_range',
+           (SELECT count(*) FROM orders
+            WHERE o_totalprice IS NOT NULL
+              AND o_totalprice NOT BETWEEN 0 AND 10000000),
+           n FROM base
+    UNION ALL
+    SELECT 'orderdate_in_operating_window', 'expr',
+           (SELECT count(*) FROM orders
+            WHERE NOT coalesce(o_orderdate >= TIMESTAMP '1995-01-01', FALSE)),
+           n FROM base
+    UNION ALL
+    SELECT 'unique_o_orderkey', 'unique',
+           (SELECT coalesce(sum(c), 0)
+            FROM (SELECT count(*) AS c FROM orders GROUP BY o_orderkey) WHERE c > 1),
+           n FROM base
+    UNION ALL
+    SELECT 'fk_o_custkey', 'foreign_key',
+           (SELECT count(*) FROM orders o
+            WHERE o_custkey IS NOT NULL AND NOT EXISTS
+              (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)),
+           (SELECT count(*) FROM orders WHERE o_custkey IS NOT NULL) FROM base
+    """,
+)
+def orders_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative expectations over orders (pipeline/expectations.py):
+    the dbt-test/Deequ-style constraint layer the reference never had.
+
+    Cost model, not rule count, drives the plan: the four row-level rules
+    (not_null / accepted_values / in_range / SQL predicate) compile into
+    ONE global aggregate — a single scan and no shuffle regardless of how
+    many such rules are declared; `unique` pays the one groupBy-key
+    shuffle; the FK check is a broadcast anti join against the customer
+    key. At 100 TB the whole report costs one scan + one key shuffle —
+    the same as the cheapest possible manual audit.
+    """
+    from etl_process_spark.pipeline import expectations as ex
+
+    od = tbl(spark, sf_dir, "orders")
+    cust = tbl(spark, sf_dir, "customer")
+    rules = [
+        ex.not_null("o_custkey"),
+        ex.accepted_values("o_orderstatus", "P", "O", "F"),
+        ex.in_range("o_totalprice", 0, 10_000_000),
+        ex.expect_expr(
+            "orderdate_in_operating_window",
+            "o_orderdate >= TIMESTAMP '1995-01-01'",
+        ),
+        ex.unique("o_orderkey"),
+        ex.foreign_key("o_custkey", cust, "c_custkey"),
+    ]
+    return ex.check_expectations(od, rules)
