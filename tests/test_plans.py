@@ -448,3 +448,28 @@ def test_catalog_append_with_schema_evolution(spark, tmp_path):
     assert set(merged.columns) == {"id", "name", "note"}
     rows = {r["id"]: r["note"] for r in merged.collect()}
     assert rows == {1: None, 2: None, 3: "extra"}
+
+
+def test_q6_scan_aggregate_pushes_all_predicates(spark):
+    """The pure scan-aggregate (discount_revenue_forecast): all three
+    predicates reach the lineitem scan as PushedFilters and the scan
+    reads only the 4 referenced columns of 11 — at 100 TB this plan is
+    scan-bandwidth-bound, the optimum for the shape."""
+    df = QUERIES["discount_revenue_forecast"].builder(spark, SF_DIR)
+    [filters] = pushed_filters(df)
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in filters, filters
+    [schema] = read_schemas(df)
+    assert schema.count(":") == 4, schema  # shipdate, discount, quantity, price
+
+
+def test_aggregate_topk_plans_as_take_ordered(spark):
+    """Top-k ON a computed aggregate (Q3/Q10 shapes) must still plan as
+    TakeOrderedAndProject over the aggregate output — per-partition
+    heaps — not a global sort with a single-partition exchange."""
+    from etl_process_spark.plans.audit import explain_str
+
+    for name in ("shipping_priority_topk", "top_returned_customers"):
+        plan = explain_str(QUERIES[name].builder(spark, SF_DIR))
+        assert "TakeOrderedAndProject" in plan, name
+        assert "Sort [" not in plan, name
