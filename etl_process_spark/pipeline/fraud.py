@@ -101,33 +101,86 @@ def _event(df: DataFrame, event_type: int, report_dt) -> DataFrame:
     )
 
 
-def build_fraud_report(cl: DataFrame, report_dt) -> DataFrame:
-    """Rules 1–4 UNION ALL (report.py:63-113). ``report_dt`` = pinned now()."""
-    lg = with_lags(cl)
-
+# Rule predicates are built lazily (Column construction needs an active
+# session in classic PySpark, so no module-level Column constants).
+def _rule1() -> F.Column:
     # Rule 1 (report.py:78): expired passport, or blacklisted at event time.
-    r1 = cl.filter(
-        (F.col("passport_valid_to") < F.col("trans_date"))
-        | (F.col("pass_bl").isNotNull() & (F.col("entry_dt") <= F.col("trans_date")))
+    return (F.col("passport_valid_to") < F.col("trans_date")) | (
+        F.col("pass_bl").isNotNull() & (F.col("entry_dt") <= F.col("trans_date"))
     )
+
+
+def _rule2() -> F.Column:
     # Rule 2 (report.py:88): transaction on/after account expiry.
-    r2 = cl.filter(F.col("trans_date") >= F.col("valid_to"))
+    return F.col("trans_date") >= F.col("valid_to")
+
+
+def _rule3() -> F.Column:
     # Rule 3 (report.py:98-99): city changed within one hour.
-    r3 = lg.filter(
-        (F.col("terminal_city") != F.col("lag_city")) & (F.col("lag_pr_sec") <= 3600)
+    return (F.col("terminal_city") != F.col("lag_city")) & (
+        F.col("lag_pr_sec") <= 3600
     )
+
+
+def _rule4() -> F.Column:
     # Rule 4 (report.py:109-113): SUCCESS after 3 REJECTs, strictly
     # decreasing amounts, all four inside 20 minutes, PAYMENT/WITHDRAW only.
-    r4 = lg.filter(
+    return (
         (F.col("oper_result") == "SUCCESS")
         & (F.col("res_1") == "REJECT") & (F.col("res_2") == "REJECT") & (F.col("res_3") == "REJECT")
         & (F.col("amt") < F.col("amt_1")) & (F.col("amt_1") < F.col("amt_2")) & (F.col("amt_2") < F.col("amt_3"))
         & (seconds_between(F.col("trans_date"), F.col("dt")) <= 1200)
         & F.col("oper_type").isin("PAYMENT", "WITHDRAW")
     )
+
+
+def _all_rules(cl: DataFrame, lg: DataFrame, report_dt) -> DataFrame:
     return (
-        _event(r1, 1, report_dt)
-        .unionByName(_event(r2, 2, report_dt))
-        .unionByName(_event(r3, 3, report_dt))
-        .unionByName(_event(r4, 4, report_dt))
+        _event(cl.filter(_rule1()), 1, report_dt)
+        .unionByName(_event(cl.filter(_rule2()), 2, report_dt))
+        .unionByName(_event(lg.filter(_rule3()), 3, report_dt))
+        .unionByName(_event(lg.filter(_rule4()), 4, report_dt))
     )
+
+
+def build_fraud_report(cl: DataFrame, report_dt) -> DataFrame:
+    """Rules 1–4 UNION ALL (report.py:63-113). ``report_dt`` = pinned now()."""
+    return _all_rules(cl, with_lags(cl), report_dt)
+
+
+def build_fraud_report_incremental(
+    cl: DataFrame, watermark_ts, report_dt
+) -> DataFrame:
+    """Incremental maintenance of the fraud report: emit events ONLY for
+    transactions after ``watermark_ts``, reading back just enough history
+    for the window rules to be exact.
+
+    The reference recomputes the report over whatever was loaded that day
+    with no formal contract; this operator gives the incremental run a
+    provable one: rules 3–4 look at most 3 transactions back per card, so
+    each new row's lag columns are fully determined by its card's last 3
+    pre-watermark rows plus the new rows themselves. The computation
+    slices to exactly that — new rows ∪ per-touched-card 3-row tails —
+    making the nightly cost proportional to NEW data (plus 3 rows per
+    active card), not to all-time history. At 100 TB of fact history
+    that is the difference between a bounded nightly job and an
+    ever-growing one; the history scan for tails is a left-semi join on
+    touched cards (time-partitioned facts prune the pre-watermark scan
+    to recent partitions only if paired with a max-inactivity policy).
+
+    Equivalence ``incremental ≡ full ⨡ new`` is asserted by
+    ``tests/test_fraud.py`` differentials.
+    """
+    wm = F.to_timestamp(F.lit(str(watermark_ts)))
+    new = cl.filter(F.col("trans_date") > wm)
+    touched = new.select("card_num").distinct()
+    tail_w = Window.partitionBy("card_num").orderBy(F.col("trans_date").desc())
+    tails = (
+        cl.filter(F.col("trans_date") <= wm)
+        .join(F.broadcast(touched), on="card_num", how="left_semi")
+        .withColumn("__rn", F.row_number().over(tail_w))
+        .filter(F.col("__rn") <= 3)
+        .drop("__rn")
+    )
+    lg = with_lags(tails.unionByName(new)).filter(F.col("trans_date") > wm)
+    return _all_rules(new, lg, report_dt)

@@ -80,3 +80,45 @@ def load_blacklist_file(spark: SparkSession, path: str,
     if fact is None:
         return typed
     return typed.join(fact.select("passport_num"), on="passport_num", how="left_anti")
+
+
+def quarantine_transactions(stg: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Split staged transactions into (clean_typed, rejects) — the
+    dead-letter path the reference lacks.
+
+    The reference's permissive casts (transaction.py:74-77 under
+    non-ANSI SQL) turn malformed dates/amounts into silent NULLs in the
+    warehouse. Here a row is quarantined when any typed column came out
+    NULL from a NON-NULL source string — i.e. the value was present but
+    unparseable. Absent source values (NULL in, NULL out) stay clean,
+    preserving the reference's tolerance of missing fields.
+
+    Rejects carry the RAW staging strings plus a ``reject_reasons``
+    array, so they can be repaired and replayed through the same loader
+    (idempotent thanks to the dedup-on-insert anti join). The split is a
+    pure map-side expression — the reason array is computed inside
+    whole-stage codegen, zero shuffles, and the input is scanned once per
+    branch off the same staging frame (cache ``stg`` when the source is
+    remote).
+    """
+    casts = {
+        "transaction_date": F.col("transaction_date").cast("timestamp"),
+        "amount": euro_decimal("amount"),
+    }
+    reasons = F.array_compact(
+        F.array(
+            *[
+                F.when(
+                    F.col(src).isNotNull() & typed.isNull(),
+                    F.lit(f"unparseable_{src}"),
+                )
+                for src, typed in casts.items()
+            ]
+        )
+    )
+    tagged = stg.withColumn("reject_reasons", reasons)
+    clean = typed_transactions(
+        tagged.filter(F.size("reject_reasons") == 0).drop("reject_reasons")
+    )
+    rejects = tagged.filter(F.size("reject_reasons") > 0)
+    return clean, rejects

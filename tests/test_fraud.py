@@ -121,3 +121,78 @@ def test_asof_boundary_strict(report):
     # t16 at exactly effective_from matched no terminal version; with no
     # city it cannot fire rule 3 — and it must not crash the pipeline.
     assert report.filter(F.col("event_dt") == EF).count() == 0
+
+
+@pytest.fixture(scope="module")
+def synthetic_cl(spark):
+    """A few hundred pre-enriched rows (the cl CTE's schema) with every
+    rule firing somewhere, deterministic via a fixed seed and unique
+    per-card timestamps."""
+    import random
+
+    rng = random.Random(42)
+    rows = []
+    for card in range(30):
+        t = D(2021, 3, 1, 0, 0, 0)
+        expired_passport = card % 7 == 0
+        expired_account = card % 11 == 3
+        blacklisted = card % 13 == 5
+        for i in range(40):
+            t += dt.timedelta(minutes=rng.randint(3, 90), seconds=rng.randint(1, 59))
+            rows.append((
+                f"tx{card}_{i}", t, f"CARD{card}",
+                rng.choice(["PAYMENT", "WITHDRAW", "DEPOSIT"]),
+                Decimal(rng.randint(1, 500)),
+                rng.choice(["SUCCESS", "REJECT", "REJECT"]),
+                "T1",
+                dt.date(2021, 2, 1) if expired_account else INF_D,
+                f"Person {card}", f"P{card}",
+                dt.date(2021, 1, 15) if expired_passport else INF_D,
+                f"+7{card:010d}",
+                f"P{card}" if blacklisted else None,
+                dt.date(2021, 1, 1) if blacklisted else INF_D,
+                rng.choice(["Moscow", "Kazan", "Tver"]),
+            ))
+    return spark.createDataFrame(
+        rows,
+        "trans_id string, trans_date timestamp, card_num string, oper_type string, "
+        "amt decimal(15,2), oper_result string, terminal string, valid_to date, "
+        "fio string, passport_num string, passport_valid_to date, phone string, "
+        "pass_bl string, entry_dt date, terminal_city string",
+    ).cache()
+
+
+def _events(df):
+    return sorted(
+        (r["event_dt"], r["passport"], r["event_type"]) for r in df.collect()
+    )
+
+
+def test_incremental_report_matches_full_restricted_to_new(synthetic_cl):
+    from etl_process_spark.pipeline.fraud import build_fraud_report_incremental
+
+    wm = D(2021, 3, 1, 18, 0, 0)
+    full_new = build_fraud_report(synthetic_cl, REPORT_DT).filter(
+        F.col("event_dt") > F.lit(wm)
+    )
+    inc = build_fraud_report_incremental(synthetic_cl, wm, REPORT_DT)
+    assert _events(inc) == _events(full_new)
+    assert len(_events(inc)) > 0  # the comparison is not vacuous
+
+
+def test_incremental_report_composes_across_two_advances(synthetic_cl):
+    """Running the increment at wm0 (on data up to wm1) and then at wm1
+    (on everything) must together equal the full report's events after
+    wm0 — the watermark-advance protocol loses and duplicates nothing."""
+    from etl_process_spark.pipeline.fraud import build_fraud_report_incremental
+
+    wm0 = D(2021, 3, 1, 12, 0, 0)
+    wm1 = D(2021, 3, 2, 0, 0, 0)
+    upto_wm1 = synthetic_cl.filter(F.col("trans_date") <= F.lit(wm1))
+    step1 = build_fraud_report_incremental(upto_wm1, wm0, REPORT_DT)
+    step2 = build_fraud_report_incremental(synthetic_cl, wm1, REPORT_DT)
+    full = build_fraud_report(synthetic_cl, REPORT_DT).filter(
+        F.col("event_dt") > F.lit(wm0)
+    )
+    assert sorted(_events(step1) + _events(step2)) == _events(full)
+    assert len(_events(step1)) > 0 and len(_events(step2)) > 0

@@ -5,6 +5,8 @@ import datetime as dt
 import os
 from decimal import Decimal
 
+from pyspark.sql import functions as F
+
 from etl_process_spark.pipeline.loaders import load_transactions_file
 from etl_process_spark.sources.inbox import DatedInbox, parse_file_date
 from etl_process_spark.sources.watermark import WatermarkStore
@@ -331,3 +333,71 @@ def test_events_loader_normalizes_any_ts_physical_type(spark, tmp_path):
 
     (_, ts_a), (_, ts_b) = seen
     assert ts_a == ts_b, f"wall-clock drift across physical types: {seen}"
+
+
+def test_quarantine_splits_unparseable_rows(spark, tmp_path):
+    """Dead-letter path: present-but-unparseable values are quarantined
+    with reasons; absent values stay clean as NULLs (reference
+    tolerance); repaired rejects replay through the same loader."""
+    from etl_process_spark.pipeline.loaders import (
+        quarantine_transactions,
+        stage_transactions,
+        typed_transactions,
+    )
+
+    bad_csv = (
+        "transaction_id;transaction_date;amount;card_num;oper_type;oper_result;terminal\n"
+        "t1;2021-01-01 10:00:00;1.234,56;C1;PAYMENT;SUCCESS;T1\n"
+        "t2;NOT-A-DATE;10,00;C2;WITHDRAW;REJECT;T2\n"
+        "t3;2021-01-01 12:00:00;garbage;C3;PAYMENT;SUCCESS;T3\n"
+        "t4;2021-01-01 13:00:00;;C4;PAYMENT;SUCCESS;T4\n"
+    )
+    p = tmp_path / "transactions_01012021.txt"
+    p.write_text(bad_csv)
+
+    clean, rejects = quarantine_transactions(stage_transactions(spark, str(p)))
+
+    clean_rows = {r["trans_id"]: r for r in clean.collect()}
+    assert set(clean_rows) == {"t1", "t4"}
+    assert clean_rows["t1"]["amt"] == Decimal("1234.56")
+    assert clean_rows["t4"]["amt"] is None  # absent source -> NULL, not reject
+
+    rej = {r["transaction_id"]: r["reject_reasons"] for r in rejects.collect()}
+    assert rej == {
+        "t2": ["unparseable_transaction_date"],
+        "t3": ["unparseable_amount"],
+    }
+
+    # Repair and replay: fix the raw strings, re-type, nothing else changes.
+    repaired = rejects.drop("reject_reasons").withColumn(
+        "transaction_date",
+        F.when(F.col("transaction_id") == "t2", "2021-01-01 11:00:00").otherwise(
+            F.col("transaction_date")
+        ),
+    ).withColumn(
+        "amount",
+        F.when(F.col("transaction_id") == "t3", "7,50").otherwise(F.col("amount")),
+    )
+    replayed = typed_transactions(repaired)
+    rows = {r["trans_id"]: r["amt"] for r in replayed.collect()}
+    assert rows == {"t2": Decimal("10.00"), "t3": Decimal("7.50")}
+
+
+def test_quarantine_reject_of_double_bad_row_lists_both_reasons(spark, tmp_path):
+    from etl_process_spark.pipeline.loaders import (
+        quarantine_transactions,
+        stage_transactions,
+    )
+
+    p = tmp_path / "transactions_02012021.txt"
+    p.write_text(
+        "transaction_id;transaction_date;amount;card_num;oper_type;oper_result;terminal\n"
+        "t9;bad;worse;C9;PAYMENT;SUCCESS;T9\n"
+    )
+    clean, rejects = quarantine_transactions(stage_transactions(spark, str(p)))
+    assert clean.count() == 0
+    [r] = rejects.collect()
+    assert r["reject_reasons"] == [
+        "unparseable_transaction_date",
+        "unparseable_amount",
+    ]
