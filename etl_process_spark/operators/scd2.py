@@ -177,3 +177,94 @@ def scd2_merge(
     for p in parts[1:]:
         result = result.unionByName(p)
     return result
+
+
+def scd2_rebuild(
+    dim: DataFrame,
+    late_events: DataFrame,
+    key: str,
+    tracked: Sequence[str],
+) -> DataFrame:
+    """Retroactive repair: merge LATE-ARRIVING change events into an SCD2
+    history, rebuilding each affected key's whole timeline.
+
+    ``scd2_merge`` (like the reference's 6-step dance it re-expresses)
+    assumes batches arrive in event-time order — a change older than the
+    current open version would close that version with a negative
+    interval. Real CDC feeds deliver late and out of order; this operator
+    handles the general case:
+
+    * a late event BETWEEN two existing versions splits that interval;
+    * one BEFORE the first version becomes the new first version;
+    * one AT an existing version's ``effective_from`` is a correction —
+      the late event wins and replaces that version's attributes;
+    * a late event whose attributes equal its (post-repair) predecessor
+      is consolidated away — no redundant version, so replaying events
+      that merely confirm current state is a no-op and the repair is
+      idempotent.
+
+    How: each existing version is decomposed back into its defining event
+    ``(key, attrs, effective_from, deleted_flg)`` (tombstones included —
+    a ``deleted_flg`` column on ``late_events`` is honored, defaulting to
+    'N'); late events are unioned in, same-timestamp conflicts resolved
+    late-wins, consecutive duplicates dropped via null-safe lag compare,
+    and ``effective_to`` is recomputed as ``lead(effective_from) - 1s``
+    (the reference's close idiom, terminals.py:134) with infinity last.
+
+    Scale: only keys PRESENT in the late batch are touched — untouched
+    keys pass through without a window. The rebuild shuffles
+    O(late keys × their version counts) rows, not the dimension; at
+    100 TB dims with bucket(key) layout the semi/anti joins co-locate.
+    """
+    inf = _infinity()
+    out_cols = [key, *tracked, *_META_COLS]
+
+    affected = late_events.select(key).distinct()
+    untouched = dim.join(affected, on=key, how="left_anti")
+
+    existing_events = dim.join(F.broadcast(affected), on=key, how="left_semi").select(
+        F.col(key), *[F.col(c) for c in tracked],
+        F.col("effective_from"), F.col("deleted_flg"),
+        F.lit(0).alias("__prio"),
+    )
+    late_flg = (
+        F.col("deleted_flg") if "deleted_flg" in late_events.columns else F.lit("N")
+    )
+    late = late_events.select(
+        F.col(key), *[F.col(c) for c in tracked],
+        F.col("effective_from").cast("timestamp").alias("effective_from"),
+        late_flg.alias("deleted_flg"),
+        F.lit(1).alias("__prio"),
+    )
+
+    from pyspark.sql import Window
+
+    events = existing_events.unionByName(late)
+    # Same-timestamp conflict: the late event is a correction and wins.
+    w_conflict = Window.partitionBy(key, "effective_from").orderBy(
+        F.col("__prio").desc()
+    )
+    events = (
+        events.withColumn("__rn", F.row_number().over(w_conflict))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__prio")
+    )
+
+    # Consolidate: drop an event identical (null-safely) to its predecessor.
+    w_key = Window.partitionBy(key).orderBy("effective_from")
+    same_as_prev = F.col("deleted_flg").eqNullSafe(F.lag("deleted_flg").over(w_key))
+    for c in tracked:
+        same_as_prev = same_as_prev & F.col(c).eqNullSafe(F.lag(c).over(w_key))
+    events = events.withColumn("__dup", F.coalesce(same_as_prev, F.lit(False))).filter(
+        ~F.col("__dup")
+    ).drop("__dup")
+
+    rebuilt = events.select(
+        F.col(key), *[F.col(c) for c in tracked],
+        F.col("effective_from"),
+        F.coalesce(
+            minus_seconds(F.lead("effective_from").over(w_key), 1), inf
+        ).alias("effective_to"),
+        F.col("deleted_flg"),
+    )
+    return untouched.select(out_cols).unionByName(rebuilt.select(out_cols))

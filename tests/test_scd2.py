@@ -112,3 +112,116 @@ def test_scd2_current_view(spark):
     merged = _merge_snapshot(dim, batch, T1)
     cur = scd2_current(merged)
     assert {r.tid for r in cur.collect()} == {"A"}  # B, C tombstoned
+
+
+# ---------------------------------------------------------------------------
+# scd2_rebuild: retroactive repair with late-arriving events
+# ---------------------------------------------------------------------------
+
+def _late(spark, rows):
+    return spark.createDataFrame(
+        rows, "tid string, city string, kind string, effective_from timestamp"
+    )
+
+
+def test_rebuild_splits_interval_with_late_middle_event(spark):
+    from etl_process_spark.operators.scd2 import scd2_rebuild
+
+    t2 = dt.datetime(2021, 1, 5)
+    dim = _merge_snapshot(
+        _dim0(spark),
+        _dim0(spark).sparkSession.createDataFrame(
+            [("A", "Kazan", "POS"), ("B", "Perm", "ATM"), ("C", None, "POS")],
+            ["tid", "city", "kind"],
+        ),
+        t2,
+    )
+    late_ts = dt.datetime(2021, 1, 3)
+    rebuilt = scd2_rebuild(
+        dim, _late(spark, [("A", "Tver", "POS", late_ts)]), "tid", TRACKED
+    ).cache()
+    assert _timeline(rebuilt, "A") == [
+        ("Moscow", "POS", T0, late_ts - dt.timedelta(seconds=1), "N"),
+        ("Tver", "POS", late_ts, t2 - dt.timedelta(seconds=1), "N"),
+        ("Kazan", "POS", t2, INF, "N"),
+    ]
+    # untouched keys pass through byte-identical
+    assert _timeline(rebuilt, "B") == _timeline(dim, "B")
+
+
+def test_rebuild_prepends_event_before_first_version(spark):
+    from etl_process_spark.operators.scd2 import scd2_rebuild
+
+    dim = _dim0(spark)
+    early = dt.datetime(2020, 12, 1)
+    rebuilt = scd2_rebuild(
+        dim, _late(spark, [("A", "Kaluga", "ATM", early)]), "tid", TRACKED
+    )
+    assert _timeline(rebuilt, "A") == [
+        ("Kaluga", "ATM", early, T0 - dt.timedelta(seconds=1), "N"),
+        ("Moscow", "POS", T0, INF, "N"),
+    ]
+
+
+def test_rebuild_correction_at_same_timestamp_late_wins(spark):
+    from etl_process_spark.operators.scd2 import scd2_rebuild
+
+    dim = _dim0(spark)
+    rebuilt = scd2_rebuild(
+        dim, _late(spark, [("A", "CorrectedCity", "POS", T0)]), "tid", TRACKED
+    )
+    assert _timeline(rebuilt, "A") == [("CorrectedCity", "POS", T0, INF, "N")]
+
+
+def test_rebuild_consolidates_confirming_event_and_is_idempotent(spark):
+    from etl_process_spark.operators.scd2 import scd2_rebuild
+
+    dim = _dim0(spark)
+    # Event that merely confirms A's current state, later than T0.
+    confirming = _late(spark, [("A", "Moscow", "POS", dt.datetime(2021, 1, 10))])
+    rebuilt = scd2_rebuild(dim, confirming, "tid", TRACKED).cache()
+    assert _timeline(rebuilt, "A") == [("Moscow", "POS", T0, INF, "N")]
+    twice = scd2_rebuild(rebuilt, confirming, "tid", TRACKED)
+    assert sorted(map(tuple, twice.collect())) == sorted(map(tuple, rebuilt.collect()))
+
+
+def test_rebuild_out_of_order_equals_sequential_in_order_merges(spark):
+    """The headline property: merging day batches IN ORDER with scd2_merge
+    equals merging them out of order when the stragglers go through
+    scd2_rebuild — late data does not corrupt history."""
+    from etl_process_spark.operators.scd2 import scd2_rebuild
+
+    days = [
+        (dt.datetime(2021, 2, 1), [("A", "Moscow", "POS"), ("B", "Perm", "ATM")]),
+        (dt.datetime(2021, 2, 2), [("A", "Kazan", "POS"), ("B", "Perm", "ATM")]),
+        (dt.datetime(2021, 2, 3), [("A", "Kazan", "ATM"), ("B", "Omsk", "ATM")]),
+        (dt.datetime(2021, 2, 4), [("A", "Tver", "ATM"), ("B", "Omsk", "POS")]),
+    ]
+
+    def batch(rows):
+        return spark.createDataFrame(rows, ["tid", "city", "kind"])
+
+    # In-order: init on day 1, merge days 2..4 (no deletes in play).
+    in_order = scd2_init(batch(days[0][1]), "tid", TRACKED, F.lit(str(days[0][0])))
+    for ts, rows in days[1:]:
+        in_order = scd2_merge(
+            in_order, batch(rows), "tid", TRACKED,
+            new_effective_from=F.lit(str(ts)),
+            changed_effective_from=F.lit(str(ts)),
+        ).localCheckpoint()
+
+    # Out of order: days 1 and 4 first, then 3 and 2 arrive late.
+    shuffled = scd2_init(batch(days[0][1]), "tid", TRACKED, F.lit(str(days[0][0])))
+    shuffled = scd2_merge(
+        shuffled, batch(days[3][1]), "tid", TRACKED,
+        new_effective_from=F.lit(str(days[3][0])),
+        changed_effective_from=F.lit(str(days[3][0])),
+    ).localCheckpoint()
+    for idx in (2, 1):
+        ts, rows = days[idx]
+        late = batch(rows).withColumn("effective_from", F.lit(str(ts)).cast("timestamp"))
+        shuffled = scd2_rebuild(shuffled, late, "tid", TRACKED).localCheckpoint()
+
+    assert sorted(map(tuple, shuffled.collect())) == sorted(
+        map(tuple, in_order.collect())
+    )

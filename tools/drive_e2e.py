@@ -87,6 +87,27 @@ assert ("2024-03-02 09:30:00", 3, "Ivanov Ivan") in out, out          # rule 3, 
 assert ("2024-03-02 11:00:00", 1, "Petrov Petr Petrovich") in out, out  # rule 1
 assert not any(t == 2 for _, t, _ in out), out
 
+# --- late-arriving CDC repair (scd2_rebuild) ------------------------------
+# A straggler says A2 was actually in Tver from mid-day-1: the repair must
+# split A2's first interval, leave the day-2 Kazan version alone, and not
+# touch A1.
+from etl_process_spark.operators.scd2 import scd2_rebuild
+
+late = spark.createDataFrame(
+    [("A2", "ATM", "Tver", "addr-late", "2024-03-01 12:00:00")],
+    ["terminal_id", "terminal_type", "terminal_city", "terminal_address",
+     "effective_from"],
+).withColumn("effective_from", F.col("effective_from").cast("timestamp"))
+dim_before_a1 = sorted(map(tuple, dim.filter(F.col("terminal_id") == "A1").collect()))
+dim = scd2_rebuild(
+    dim, late, "terminal_id", ["terminal_type", "terminal_city", "terminal_address"]
+)
+a2 = dim.filter(F.col("terminal_id") == "A2").orderBy("effective_from").collect()
+assert [r["terminal_city"] for r in a2] == [a2[0]["terminal_city"], "Tver", "Kazan"], a2
+assert str(a2[0]["effective_to"]) == "2024-03-01 11:59:59", a2
+assert str(a2[1]["effective_to"]) == "2024-03-01 23:59:59", a2
+assert sorted(map(tuple, dim.filter(F.col("terminal_id") == "A1").collect())) == dim_before_a1
+
 # --- testdata parquet read ----------------------------------------------
 li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
 print("== sf0.001 lineitem ==", li.count(), "rows"); li.show(3)
