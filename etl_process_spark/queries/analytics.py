@@ -987,3 +987,38 @@ def orders_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ex.foreign_key("o_custkey", cust, "c_custkey"),
     ]
     return ex.check_expectations(od, rules)
+
+
+@query(
+    "order_price_histogram",
+    """
+    SELECT CAST(least(floor(o_totalprice / 50000.0), 19) AS BIGINT) AS bucket,
+           count(*) AS n_orders,
+           CAST(min(o_totalprice) AS DOUBLE) AS lo,
+           CAST(max(o_totalprice) AS DOUBLE) AS hi
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def order_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram (equi-width buckets, clamped top bucket) —
+    the profiling primitive behind range-partition planning and UI
+    distribution charts.
+
+    The bucket id is a pure map-side expression (floor-divide + clamp,
+    identical IEEE arithmetic in every engine — no width_bucket dialect
+    dependence), so the only shuffle is the ≤20-row aggregate; per-bucket
+    min/max ride the same single pass. At 100 TB: scan-bound, like Q6.
+    """
+    od = tbl(spark, sf_dir, "orders")
+    bucket = F.least(F.floor(F.col("o_totalprice") / 50000.0), F.lit(19)).cast(
+        "bigint"
+    )
+    return (
+        od.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_totalprice").cast("double").alias("lo"),
+            F.max("o_totalprice").cast("double").alias("hi"),
+        )
+    )

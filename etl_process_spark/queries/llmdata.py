@@ -786,3 +786,62 @@ def packed_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").alias("total_tokens"),
         )
     )
+
+
+@query(
+    "doc_oov_rate",
+    f"""
+    WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS t FROM documents),
+    vocab AS (
+      SELECT t FROM tok GROUP BY t
+      ORDER BY count(*) DESC, t LIMIT 50),
+    scored AS (
+      SELECT tok.doc_id,
+             count(*) AS n_tokens,
+             sum(CASE WHEN vocab.t IS NULL THEN 1 ELSE 0 END) AS n_oov
+      FROM tok LEFT JOIN vocab ON tok.t = vocab.t
+      GROUP BY tok.doc_id)
+    SELECT doc_id, n_tokens, n_oov,
+           CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS oov_rate
+    FROM scored
+    """,
+)
+def doc_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per document against the corpus's own top-50
+    token vocabulary — the coverage check run before committing to a
+    tokenizer or filtering a crawl against a reference lexicon.
+
+    Two phases sharing one token explode: (1) vocabulary = top-k token
+    counts — map-combined partials into one token-keyed shuffle, top-50
+    via TakeOrdered with (count DESC, token) tie-break so the vocabulary
+    boundary is engine-exact; (2) the tiny vocab broadcasts back onto the
+    exploded tokens (a map-side hash probe — the corpus is never
+    re-shuffled for membership), and the per-doc aggregate groups on
+    doc_id. OOV fraction divides two exact longs in IEEE doubles.
+    """
+    docs = tbl(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("t"),
+    )
+    vocab = (
+        tok.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("t"))
+        .limit(50)
+        .select("t", F.lit(True).alias("in_vocab"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), on="t", how="left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).alias("n_oov"),
+        )
+        .select(
+            "doc_id", "n_tokens", "n_oov",
+            (F.col("n_oov").cast("double") / F.col("n_tokens").cast("double")).alias(
+                "oov_rate"
+            ),
+        )
+    )
