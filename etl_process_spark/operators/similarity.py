@@ -113,3 +113,36 @@ def ivf_topk_per_cell(
         .filter(F.col("rn") <= k)
         .select("cell", F.col(id_col), "dist2", "rn")
     )
+
+
+def ivf_search(
+    df: DataFrame, query_vec: DataFrame, k: int = 10, nprobe: int = 3,
+    cell_col: str = "label", vec_col: str = "embedding", id_col: str = "vec_id",
+) -> DataFrame:
+    """Full IVF search: probe the ``nprobe`` cells whose centroids are
+    most cosine-similar to the query, then brute-force rank only those
+    cells' members — the standard recall/cost dial of inverted-file ANN.
+
+    Plan at scale: the centroid table is (cells × dim) — computed with
+    one centroid-sized shuffle and broadcast for ranking; cell selection
+    is a tiny top-nprobe; the candidate restriction is a broadcast
+    left-semi join, so the corpus scan reads ~nprobe/ncells of the data
+    and nothing else moves. With the table Hive-partitioned by the cell
+    column (``TableCatalog.write_partitioned``) the semi join prunes to
+    the probed cells' directories — at 100 TB the scan cost IS the
+    recall dial. ``nprobe = ncells`` degenerates to exact brute force
+    (asserted in tests), so recall can be traded monotonically against
+    scan fraction.
+    """
+    cents = ivf_centroids(df, cell_col, vec_col)
+    ranked = (
+        cents.crossJoin(F.broadcast(query_vec))
+        .select("cell", F.round(cosine(F.col("centroid"), F.col("q")), 6).alias("csim"))
+        .orderBy(F.col("csim").desc(), F.col("cell"))
+        .limit(nprobe)
+        .select("cell")
+    )
+    candidates = df.join(
+        F.broadcast(ranked), df[cell_col] == ranked["cell"], "left_semi"
+    )
+    return cosine_topk(candidates, query_vec, k, id_col, vec_col)

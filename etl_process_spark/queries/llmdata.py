@@ -845,3 +845,45 @@ def doc_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "ivf_search_topk",
+    """
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    qn AS (SELECT sqrt(list_sum([qe[i]::DOUBLE * qe[i]::DOUBLE
+                                 for i in range(1, len(qe)+1)])) AS qnorm FROM q),
+    cent AS (
+      SELECT label AS cell, i, round(avg(embedding[i]::DOUBLE), 6) AS c
+      FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS i) s
+      GROUP BY label, i
+    ),
+    cellsim AS (
+      SELECT cell,
+             round(sum(c * qe[i]::DOUBLE) / (sqrt(sum(c * c)) * any_value(qnorm)), 6)
+               AS csim
+      FROM cent, q, qn
+      GROUP BY cell
+    ),
+    probe AS (SELECT cell FROM cellsim ORDER BY csim DESC, cell LIMIT 6)
+    SELECT vec_id,
+           round(
+             list_sum([embedding[i]::DOUBLE * qe[i]::DOUBLE
+                       for i in range(1, len(embedding)+1)])
+             / (sqrt(list_sum([embedding[i]::DOUBLE * embedding[i]::DOUBLE
+                               for i in range(1, len(embedding)+1)]))
+                * any_value(qnorm)), 6) AS cos_sim
+    FROM embeddings e JOIN probe p ON e.label = p.cell, q, qn
+    GROUP BY vec_id, embedding, qe
+    ORDER BY cos_sim DESC, vec_id
+    LIMIT 10
+    """,
+)
+def ivf_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full IVF search against vec_id=0: probe the 6 nearest-centroid
+    cells, brute-force only their members (operators/similarity.py::
+    ivf_search — the scan-fraction-vs-recall dial of inverted-file ANN;
+    recall quality asserted separately in tests/test_similarity.py)."""
+    emb = tbl(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    return sim.ivf_search(emb, qv, k=10, nprobe=6)

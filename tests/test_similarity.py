@@ -1,0 +1,63 @@
+"""IVF search quality: exactness at full probe, recall threshold and
+monotone recall/scan trade-off at partial probe — measured against the
+engine's own brute-force path on the sf0.01 embeddings (500 × 64, 10
+weakly-separated label cells)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_process_spark.operators.similarity import cosine_topk, ivf_search
+
+SF_DIR = "/root/testdata/sf0.01"
+K = 10
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+def _query_vec(emb, vec_id):
+    return F.broadcast(
+        emb.filter(F.col("vec_id") == vec_id).select(F.col("embedding").alias("q"))
+    )
+
+
+def _ids(df):
+    return [r["vec_id"] for r in df.collect()]
+
+
+def test_full_probe_equals_brute_force(emb):
+    q = _query_vec(emb, 0)
+    exact = _ids(cosine_topk(emb, q, k=K))
+    full = _ids(ivf_search(emb, q, k=K, nprobe=10))
+    assert full == exact
+
+
+def test_partial_probe_recall_above_threshold(emb):
+    """nprobe=6 of 10 cells: scan fraction ~0.6 must still recover most
+    true neighbors (offline measurement on this corpus: mean ~0.72,
+    min 0.5 over 30 queries — threshold set with margin)."""
+    recalls = []
+    for qid in range(10):
+        q = _query_vec(emb, qid)
+        exact = set(_ids(cosine_topk(emb, q, k=K)))
+        approx = set(_ids(ivf_search(emb, q, k=K, nprobe=6)))
+        recalls.append(len(exact & approx) / K)
+    assert sum(recalls) / len(recalls) >= 0.5, recalls
+
+
+def test_recall_monotone_in_nprobe(emb):
+    """More probed cells can only add candidates, so recall of the exact
+    top-k must be non-decreasing in nprobe for any single query."""
+    q = _query_vec(emb, 3)
+    exact = set(_ids(cosine_topk(emb, q, k=K)))
+    prev = -1.0
+    for nprobe in (2, 6, 10):
+        got = set(_ids(ivf_search(emb, q, k=K, nprobe=nprobe)))
+        rec = len(exact & got) / K
+        assert rec >= prev, (nprobe, rec, prev)
+        prev = rec
+    assert prev == 1.0  # nprobe=ncells is exact
