@@ -42,9 +42,18 @@ def time_bounded_join_stream(
     arrive. Matched rows emit on arrival in both modes; the watermark
     delay is therefore also the outer-result latency, the inherent
     trade-off of streaming outer joins.
+
+    ``how="full_outer"`` emits unmatched rows from BOTH sides. The time
+    bound gives each side a provable no-more-matches point — an
+    unmatched left row flushes when the watermark passes
+    ``left_ts + within``; an unmatched right row when it passes
+    ``right_ts`` (its match window is lefts with ``left_ts ∈
+    (right_ts - within, right_ts]``). Without bounds on both sides
+    Spark rejects the query, because neither side's state could ever
+    be declared dead.
     """
-    if how not in ("inner", "left_outer"):
-        raise ValueError(f"how must be inner or left_outer, got {how!r}")
+    if how not in ("inner", "left_outer", "full_outer"):
+        raise ValueError(f"how must be inner, left_outer or full_outer, got {how!r}")
     clash = (set(left.columns) & set(right.columns)) - {key}
     if clash:
         raise ValueError(f"left/right column clash: {sorted(clash)}")
@@ -55,8 +64,10 @@ def time_bounded_join_stream(
         & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}"))
         & (F.col(f"r.{right_ts}") < F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {within}"))
     )
+    # full_outer: unmatched RIGHT rows have no l.key — surface the key
+    # from whichever side is present.
     out_cols = (
-        [F.col(f"l.{key}").alias(key)]
+        [F.coalesce(F.col(f"l.{key}"), F.col(f"r.{key}")).alias(key)]
         + [F.col(f"l.{c}").alias(c) for c in left.columns if c != key]
         + [F.col(f"r.{c}").alias(c) for c in right.columns if c != key]
     )
@@ -75,7 +86,7 @@ def time_bounded_join_batch(
 ) -> DataFrame:
     """Batch twin of ``time_bounded_join_stream`` — identical condition,
     no watermarks. The stream==batch differential test runs both."""
-    how = {"left_outer": "left"}.get(how, how)
+    how = {"left_outer": "left", "full_outer": "full"}.get(how, how)
     l, r = left.alias("l"), right.alias("r")
     cond = (
         (F.col(f"l.{key}") == F.col(f"r.{key}"))
@@ -83,7 +94,7 @@ def time_bounded_join_batch(
         & (F.col(f"r.{right_ts}") < F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {within}"))
     )
     out_cols = (
-        [F.col(f"l.{key}").alias(key)]
+        [F.coalesce(F.col(f"l.{key}"), F.col(f"r.{key}")).alias(key)]
         + [F.col(f"l.{c}").alias(c) for c in left.columns if c != key]
         + [F.col(f"r.{c}").alias(c) for c in right.columns if c != key]
     )

@@ -468,3 +468,85 @@ def test_stream_static_enrichment_matches_batch(spark, event_inbox, tmp_path):
     cols = ["event_id", "event_type", "label"]
     assert _canon(got, cols) == _canon(batch, cols)
     assert got.count() == tbl(spark, SF_DIR, "events").count()
+
+
+def test_stream_stream_full_outer_join_matches_batch(spark, event_inbox, tmp_path):
+    """Full-outer stream-stream join ≡ batch full join, split three ways:
+    matched rows exact; each side's null-extended rows a subset of the
+    batch ones, and complete for rows whose flush point lies strictly
+    inside the final watermark (left flushes at c_ts + within, right at
+    v_ts)."""
+    import datetime as dt
+    import os
+    import shutil
+    import time
+
+    from etl_process_spark.streaming.joins import (
+        time_bounded_join_batch,
+        time_bounded_join_stream,
+    )
+
+    def split(df, kind, idc, tsc):
+        return df.filter(F.col("event_type") == kind).select(
+            "user_id",
+            F.col("event_id").alias(idc),
+            F.col("ts").alias(tsc),
+        )
+
+    inbox = tmp_path / "inbox_full"
+    inbox.mkdir()
+    for f in sorted(os.listdir(event_inbox)):
+        shutil.copy(os.path.join(event_inbox, f), inbox / f)
+        os.utime(inbox / f, (os.path.getmtime(os.path.join(event_inbox, f)),) * 2)
+    far = dt.datetime(2024, 6, 1)
+    sentinel = spark.createDataFrame(
+        [(-1, far, -999, "click", 0.0, "{}"), (-2, far, -999, "view", 0.0, "{}")],
+        schema=__import__(
+            "etl_process_spark.streaming.sources", fromlist=["events_schema"]
+        ).events_schema(),
+    )
+    sentinel.coalesce(1).write.parquet(str(tmp_path / "sentinel_full"))
+    src = next((tmp_path / "sentinel_full").glob("part-*.parquet"))
+    dst = inbox / "events_9_sentinel.parquet"
+    shutil.copy(src, dst)
+    os.utime(dst, (time.time() + 3600,) * 2)
+
+    l_stream = split(read_event_stream(spark, str(inbox), max_files_per_trigger=1),
+                     "click", "click_id", "c_ts")
+    r_stream = split(read_event_stream(spark, str(inbox), max_files_per_trigger=1),
+                     "view", "view_id", "v_ts")
+    got = _run_stream(
+        spark,
+        time_bounded_join_stream(
+            l_stream, r_stream, key="user_id", left_ts="c_ts", right_ts="v_ts",
+            watermark="0 seconds", within="6 hours", how="full_outer",
+        ),
+        tmp_path,
+        "ss_full_join",
+    ).filter(F.col("user_id") != -999)
+    ev = tbl(spark, SF_DIR, "events")
+    expected = time_bounded_join_batch(
+        split(ev, "click", "click_id", "c_ts"),
+        split(ev, "view", "view_id", "v_ts"),
+        key="user_id", left_ts="c_ts", right_ts="v_ts",
+        within="6 hours", how="full_outer",
+    )
+    cols = ["user_id", "click_id", "c_ts", "view_id", "v_ts"]
+    max_ts = ev.agg(F.max("ts")).first()[0]
+
+    matched = F.col("click_id").isNotNull() & F.col("view_id").isNotNull()
+    assert _canon(got.filter(matched), cols) == _canon(expected.filter(matched), cols)
+    assert len(_canon(got.filter(matched), cols)) > 0
+
+    for null_side, flush_before in (
+        (F.col("view_id").isNull() & F.col("click_id").isNotNull(),
+         F.col("c_ts") + F.expr("INTERVAL 6 HOURS") < F.lit(max_ts)),
+        (F.col("click_id").isNull() & F.col("view_id").isNotNull(),
+         F.col("v_ts") < F.lit(max_ts)),
+    ):
+        got_nulls = set(_canon(got.filter(null_side), cols))
+        exp_nulls = set(_canon(expected.filter(null_side), cols))
+        assert got_nulls <= exp_nulls
+        must_emit = set(_canon(expected.filter(null_side & flush_before), cols))
+        assert must_emit <= got_nulls
+        assert len(got_nulls) > 0
