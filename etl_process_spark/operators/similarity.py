@@ -146,3 +146,58 @@ def ivf_search(
         F.broadcast(ranked), df[cell_col] == ranked["cell"], "left_semi"
     )
     return cosine_topk(candidates, query_vec, k, id_col, vec_col)
+
+
+def knn_join(
+    corpus: DataFrame, queries: DataFrame, k: int = 5, nprobe: int | None = None,
+    cell_col: str = "label", vec_col: str = "embedding",
+    id_col: str = "vec_id", qid_col: str = "qid", qvec_col: str = "qvec",
+) -> DataFrame:
+    """Batched ANN: top-k corpus neighbors for EVERY query vector in one
+    plan — the production shape of similarity search (a retrieval batch,
+    not one lookup).
+
+    With ``nprobe`` set, each query explodes to its nprobe
+    nearest-centroid cells and candidates come from an EQUI join on the
+    cell id — so the corpus is probed hash-style, never cross-joined,
+    and compute + shuffle shrink by ~nprobe/ncells. ``nprobe=None`` is
+    the exact brute-force variant (corpus × queries via broadcast).
+    The per-query top-k is a rank over qid partitions; the shuffle
+    carries only scored candidates, keyed by qid — balanced as long as
+    queries are (each query contributes the same candidate count).
+    Scores round to 6 decimals with (score, id) tie-break for
+    cross-engine determinism.
+    """
+    from pyspark.sql import Window
+
+    q = queries.select(F.col(qid_col).alias("qid"), _dbl(F.col(qvec_col)).alias("qvec"))
+    if nprobe is not None:
+        cents = ivf_centroids(corpus, cell_col, vec_col)
+        cell_w = Window.partitionBy("qid").orderBy(
+            F.col("csim").desc(), F.col("cell").asc()
+        )
+        probes = (
+            q.crossJoin(F.broadcast(cents))
+            .select(
+                "qid", "qvec", "cell",
+                F.round(cosine(F.col("centroid"), F.col("qvec")), 6).alias("csim"),
+            )
+            .withColumn("crn", F.row_number().over(cell_w))
+            .filter(F.col("crn") <= nprobe)
+            .select("qid", "qvec", "cell")
+        )
+        cand = corpus.join(
+            F.broadcast(probes), corpus[cell_col] == probes["cell"]
+        )
+    else:
+        cand = corpus.crossJoin(F.broadcast(q))
+    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
+    return (
+        cand.select(
+            "qid", F.col(id_col),
+            F.round(cosine(F.col(vec_col), F.col("qvec")), 6).alias("cos_sim"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("qid", F.col(id_col), "cos_sim", F.col("rn").cast("int").alias("rn"))
+    )

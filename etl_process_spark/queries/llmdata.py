@@ -887,3 +887,60 @@ def ivf_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = tbl(spark, sf_dir, "embeddings")
     qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
     return sim.ivf_search(emb, qv, k=10, nprobe=6)
+
+
+@query(
+    "knn_join_probed",
+    """
+    WITH qs AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+                WHERE vec_id IN (0, 1, 2, 3, 4)),
+    qn AS (SELECT qid, sqrt(list_sum([qe[i]::DOUBLE * qe[i]::DOUBLE
+                                      for i in range(1, len(qe)+1)])) AS qnorm
+           FROM qs),
+    cent AS (
+      SELECT label AS cell, i, round(avg(embedding[i]::DOUBLE), 6) AS c
+      FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS i) s
+      GROUP BY label, i
+    ),
+    cellsim AS (
+      SELECT qs.qid, cent.cell,
+             round(sum(cent.c * qs.qe[cent.i]::DOUBLE)
+                   / (sqrt(sum(cent.c * cent.c)) * any_value(qn.qnorm)), 6) AS csim
+      FROM cent CROSS JOIN qs JOIN qn ON qn.qid = qs.qid
+      GROUP BY qs.qid, cent.cell
+    ),
+    probe AS (
+      SELECT qid, cell FROM (
+        SELECT qid, cell,
+               row_number() OVER (PARTITION BY qid ORDER BY csim DESC, cell) AS crn
+        FROM cellsim) WHERE crn <= 6
+    ),
+    scored AS (
+      SELECT p.qid, e.vec_id,
+             round(
+               list_sum([e.embedding[i]::DOUBLE * qs.qe[i]::DOUBLE
+                         for i in range(1, len(e.embedding)+1)])
+               / (sqrt(list_sum([e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE
+                                 for i in range(1, len(e.embedding)+1)]))
+                  * qn.qnorm), 6) AS cos_sim
+      FROM embeddings e JOIN probe p ON e.label = p.cell
+           JOIN qs ON qs.qid = p.qid JOIN qn ON qn.qid = p.qid
+    )
+    SELECT qid, vec_id, cos_sim, CAST(rn AS INT) AS rn FROM (
+      SELECT qid, vec_id, cos_sim,
+             row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rn
+      FROM scored) WHERE rn <= 5
+    """,
+)
+def knn_join_probed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched ANN retrieval: top-5 neighbors for 5 query vectors in one
+    plan, candidates restricted to each query's 6 nearest-centroid cells
+    (operators/similarity.py::knn_join). The corpus is probed through an
+    equi join on the cell id — never cross-joined against the query
+    batch — so cost scales with nprobe/ncells, and the per-query rank
+    shuffles only scored candidates keyed by qid."""
+    emb = tbl(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin(0, 1, 2, 3, 4)).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return sim.knn_join(emb, queries, k=5, nprobe=6)

@@ -61,3 +61,22 @@ def test_recall_monotone_in_nprobe(emb):
         assert rec >= prev, (nprobe, rec, prev)
         prev = rec
     assert prev == 1.0  # nprobe=ncells is exact
+
+
+def test_knn_join_exact_matches_per_query_topk(emb, spark):
+    """Brute-force knn_join (nprobe=None) must equal running cosine_topk
+    once per query — the batched plan changes cost, not results."""
+    from etl_process_spark.operators.similarity import knn_join
+
+    qids = [0, 3, 7]
+    queries = emb.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    got = {
+        (r["qid"], r["rn"]): (r["vec_id"], r["cos_sim"])
+        for r in knn_join(emb, queries, k=K, nprobe=None).collect()
+    }
+    for qid in qids:
+        q = _query_vec(emb, qid)
+        for rn, row in enumerate(cosine_topk(emb, q, k=K).collect(), start=1):
+            assert got[(qid, rn)] == (row["vec_id"], row["cos_sim"]), (qid, rn)
