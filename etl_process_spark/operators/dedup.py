@@ -389,3 +389,84 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+def fingerprint_index(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """The stored exact-dedup index: one (fp, keep_id) row per distinct
+    text currently in the corpus. At 100 TB this table (16-byte hashes)
+    is what survives between pipeline runs — the corpus itself is never
+    re-read to dedup a new batch."""
+    return exact_dedup(df, text_col, id_col).select("fp", "keep_id")
+
+
+def exact_dedup_incremental(
+    index: DataFrame, batch: DataFrame, text_col: str, id_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """Dedup a NEW batch against a stored fingerprint index.
+
+    Returns ``(kept, new_index)``: batch rows whose text is unseen (one
+    keeper per in-batch duplicate group, min id), and the index with the
+    keepers merged in. Exact dedup is associative — grouping by
+    fingerprint commutes with batching — so applying this per batch
+    yields EXACTLY the keep-set of a full-corpus recompute (asserted by
+    differential test). Cost per run: one batch-sized groupBy + an anti
+    join against the index (broadcast while the index is small; at scale
+    both sides bucket by fp and the join is co-located, with the batch
+    side always the small probe).
+    """
+    from etl_process_spark.operators.text import fingerprint
+
+    batch_keepers = (
+        batch.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keep_id"))
+    )
+    fresh = batch_keepers.join(index.select("fp"), on="fp", how="left_anti")
+    kept = batch.join(
+        fresh.select(F.col("keep_id").alias(id_col)), on=id_col, how="left_semi"
+    )
+    return kept, index.unionByName(fresh)
+
+
+def lsh_band_index(
+    df: DataFrame, text_col: str, id_col: str, num_hashes: int = 4,
+    band_size: int = 2, k: int = 3,
+) -> DataFrame:
+    """The stored near-dup index: (doc, band, bucket) assignments of the
+    current corpus — what a production pipeline persists so new batches
+    probe buckets instead of recomputing corpus signatures."""
+    return lsh_bands(df, text_col, id_col, num_hashes, band_size, k)
+
+
+def lsh_probe_pairs(
+    index: DataFrame, batch: DataFrame, text_col: str, id_col: str,
+    num_hashes: int = 4, band_size: int = 2, k: int = 3,
+) -> DataFrame:
+    """Near-dup candidate pairs of a NEW batch: (new, old) pairs via an
+    equi join of the batch's bands against the stored index, plus
+    (new, new) pairs within the batch — the corpus is NEVER re-banded
+    or self-joined.
+
+    Output columns (doc_a, doc_b) with doc_a < doc_b, distinct. This is
+    provably the full-corpus ``lsh_candidate_pairs`` restricted to pairs
+    touching the batch (bucket collision is pairwise — no transitivity
+    involved), so incremental probing loses nothing (differential test).
+    Shuffle: batch bands only; the index side of the join is pre-bucketed
+    by (band, bucket) at scale.
+    """
+    new_bands = lsh_bands(batch, text_col, id_col, num_hashes, band_size, k)
+    cross = (
+        new_bands.alias("n")
+        .join(
+            index.alias("o"),
+            (F.col("n.band") == F.col("o.band"))
+            & (F.col("n.bucket") == F.col("o.bucket"))
+            & (F.col("n.doc") != F.col("o.doc")),
+        )
+        .select(
+            F.least(F.col("n.doc"), F.col("o.doc")).alias("doc_a"),
+            F.greatest(F.col("n.doc"), F.col("o.doc")).alias("doc_b"),
+        )
+    )
+    within = bucket_pairs(new_bands)
+    return cross.unionByName(within).distinct()

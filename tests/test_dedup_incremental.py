@@ -1,0 +1,82 @@
+"""Incremental dedup differentials against full-corpus recompute.
+
+Exact dedup is associative, so batch-at-a-time application through the
+fingerprint index must reproduce the one-shot keep-set EXACTLY. LSH
+bucket collision is pairwise (no transitivity), so probing a stored band
+index with a new batch must surface EXACTLY the full-corpus candidate
+pairs that touch the batch."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_process_spark.operators.dedup import (
+    exact_dedup,
+    exact_dedup_incremental,
+    fingerprint_index,
+    lsh_band_index,
+    lsh_candidate_pairs,
+    lsh_probe_pairs,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    # Plant duplicates across the batch boundary: copies of early docs with
+    # high ids (land in the second batch), plus an in-batch duplicate pair.
+    clones = base.filter(F.col("doc_id") < 5).select(
+        (F.col("doc_id") + 10_000).alias("doc_id"), "text"
+    )
+    clone_pair = base.filter(F.col("doc_id") == 7).select(
+        (F.col("doc_id") + 20_000).alias("doc_id"), "text"
+    )
+    return base.unionByName(clones).unionByName(clone_pair).cache()
+
+
+def test_exact_incremental_equals_full_recompute(spark, docs):
+    full_keep = {
+        r["keep_id"] for r in exact_dedup(docs, "text", "doc_id").collect()
+    }
+
+    split = 250
+    b1 = docs.filter(F.col("doc_id") < split)
+    b2 = docs.filter(F.col("doc_id") >= split)
+    empty_index = fingerprint_index(b1.limit(0), "text", "doc_id")
+    kept1, idx = exact_dedup_incremental(empty_index, b1, "text", "doc_id")
+    kept2, idx = exact_dedup_incremental(idx, b2, "text", "doc_id")
+    inc_keep = {r["doc_id"] for r in kept1.collect()} | {
+        r["doc_id"] for r in kept2.collect()
+    }
+    assert inc_keep == full_keep
+    # the planted cross-batch clones were dropped in batch 2
+    assert not any(k >= 10_000 for k in inc_keep)
+    # index covers every distinct text exactly once
+    assert idx.count() == docs.select("text").distinct().count()
+
+
+def test_lsh_probe_equals_full_pairs_touching_batch(spark, docs):
+    split = 250
+    corpus = docs.filter(F.col("doc_id") < split)
+    batch = docs.filter(F.col("doc_id") >= split)
+    batch_ids = {r["doc_id"] for r in batch.select("doc_id").collect()}
+
+    full_pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_candidate_pairs(docs, "text", "doc_id").collect()
+    }
+    expected = {
+        p for p in full_pairs if p[0] in batch_ids or p[1] in batch_ids
+    }
+
+    idx = lsh_band_index(corpus, "text", "doc_id")
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_probe_pairs(idx, batch, "text", "doc_id").collect()
+    }
+    assert got == expected
+    # the planted clones guarantee cross pairs exist — not vacuous
+    assert any(a < split <= b for a, b in got)
