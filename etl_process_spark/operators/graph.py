@@ -193,3 +193,68 @@ def connected_components_star(
         "node", F.col("node").alias("component")
     )
     return labeled.unionByName(isolated)
+
+
+def pagerank_fixed_point(
+    edges: DataFrame,
+    iterations: int = 3,
+    damping_pct: int = 85,
+    unit: int = 10**12,
+    src: str = "src",
+    dst: str = "dst",
+    broadcast_ranks: bool = False,
+) -> DataFrame:
+    """PageRank over the (symmetrized) edge graph in FIXED-POINT integer
+    arithmetic — every rank is a BIGINT count of 1e-12 units, so the
+    result is bit-identical on any engine, any partitioning, any retry.
+
+    Floating-point PageRank is famously non-deterministic in distributed
+    settings: partial-sum order changes the low bits, and low bits decide
+    ranking ties. Here every operation is integer (floor-div by
+    out-degree for each contribution, floor-div for the damping factor),
+    which makes the operator oracle-checkable exactly — the price is a
+    quantization error ≤ out_degree × 1 unit per node per round,
+    irrelevant at 1e-12 granularity.
+
+    Per iteration: one shuffle (contributions grouped by destination).
+    The symmetrized, degree-annotated edge list is computed once and
+    localCheckpoint-ed — iterations re-scan it without re-deriving.
+    Lineage is truncated per round so round N doesn't re-plan rounds
+    1..N-1 (the same discipline as connected_components).
+
+    ``broadcast_ranks=True`` additionally broadcasts the rank table into
+    the edge join each round, so the (much larger) edge list is never
+    shuffled — right whenever node count ≪ edge count (dense graphs,
+    e.g. co-occurrence). Leave False for graphs whose node set itself
+    is beyond broadcast size; AQE still localizes what it can.
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    adj = sym.join(deg, on="u").localCheckpoint()
+
+    nodes = adj.select(F.col("u").alias("node")).distinct().localCheckpoint()
+    n = nodes.count()
+    base = ((100 - damping_pct) * unit) // (100 * n)
+    ranks = nodes.withColumn("r", F.lit(unit // n).cast("long"))
+
+    for _ in range(iterations):
+        rank_side = F.broadcast(ranks) if broadcast_ranks else ranks
+        contribs = (
+            adj.join(rank_side, adj.u == rank_side.node)
+            .select(F.col("v"), F.expr("r div d").alias("c"))
+            .groupBy("v")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.join(contribs, nodes.node == contribs.v, "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(f"({damping_pct} * coalesce(s, 0L)) div 100")
+                ).cast("long").alias("r"),
+            )
+            .localCheckpoint()
+        )
+    return ranks

@@ -1022,3 +1022,66 @@ def order_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_totalprice").cast("double").alias("hi"),
         )
     )
+
+
+@query(
+    "part_pagerank",
+    """
+    WITH e AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+    deg AS (SELECT u, count(*) AS d FROM e GROUP BY u),
+    nodes AS (SELECT DISTINCT u AS node FROM e),
+    params AS (SELECT count(*) AS n,
+                      (15 * 1000000000000) // (100 * count(*)) AS base,
+                      1000000000000 // count(*) AS r_init
+               FROM nodes),
+    r0 AS (SELECT node, CAST(r_init AS BIGINT) AS r FROM nodes, params),
+    c1 AS (SELECT e.v AS node, sum(r0.r // deg.d) AS s
+           FROM e JOIN deg USING (u) JOIN r0 ON r0.node = e.u GROUP BY e.v),
+    r1 AS (SELECT nodes.node,
+                  CAST(base + (85 * coalesce(s, 0)) // 100 AS BIGINT) AS r
+           FROM nodes CROSS JOIN params LEFT JOIN c1 ON c1.node = nodes.node),
+    c2 AS (SELECT e.v AS node, sum(r1.r // deg.d) AS s
+           FROM e JOIN deg USING (u) JOIN r1 ON r1.node = e.u GROUP BY e.v),
+    r2 AS (SELECT nodes.node,
+                  CAST(base + (85 * coalesce(s, 0)) // 100 AS BIGINT) AS r
+           FROM nodes CROSS JOIN params LEFT JOIN c2 ON c2.node = nodes.node),
+    c3 AS (SELECT e.v AS node, sum(r2.r // deg.d) AS s
+           FROM e JOIN deg USING (u) JOIN r2 ON r2.node = e.u GROUP BY e.v)
+    SELECT nodes.node AS part_key,
+           CAST(base + (85 * coalesce(s, 0)) // 100 AS BIGINT) AS rank_units
+    FROM nodes CROSS JOIN params LEFT JOIN c3 ON c3.node = nodes.node
+    """,
+)
+def part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (3 iterations, damping 0.85) over the part co-purchase
+    graph — parts sharing an order are neighbors — in fixed-point
+    BIGINT arithmetic (operators/graph.py::pagerank_fixed_point).
+
+    Floating PageRank can't be oracle-checked exactly (partial-sum order
+    moves the low bits); integer units make every engine agree to the
+    last digit. The co-occurrence self-join shuffles lineitem once on
+    orderkey; each iteration is one contribution shuffle over the cached
+    degree-annotated edges.
+    """
+    from etl_process_spark.operators.graph import pagerank_fixed_point
+
+    li = tbl(spark, sf_dir, "lineitem")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, on="ok")
+        .filter(F.col("u") != F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    return pagerank_fixed_point(
+        edges, iterations=3, src="u", dst="v",
+        # 20k part nodes vs ~2.4M co-occurrence edges: broadcasting the
+        # rank table keeps the edge list un-shuffled every round.
+        broadcast_ranks=True,
+    ).select(
+        F.col("node").alias("part_key"), F.col("r").alias("rank_units")
+    )

@@ -39,6 +39,17 @@ def get_spark(app_name: str = "etl_process_spark", master: str | None = None,
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Size the single local JVM for the machine (128 GiB box, 32 task
+        # threads): the 1 GiB default heap OOMs once ~32 concurrent
+        # hash-aggregate/sort tasks each hold partial maps (seen on the
+        # part co-occurrence self-join at sf0.1). On a real cluster this
+        # is the submitter's executor-memory setting; here it is the
+        # spill-aware equivalent of sizing executor memory to partitions.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # JVM unified logging writes [gc,alloc] warnings to STDOUT, which
+        # corrupts bench.py's one-JSON-line contract under memory
+        # pressure — route JVM logging off entirely.
+        .config("spark.driver.extraJavaOptions", "-Xlog:disable")
     )
     for key, value in (extra_conf or {}).items():
         builder = builder.config(key, value)

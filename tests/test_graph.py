@@ -112,3 +112,20 @@ def test_star_high_diameter_path(spark):
 )
 def test_star_matches_bfs_on_random_graphs(spark, edges):
     assert _components_star(spark, edges) == _bfs_components(edges)
+
+
+def test_pagerank_fixed_point_star_graph_ranks_hub_highest(spark):
+    """On a star graph the hub must out-rank every leaf, leaves must tie
+    exactly (integer arithmetic — EXACT ties, no float fuzz), and total
+    mass stays within quantization loss of one unit-sum."""
+    from etl_process_spark.operators.graph import pagerank_fixed_point
+
+    leaves = list(range(1, 9))
+    edges = spark.createDataFrame([(0, l) for l in leaves], ["src", "dst"])
+    ranks = {r["node"]: r["r"] for r in pagerank_fixed_point(edges, iterations=5).collect()}
+    hub, leaf_ranks = ranks[0], [ranks[l] for l in leaves]
+    assert hub > max(leaf_ranks)
+    assert len(set(leaf_ranks)) == 1  # exact tie
+    total = hub + sum(leaf_ranks)
+    assert 0 < total <= 10**12  # mass bounded; floor-divs only lose units
+    assert total > 0.9 * 10**12
