@@ -1085,3 +1085,95 @@ def part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("node").alias("part_key"), F.col("r").alias("rank_units")
     )
+
+
+@query(
+    "daily_order_counts_dense",
+    """
+    WITH b AS (SELECT min(CAST(o_orderdate AS DATE)) AS lo,
+                      max(CAST(o_orderdate AS DATE)) AS hi FROM orders),
+    days AS (SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+               AS day FROM b),
+    c AS (SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n
+          FROM orders GROUP BY 1)
+    SELECT days.day, CAST(coalesce(c.n, 0) AS BIGINT) AS n_orders
+    FROM days LEFT JOIN c ON c.day = days.day
+    """,
+)
+def daily_order_counts_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-scaffold densification: daily order counts with explicit
+    zero rows for orderless days — the gap-filling every reporting layer
+    needs before charting or window math (a missing day silently skews
+    moving averages).
+
+    The scaffold is generated, not stored: one (min, max) aggregate, then
+    ``sequence``+``explode`` of the date range — a few thousand rows from
+    a 2-row input, broadcast into the left join against the per-day
+    counts. The fact table is touched exactly once (the count aggregate);
+    at 100 TB the scaffold side is still a few thousand rows.
+    """
+    od = tbl(spark, sf_dir, "orders")
+    bounds = od.agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("lo"),
+        F.max(F.col("o_orderdate").cast("date")).alias("hi"),
+    )
+    days = bounds.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("day")
+    )
+    counts = (
+        od.groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        F.broadcast(days)
+        .join(counts, on="day", how="left")
+        .select("day", F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_orders"))
+    )
+
+
+@query(
+    "similar_part_names",
+    """
+    WITH names AS (SELECT DISTINCT p_name FROM part)
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+    FROM names a JOIN names b
+      ON substr(a.p_name, 1, 1) = substr(b.p_name, 1, 1)
+     AND abs(length(a.p_name) - length(b.p_name)) <= 1
+     AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 2
+    """,
+)
+def similar_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string join with blocking keys — the approximate-match
+    sibling of the trim-join (J5): find name pairs within edit distance
+    2 WITHOUT an all-pairs comparison.
+
+    Candidates must share a blocking key (first character + length
+    within 1 — both necessary conditions for small edit distance), so
+    the join is an equi join on the block with the length band and the
+    edit distance as residual filters. The quadratic work happens only
+    inside blocks: at 100 TB you block on (first char, length) exactly
+    like this and the per-block pair count, not the corpus size, bounds
+    the cost. Dedup to distinct names first — repeated strings would
+    multiply every pair through the join.
+    """
+    part = tbl(spark, sf_dir, "part")
+    names = part.select("p_name").distinct()
+    a = names.select(F.col("p_name").alias("name_a"))
+    b = names.select(F.col("p_name").alias("name_b"))
+    return (
+        a.join(
+            b,
+            (F.substring("name_a", 1, 1) == F.substring("name_b", 1, 1))
+            & (
+                F.abs(F.length("name_a") - F.length("name_b")) <= 1
+            )
+            & (F.col("name_a") < F.col("name_b")),
+        )
+        .filter(F.levenshtein("name_a", "name_b") <= 2)
+        .select(
+            "name_a", "name_b",
+            F.levenshtein("name_a", "name_b").cast("int").alias("dist"),
+        )
+    )
