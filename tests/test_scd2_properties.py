@@ -148,3 +148,49 @@ def test_scd2_current_filters_tombstones(spark):
     assert cur == {"k1"}
     cur_all = {r["k"] for r in scd2_current(dim, include_deleted=True).collect()}
     assert cur_all == {"k1", "k2"}
+
+
+def _run_history_no_deletes(spark, days: list[dict]):
+    """Chronological merges WITHOUT delete detection (rebuild has no
+    source-snapshot concept, so the equivalence universe is upsert-only)."""
+    dim = scd2_init(_mk_batch(spark, days[0], _day_ts(0)), "k", ["v"], F.col("batch_ts"))
+    dim, rows = _materialize(spark, dim)
+    for i, state in enumerate(days[1:], start=1):
+        dim = scd2_merge(
+            dim,
+            _mk_batch(spark, state, _day_ts(i)),
+            "k",
+            ["v"],
+            new_effective_from=F.col("batch_ts"),
+            changed_effective_from=F.col("batch_ts"),
+        )
+        dim, rows = _materialize(spark, dim)
+    return rows
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(data=st.data(), days=histories.filter(lambda d: len(d) >= 2))
+def test_scd2_rebuild_is_order_independent(spark, data, days):
+    """Applying day batches in ANY order through scd2_rebuild yields the
+    same history as chronological scd2_merge application — the property
+    that makes late CDC data safe."""
+    from etl_process_spark.operators.scd2 import scd2_rebuild
+
+    in_order = _run_history_no_deletes(spark, days)
+
+    perm = data.draw(st.permutations(list(range(1, len(days)))))
+    dim = scd2_init(_mk_batch(spark, days[0], _day_ts(0)), "k", ["v"], F.col("batch_ts"))
+    dim, rows = _materialize(spark, dim)
+    for i in perm:
+        late = _mk_batch(spark, days[i], _day_ts(i)).withColumnRenamed(
+            "batch_ts", "effective_from"
+        )
+        dim = scd2_rebuild(dim, late, "k", ["v"])
+        dim, rows = _materialize(spark, dim)
+
+    canon = lambda rs: sorted((tuple(r) for r in rs), key=repr)  # noqa: E731
+    assert canon(rows) == canon(in_order), (days, perm)
