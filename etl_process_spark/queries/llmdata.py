@@ -944,3 +944,51 @@ def knn_join_probed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
     return sim.knn_join(emb, queries, k=5, nprobe=6)
+
+
+@query(
+    "embedding_topk_cosine_int8",
+    """
+    WITH qz AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(round(x::DOUBLE * 127 / (CASE WHEN amax > 0 THEN amax ELSE 1 END)) AS INT)) AS q
+      FROM (SELECT vec_id, embedding,
+                   list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS amax
+            FROM embeddings)),
+    qv AS (SELECT q AS query_q FROM qz WHERE vec_id = 0)
+    SELECT vec_id,
+           round(
+             list_sum([ (q[i] * query_q[i])::DOUBLE for i in range(1, len(q)+1) ])
+             / (sqrt(list_sum([ (q[i] * q[i])::DOUBLE for i in range(1, len(q)+1) ]))
+                * sqrt(list_sum([ (query_q[i] * query_q[i])::DOUBLE
+                                  for i in range(1, len(query_q)+1) ]))), 6) AS cos_sim_q
+    FROM qz, qv
+    ORDER BY cos_sim_q DESC, vec_id
+    LIMIT 10
+    """,
+)
+def embedding_topk_cosine_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 cosine over int8-QUANTIZED vectors (operators/similarity.py::
+    quantize_int8 / cosine_quantized) against vec_id=0 — the coarse-rank
+    path that scans 4× less data; the per-vector scale cancels in the
+    ratio so scoring is integer dot products and norms.
+
+    Oracle-exact because quantization itself is deterministic
+    (round-half-away on the same doubles in both engines) and the cosine
+    over int components divides exactly representable integer sums.
+    """
+    emb = tbl(spark, sf_dir, "embeddings")
+    qdf = sim.quantize_int8(emb)
+    qv = qdf.filter(F.col("vec_id") == 0).select(F.col("qvec").alias("query_q"))
+    return (
+        qdf.crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            F.round(sim.cosine_quantized(F.col("qvec"), F.col("query_q")), 6).alias(
+                "cos_sim_q"
+            ),
+        )
+        .orderBy(F.col("cos_sim_q").desc(), F.col("vec_id"))
+        .limit(10)
+    )
