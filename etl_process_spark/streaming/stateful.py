@@ -169,3 +169,98 @@ def sessionize_batch(
         )
         .select(key_col, "session_start", "session_end", "n_events", "total_value")
     )
+
+
+def sessionize_stream_tws(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """The same gap-sessionizer on Spark 4's ``transformWithStateInPandas``
+    — the successor API to ``applyInPandasWithState`` (SPARK-49564):
+    named state variables instead of one tuple, explicit timer
+    registration instead of a single timeout slot, and a processor class
+    whose ``handleExpiredTimer`` separates timer logic from input logic.
+
+    Behavioral contract is identical to ``sessionize_stream`` (append
+    mode, close at ``last_ts + gap`` via event-time timer or a later
+    event); the stream-vs-batch differential covers both operators.
+    State per key: one (ss, lt, n, tv) value — O(active keys).
+
+    Runtime dependency: Spark's transformWithState Python worker speaks a
+    protobuf protocol (``StateMessage_pb2``), so this operator needs
+    ``google.protobuf`` at runtime (the differential test skips where it
+    is absent; ``sessionize_stream`` has no such dependency).
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    gap_us = gap_seconds * 1_000_000
+
+    class _SessionProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            self._state = handle.getValueState(
+                "sess", "ss long, lt long, n long, tv double"
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            (user_id,) = key
+            pdf = pd.concat(list(rows), ignore_index=True)
+            pdf = pdf.sort_values(ts_col, kind="mergesort")
+            ts_us = pdf[ts_col].to_numpy().astype("datetime64[us]").astype("int64")
+            vals = pdf["value"].to_numpy()
+
+            if self._state.exists():
+                ss, lt, n, tv = self._state.get()
+            else:
+                ss, lt, n, tv = None, 0, 0, 0.0
+
+            closed = []
+            for t, v in zip(ts_us, vals):
+                t = int(t)
+                if ss is None:
+                    ss, lt, n, tv = t, t, 1, float(v)
+                elif t - lt >= gap_us:
+                    closed.append((ss, lt, n, tv))
+                    ss, lt, n, tv = t, t, 1, float(v)
+                else:
+                    lt, n, tv = t, n + 1, tv + float(v)
+
+            wm_us = timer_values.getCurrentWatermarkInMs() * 1000
+            if ss is not None and lt + gap_us <= wm_us:
+                closed.append((ss, lt, n, tv))
+                self._state.clear()
+            else:
+                self._state.update((ss, lt, n, tv))
+                self._handle.registerTimer((lt + gap_us) // 1000)
+
+            for c in closed:
+                yield _emit(user_id, *c, gap_us)
+
+        def handleExpiredTimer(self, key, timer_values, expired_timer_info):
+            # Stale timers happen by design: extending a session registers
+            # a later timer without deleting the earlier one. Only close
+            # when the FIRED expiry is the current session's close point.
+            (user_id,) = key
+            expiry_us = expired_timer_info.getExpiryTimeInMs() * 1000
+            if self._state.exists():
+                ss, lt, n, tv = self._state.get()
+                if ss is not None and expiry_us >= lt + gap_us:
+                    self._state.clear()
+                    yield _emit(user_id, ss, lt, n, tv, gap_us)
+
+        def close(self) -> None:
+            pass
+
+    src = events.withWatermark(ts_col, watermark)
+    return src.groupBy(key_col).transformWithStateInPandas(
+        statefulProcessor=_SessionProcessor(),
+        outputStructType=SESSION_SCHEMA,
+        outputMode="append",
+        timeMode="eventTime",
+    )

@@ -550,3 +550,36 @@ def test_stream_stream_full_outer_join_matches_batch(spark, event_inbox, tmp_pat
         must_emit = set(_canon(expected.filter(null_side & flush_before), cols))
         assert must_emit <= got_nulls
         assert len(got_nulls) > 0
+
+
+def test_tws_sessionizer_matches_batch_and_legacy_stream(spark, event_inbox, tmp_path):
+    """transformWithStateInPandas sessionizer: same contract as the
+    applyInPandasWithState one — every emitted session is a batch
+    session, at most one (still-open) session per user withheld.
+
+    Skips where protobuf is unavailable: Spark's transformWithState
+    Python worker protocol is protobuf-based (StateMessage_pb2), and
+    this container does not ship google.protobuf."""
+    pytest.importorskip(
+        "google.protobuf.descriptor",
+        reason="transformWithState worker protocol needs protobuf",
+    )
+    from etl_process_spark.streaming.sources import read_event_stream
+    from etl_process_spark.streaming.stateful import (
+        sessionize_batch,
+        sessionize_stream_tws,
+    )
+
+    stream = read_event_stream(spark, event_inbox, max_files_per_trigger=1)
+    got = _run_stream(
+        spark, sessionize_stream_tws(stream, gap_seconds=1800), tmp_path, "tws_sessions"
+    )
+    batch = sessionize_batch(tbl(spark, SF_DIR, "events"), gap_seconds=1800)
+    cols = ["user_id", "session_start", "session_end", "n_events", "total_value"]
+    got_rows = _canon(got, cols)
+    batch_rows = _canon(batch, cols)
+    assert set(got_rows) <= set(batch_rows)
+    n_users = tbl(spark, SF_DIR, "events").select("user_id").distinct().count()
+    assert len(set(batch_rows) - set(got_rows)) <= n_users
+    assert len(got_rows) >= len(batch_rows) - n_users
+    assert len(got_rows) > 0
