@@ -1177,3 +1177,53 @@ def similar_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.levenshtein("name_a", "name_b").cast("int").alias("dist"),
         )
     )
+
+
+@query(
+    "nation_presence_full_outer",
+    """
+    WITH c AS (SELECT c_nationkey AS nk, count(*) AS n_cust
+               FROM customer GROUP BY c_nationkey),
+         s AS (SELECT s_nationkey AS nk, count(*) AS n_supp
+               FROM supplier WHERE s_acctbal > 4000 GROUP BY s_nationkey)
+    SELECT coalesce(c.nk, s.nk) AS nationkey,
+           CAST(coalesce(n_cust, 0) AS BIGINT) AS n_cust,
+           CAST(coalesce(n_supp, 0) AS BIGINT) AS n_supp,
+           c.nk IS NOT NULL AND s.nk IS NOT NULL AS both_present
+    FROM c FULL OUTER JOIN s ON c.nk = s.nk
+    """,
+)
+def nation_presence_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER equi join — the one join shape the reference lacks
+    entirely (SURVEY §2.3 'not present'): nations with customers only,
+    rich suppliers only, or both, null-extended from either side and
+    keyed via coalesce across sides.
+
+    Both inputs are pre-aggregated to ≤25 rows before the join, so the
+    expensive scans feed map-combined aggregates and the full-outer
+    itself joins dimension-sized frames. (Spark plans full outer as
+    SMJ/shuffle-hash — it cannot broadcast a full outer — which is why
+    aggregating FIRST matters: full-outer-then-aggregate would shuffle
+    the raw tables.)
+    """
+    cust = tbl(spark, sf_dir, "customer")
+    supp = tbl(spark, sf_dir, "supplier")
+    c = cust.groupBy(F.col("c_nationkey").alias("c_nk")).agg(
+        F.count(F.lit(1)).alias("n_cust")
+    )
+    s = (
+        supp.filter(F.col("s_acctbal") > 4000)
+        .groupBy(F.col("s_nationkey").alias("s_nk"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return (
+        c.join(s, c.c_nk == s.s_nk, "full_outer")
+        .select(
+            F.coalesce(F.col("c_nk"), F.col("s_nk")).alias("nationkey"),
+            F.coalesce(F.col("n_cust"), F.lit(0)).cast("bigint").alias("n_cust"),
+            F.coalesce(F.col("n_supp"), F.lit(0)).cast("bigint").alias("n_supp"),
+            (F.col("c_nk").isNotNull() & F.col("s_nk").isNotNull()).alias(
+                "both_present"
+            ),
+        )
+    )
