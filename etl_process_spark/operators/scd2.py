@@ -268,3 +268,29 @@ def scd2_rebuild(
         F.col("deleted_flg"),
     )
     return untouched.select(out_cols).unionByName(rebuilt.select(out_cols))
+
+
+def scd2_asof(dim: DataFrame, ts, include_deleted: bool = False) -> DataFrame:
+    """Point-in-time reconstruction: the dimension exactly as it stood at
+    ``ts`` — one row per key whose version interval covers the instant.
+
+    Interval semantics follow the reference's close idiom (successor
+    opens at T, predecessor closes at T - 1s, terminals.py:134): a
+    version covers ``[effective_from, effective_to]`` INCLUSIVE, so
+    ``ts`` equal to a version's open instant selects the new version and
+    anything up to (and including) the close instant selects the old.
+    Tombstoned keys are absent unless ``include_deleted``.
+
+    This is the dimension-side twin of the fact-side as-of join (J4,
+    operators/asof.py) and the query behind "rerun yesterday's report
+    against yesterday's dimensions". A pure filter — pushed to the scan,
+    no shuffle; on a dim partitioned by effective_from range the filter
+    also prunes files.
+    """
+    at = F.to_timestamp(F.lit(str(ts)))
+    snap = dim.filter(
+        (F.col("effective_from") <= at) & (at <= F.col("effective_to"))
+    )
+    if not include_deleted:
+        snap = snap.filter(F.col("deleted_flg") == "N")
+    return snap

@@ -225,3 +225,42 @@ def test_rebuild_out_of_order_equals_sequential_in_order_merges(spark):
     assert sorted(map(tuple, shuffled.collect())) == sorted(
         map(tuple, in_order.collect())
     )
+
+
+def test_scd2_asof_reconstructs_each_day(spark):
+    """Snapshot at T0, mid-interval, exactly at a version boundary, and
+    after a delete — the inclusive-interval semantics of the -1s close."""
+    from etl_process_spark.operators.scd2 import scd2_asof
+
+    t2 = dt.datetime(2021, 1, 5)
+    dim = _merge_snapshot(
+        _dim0(spark),
+        _dim0(spark).sparkSession.createDataFrame(
+            [("A", "Kazan", "POS"), ("C", None, "POS")],  # B deleted
+            ["tid", "city", "kind"],
+        ),
+        t2,
+    ).cache()
+
+    day0 = {r["tid"]: r["city"] for r in scd2_asof(dim, T0).collect()}
+    assert day0 == {"A": "Moscow", "B": "Perm", "C": None}
+
+    # strictly inside A's first interval
+    mid = {r["tid"]: r["city"] for r in scd2_asof(dim, dt.datetime(2021, 1, 3)).collect()}
+    assert mid["A"] == "Moscow"
+
+    # exactly at the new version's open instant -> new version
+    at_t2 = {r["tid"]: r["city"] for r in scd2_asof(dim, t2).collect()}
+    assert at_t2["A"] == "Kazan"
+    # exactly at the close instant (t2 - 1s) -> old version
+    at_close = {
+        r["tid"]: r["city"]
+        for r in scd2_asof(dim, t2 - dt.timedelta(seconds=1)).collect()
+    }
+    assert at_close["A"] == "Moscow"
+
+    # B tombstoned at CLOCK: absent after, visible with include_deleted
+    after = scd2_asof(dim, CLOCK + dt.timedelta(hours=1))
+    assert "B" not in {r["tid"] for r in after.collect()}
+    with_del = scd2_asof(dim, CLOCK + dt.timedelta(hours=1), include_deleted=True)
+    assert {r["tid"] for r in with_del.collect()} == {"A", "B", "C"}
