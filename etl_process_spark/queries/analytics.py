@@ -1227,3 +1227,42 @@ def nation_presence_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "price_band_running_sum",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+             PARTITION BY o_custkey ORDER BY o_totalprice
+             RANGE BETWEEN 50000 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS band_sum,
+           count(*) OVER (
+             PARTITION BY o_custkey ORDER BY o_totalprice
+             RANGE BETWEEN 50000 PRECEDING AND CURRENT ROW) AS band_n
+    FROM orders
+    """,
+)
+def price_band_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VALUE-based RANGE frame (the numeric sibling of the time-interval
+    frame in trailing_week_user_value): for each order, the sum and count
+    of the customer's orders priced within 50k below it.
+
+    RANGE frames are defined on the ORDER BY VALUE, not row positions —
+    peers (exact price ties) are always fully included, which makes the
+    result deterministic even though the tie ORDER is not. One shuffle
+    on the partition key; the frame scan is a sliding two-pointer over
+    each sorted partition, O(rows), not O(rows × frame width).
+    """
+    od = tbl(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_totalprice")
+        .rangeBetween(-50000, Window.currentRow)
+    )
+    return od.select(
+        "o_orderkey", "o_custkey", "o_totalprice",
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+        .over(w).cast("double").alias("band_sum"),
+        F.count(F.lit(1)).over(w).alias("band_n"),
+    )
