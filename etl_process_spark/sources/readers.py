@@ -142,3 +142,27 @@ def read_excel(
     if file_date is not None:
         df = df.withColumn("update_dt", F.lit(file_date))
     return df
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str | list[str],
+    schema: str | None = None,
+    **options: str,
+) -> DataFrame:
+    """JSON-lines scan with an EXPLICIT schema (newline-delimited JSON —
+    the interchange format crawls and API dumps arrive in).
+
+    Schema is required thinking at scale: ``inferSchema`` on JSON is a
+    full extra pass over 100 TB and can widen types differently per run;
+    an explicit DDL string pins one pass and one contract. Records that
+    do not parse land in ``_corrupt_record`` (PERMISSIVE mode) rather
+    than failing the scan — the dead-letter philosophy of the loaders
+    (quarantine_transactions) applied at the source.
+    """
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.json(path)

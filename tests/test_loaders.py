@@ -401,3 +401,44 @@ def test_quarantine_reject_of_double_bad_row_lists_both_reasons(spark, tmp_path)
         "unparseable_transaction_date",
         "unparseable_amount",
     ]
+
+
+def test_jsonl_and_orc_source_roundtrips(spark, tmp_path):
+    """Source-format breadth: the same events rows survive parquet ->
+    JSONL and parquet -> ORC round trips bit-identically (ORC is the
+    other columnar format Spark ships natively; JSONL is the crawl/API
+    interchange format). JSONL needs the explicit schema — its types
+    would otherwise widen per inference pass."""
+    from etl_process_spark.queries.registry import tbl
+    from etl_process_spark.sources.readers import read_jsonl
+
+    ev = tbl(spark, "/root/testdata/sf0.001", "events")
+    canon = sorted(map(tuple, ev.collect()))
+
+    jdir = str(tmp_path / "events_jsonl")
+    # default JSON timestampFormat truncates to milliseconds — pin a
+    # microsecond pattern on BOTH sides or the roundtrip silently lossy
+    micros_fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+    ev.write.option("timestampFormat", micros_fmt).json(jdir)
+    got_j = read_jsonl(
+        spark, jdir,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+        timestampFormat=micros_fmt,
+    ).select(*ev.columns)
+    assert sorted(map(tuple, got_j.collect())) == canon
+
+    odir = str(tmp_path / "events_orc")
+    ev.write.orc(odir)
+    got_o = spark.read.orc(odir).select(*ev.columns)
+    assert sorted(map(tuple, got_o.collect())) == canon
+
+    # corrupt JSONL line -> PERMISSIVE null row, not a failed scan
+    bad = tmp_path / "bad.jsonl"
+    bad.write_text('{"event_id": 1, "ts": "2024-01-01 00:00:00"}\nNOT JSON\n')
+    parsed = read_jsonl(
+        spark, str(bad), "event_id long, ts timestamp, _corrupt_record string"
+    )
+    rows = parsed.collect()
+    assert len(rows) == 2
+    assert sum(r["_corrupt_record"] is not None for r in rows) == 1
