@@ -149,6 +149,31 @@ def run_daily_batch(
         if archive:
             term_inbox.archive(path)
 
+    # --- data-quality gate: declarative expectations on the fact ----------
+    # The reference's only check is a row-count print; the engine writes a
+    # per-run violations report (one scan + one key shuffle, expectations.py).
+    if cat.exists("fact_transactions"):
+        from etl_process_spark.pipeline import expectations as ex
+
+        fact = cat.read("fact_transactions")
+        dq = ex.check_expectations(
+            fact,
+            [
+                ex.not_null("trans_id"),
+                ex.not_null("trans_date"),
+                ex.expect_expr("non_negative_amount", "amt IS NULL OR amt >= 0"),
+                ex.unique("trans_id"),
+            ],
+        ).withColumn("run_clock", F.lit(str(clock)))
+        if cat.exists("dq_report"):
+            cat.append("dq_report", dq)
+        else:
+            cat.overwrite("dq_report", dq)
+        res.details["dq_violations"] = {
+            r["rule"]: r["n_violations"] for r in cat.read("dq_report")
+            .filter(F.col("run_clock") == str(clock)).collect()
+        }
+
     # --- report: enrichment join chain + 4 rules, append-only -------------
     if cat.exists("fact_transactions") and cat.exists("dim_terminals_hist"):
         blacklist = (

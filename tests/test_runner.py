@@ -129,3 +129,16 @@ def test_two_day_run_then_idempotent_rerun(spark, dims, tmp_path):
     assert r3.report_rows == 0
     assert sorted(map(tuple, cat.read("rep_fraud").collect())) == before
     assert cat.read("fact_transactions").count() == 4
+
+    # the DQ gate ran each time over the clean fact: zero violations,
+    # 4 rows checked (the quarantined row never reached the warehouse)
+    assert r3.details["dq_violations"] == {
+        "not_null_trans_id": 0,
+        "not_null_trans_date": 0,
+        "non_negative_amount": 0,
+        "unique_trans_id": 0,
+    }
+    last_dq = cat.read("dq_report").filter(
+        F.col("run_clock") == str(CLOCK + dt.timedelta(days=1))
+    )
+    assert {r["n_checked"] for r in last_dq.collect()} == {4}
