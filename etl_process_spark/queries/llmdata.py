@@ -992,3 +992,65 @@ def embedding_topk_cosine_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cos_sim_q").desc(), F.col("vec_id"))
         .limit(10)
     )
+
+
+@query(
+    "leakage_safe_split",
+    f"""
+    WITH RECURSIVE sh AS ({_SHINGLES}),
+         sig AS ({_SIGS}),
+         bands AS ({_BANDS}),
+         pairs AS (
+           SELECT DISTINCT a.doc_id AS pa, b.doc_id AS pb
+           FROM bands a
+           JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+                       AND a.doc_id < b.doc_id
+         ),
+         edges AS (
+           SELECT pa AS ea, pb AS eb FROM pairs
+           UNION
+           SELECT pb, pa FROM pairs
+         ),
+         reach(n, m) AS (
+           SELECT ea, eb FROM edges
+           UNION
+           SELECT r.n, e.eb FROM reach r JOIN edges e ON r.m = e.ea
+         ),
+         cc AS (SELECT n AS doc_id, least(n, min(m)) AS cluster_id
+                FROM reach GROUP BY n)
+    SELECT d.doc_id,
+           coalesce(cc.cluster_id, d.doc_id) AS cluster_id,
+           CASE WHEN substring(md5(CAST(coalesce(cc.cluster_id, d.doc_id) AS VARCHAR)), 1, 1) <= '3'
+                THEN 'test' ELSE 'train' END AS split
+    FROM documents d LEFT JOIN cc ON cc.doc_id = d.doc_id
+    """,
+)
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/test split: near-duplicate documents must land
+    on the SAME side, or the test set leaks into training through
+    paraphrases — so the split unit is the near-dup CLUSTER, not the
+    document.
+
+    Composition of three engine operators: LSH candidate pairs →
+    connected components (cluster id = min doc in the component;
+    singletons are their own cluster) → deterministic md5 hash gate on
+    the CLUSTER id (¼ test). Hashing the cluster id rather than the doc
+    id is the entire point — every member inherits the same draw. Same
+    scale shape as neardup_clusters plus one map-side gate.
+    """
+    from etl_process_spark.operators.dedup import lsh_candidate_pairs
+    from etl_process_spark.operators.graph import connected_components
+
+    docs = tbl(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(docs, "text", "doc_id")
+    cc = connected_components(pairs, src="doc_a", dst="doc_b").select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+    assigned = docs.select("doc_id").join(cc, on="doc_id", how="left").select(
+        "doc_id",
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+    )
+    gate = F.substring(F.md5(F.col("cluster_id").cast("string")), 1, 1)
+    return assigned.withColumn(
+        "split", F.when(gate <= "3", "test").otherwise("train")
+    )
