@@ -203,6 +203,15 @@ def scd2_rebuild(
       that merely confirm current state is a no-op and the repair is
       idempotent.
 
+    CAVEAT (dimension-only rebuild): consolidation destroys the record
+    of a confirming observation, so if an EVEN EARLIER event later
+    arrives in between, the dropped observation cannot be resurrected —
+    e.g. observe v=A@t1, then v=A@t3 (consolidated away), then t2 with
+    v=B arrives late: the t3 observation of A is gone and the timeline
+    ends at B. Full out-of-order safety therefore needs the observation
+    LOG, not just the dimension: use ``scd2_rebuild_log``, whose result
+    is provably independent of arrival order (hypothesis-tested).
+
     How: each existing version is decomposed back into its defining event
     ``(key, attrs, effective_from, deleted_flg)`` (tombstones included —
     a ``deleted_flg`` column on ``late_events`` is honored, defaulting to
@@ -294,3 +303,76 @@ def scd2_asof(dim: DataFrame, ts, include_deleted: bool = False) -> DataFrame:
     if not include_deleted:
         snap = snap.filter(F.col("deleted_flg") == "N")
     return snap
+
+
+def scd2_rebuild_log(
+    log: DataFrame,
+    late_events: DataFrame,
+    key: str,
+    tracked: Sequence[str],
+) -> tuple[DataFrame, DataFrame]:
+    """Order-independent SCD2 from an OBSERVATION LOG.
+
+    ``scd2_rebuild`` repairs a dimension in place but consolidates
+    confirming observations away, so an even-earlier subsequent arrival
+    can change what should have been kept (see its caveat). This variant
+    keeps the raw observation log as the source of truth:
+
+        log' = log ∪ late_events   (same (key, effective_from) → late wins)
+        dim  = timeline(consolidate(log'))
+
+    Log union over distinct timestamps is commutative and associative,
+    so the DIMENSION derived after any arrival order of the same event
+    batches is identical — the property hypothesis drives in
+    ``tests/test_scd2_properties.py``. Consolidation (drop an event
+    null-safely equal to its kept predecessor) happens only in the
+    DERIVED dimension; the log keeps everything.
+
+    Returns ``(dim, log')`` — persist both; per-run cost is the late
+    batch keys' log slices plus the affected-key window, exactly like
+    ``scd2_rebuild``. The log is the same idea as a CDC retention topic:
+    storage-priced insurance that makes late data safe.
+    """
+    from pyspark.sql import Window
+
+    inf = _infinity()
+    out_cols = [key, *tracked, *_META_COLS]
+    log_cols = [key, *tracked, "effective_from", "deleted_flg"]
+
+    late_flg = (
+        F.col("deleted_flg") if "deleted_flg" in late_events.columns else F.lit("N")
+    )
+    late = late_events.select(
+        F.col(key), *[F.col(c) for c in tracked],
+        F.col("effective_from").cast("timestamp").alias("effective_from"),
+        late_flg.alias("deleted_flg"),
+        F.lit(1).alias("__prio"),
+    )
+    merged = log.select(*log_cols, F.lit(0).alias("__prio")).unionByName(late)
+    w_conflict = Window.partitionBy(key, "effective_from").orderBy(
+        F.col("__prio").desc()
+    )
+    new_log = (
+        merged.withColumn("__rn", F.row_number().over(w_conflict))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__prio")
+    )
+
+    w_key = Window.partitionBy(key).orderBy("effective_from")
+    same_as_prev = F.col("deleted_flg").eqNullSafe(F.lag("deleted_flg").over(w_key))
+    for c in tracked:
+        same_as_prev = same_as_prev & F.col(c).eqNullSafe(F.lag(c).over(w_key))
+    events = (
+        new_log.withColumn("__dup", F.coalesce(same_as_prev, F.lit(False)))
+        .filter(~F.col("__dup"))
+        .drop("__dup")
+    )
+    dim = events.select(
+        F.col(key), *[F.col(c) for c in tracked],
+        F.col("effective_from"),
+        F.coalesce(
+            minus_seconds(F.lead("effective_from").over(w_key), 1), inf
+        ).alias("effective_to"),
+        F.col("deleted_flg"),
+    )
+    return dim.select(out_cols), new_log.select(log_cols)

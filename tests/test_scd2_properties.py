@@ -168,29 +168,66 @@ def _run_history_no_deletes(spark, days: list[dict]):
     return rows
 
 
+def _materialize_log(spark, df):
+    rows = [tuple(r) for r in df.collect()]
+    schema = "k string, v int, effective_from timestamp, deleted_flg string"
+    return spark.createDataFrame(rows, schema), rows
+
+
 @settings(
     max_examples=6,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
 )
 @given(data=st.data(), days=histories.filter(lambda d: len(d) >= 2))
-def test_scd2_rebuild_is_order_independent(spark, data, days):
-    """Applying day batches in ANY order through scd2_rebuild yields the
-    same history as chronological scd2_merge application — the property
-    that makes late CDC data safe."""
-    from etl_process_spark.operators.scd2 import scd2_rebuild
+def test_scd2_rebuild_log_is_order_independent(spark, data, days):
+    """Applying day batches in ANY order through the log-backed rebuild
+    yields the same history as chronological scd2_merge application —
+    the property that makes late CDC data safe. (The dimension-only
+    scd2_rebuild provably CANNOT have this property: consolidating a
+    confirming observation destroys information a later retro-insertion
+    needs — hypothesis found the counterexample, pinned below.)"""
+    from etl_process_spark.operators.scd2 import scd2_rebuild_log
 
     in_order = _run_history_no_deletes(spark, days)
 
-    perm = data.draw(st.permutations(list(range(1, len(days)))))
-    dim = scd2_init(_mk_batch(spark, days[0], _day_ts(0)), "k", ["v"], F.col("batch_ts"))
-    dim, rows = _materialize(spark, dim)
+    perm = data.draw(st.permutations(list(range(len(days)))))
+    log = _mk_batch(spark, {}, _day_ts(0)).withColumnRenamed(
+        "batch_ts", "effective_from"
+    ).withColumn("deleted_flg", F.lit("N")).select(
+        "k", "v", "effective_from", "deleted_flg"
+    )
+    dim_rows = []
     for i in perm:
         late = _mk_batch(spark, days[i], _day_ts(i)).withColumnRenamed(
             "batch_ts", "effective_from"
         )
-        dim = scd2_rebuild(dim, late, "k", ["v"])
-        dim, rows = _materialize(spark, dim)
+        dim, log = scd2_rebuild_log(log, late, "k", ["v"])
+        log, _ = _materialize_log(spark, log)
+        _, dim_rows = _materialize(spark, dim)
 
     canon = lambda rs: sorted((tuple(r) for r in rs), key=repr)  # noqa: E731
-    assert canon(rows) == canon(in_order), (days, perm)
+    assert canon(dim_rows) == canon(in_order), (days, perm)
+
+
+def test_scd2_dim_only_rebuild_counterexample_fixed_by_log(spark):
+    """The hypothesis-found case: confirm(None@d3) is consolidated away by
+    the dim-only rebuild, so when 0@d2 then arrives late the None@d3
+    observation is lost. The log-backed rebuild keeps it."""
+    from etl_process_spark.operators.scd2 import scd2_rebuild_log
+
+    days = [{"k3": None}, {"k3": 0}, {"k1": None, "k3": None}, {}]
+    in_order = _run_history_no_deletes(spark, days)
+
+    log = spark.createDataFrame(
+        [], "k string, v int, effective_from timestamp, deleted_flg string"
+    )
+    for i in (0, 2, 1, 3):  # the falsifying permutation
+        late = _mk_batch(spark, days[i], _day_ts(i)).withColumnRenamed(
+            "batch_ts", "effective_from"
+        )
+        dim, log = scd2_rebuild_log(log, late, "k", ["v"])
+        log, _ = _materialize_log(spark, log)
+
+    canon = lambda rs: sorted((tuple(r) for r in rs), key=repr)  # noqa: E731
+    assert canon(dim.collect()) == canon(in_order)
