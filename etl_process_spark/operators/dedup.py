@@ -67,16 +67,22 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
     """Spread a narrow input across the cluster before CPU-heavy map work.
 
     A small parquet table arrives as one split → one task, serializing an
-    embarrassingly parallel computation on a single core. At real scale
-    inputs have thousands of splits and this is a no-op; the repartition
-    only fires when the scan produced fewer partitions than the session's
-    parallelism, and it shuffles raw input rows once (cheap relative to
-    the per-row compute it unlocks).
+    embarrassingly parallel computation on a single core. The fix is one
+    lazy round-robin ``repartition(defaultParallelism)`` of the raw input
+    rows — cheap relative to the per-row compute it unlocks, and AQE
+    coalesces it back down when the input is already wide.
+
+    This is deliberately *lazy*: inspecting ``df.rdd.getNumPartitions()``
+    to decide would force plan materialization (a driver-side job) on
+    every call, which dominates harness latency on tiny inputs. At real
+    scale — where the scan already yields thousands of splits and the
+    extra shuffle is pure cost — disable it session-wide with
+    ``spark.conf.set("spark.graft.ensureParallelism", "false")``.
     """
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    spark = df.sparkSession
+    if spark.conf.get("spark.graft.ensureParallelism", "true") != "true":
+        return df
+    return df.repartition(spark.sparkContext.defaultParallelism)
 
 
 def _rot_hex(h: Column, chars: int) -> Column:

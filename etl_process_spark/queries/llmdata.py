@@ -644,7 +644,7 @@ def eval_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot AS (SELECT doc_id, max(c) AS top_c, sum(c) AS n_grams
             FROM counts GROUP BY doc_id)
     SELECT doc_id, top_c, n_grams,
-           CAST(top_c AS DOUBLE) / n_grams AS top_gram_ratio
+           round(CAST(top_c AS DOUBLE) / n_grams, 6) AS top_gram_ratio
     FROM tot
     """,
 )
@@ -680,7 +680,9 @@ def doc_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "top_c",
         "n_grams",
-        (F.col("top_c").cast("double") / F.col("n_grams")).alias("top_gram_ratio"),
+        F.round(F.col("top_c").cast("double") / F.col("n_grams"), 6).alias(
+            "top_gram_ratio"
+        ),
     )
 
 
@@ -802,7 +804,7 @@ def packed_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM tok LEFT JOIN vocab ON tok.t = vocab.t
       GROUP BY tok.doc_id)
     SELECT doc_id, n_tokens, n_oov,
-           CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS oov_rate
+           round(CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS oov_rate
     FROM scored
     """,
 )
@@ -840,9 +842,9 @@ def doc_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "doc_id", "n_tokens", "n_oov",
-            (F.col("n_oov").cast("double") / F.col("n_tokens").cast("double")).alias(
-                "oov_rate"
-            ),
+            F.round(
+                F.col("n_oov").cast("double") / F.col("n_tokens").cast("double"), 6
+            ).alias("oov_rate"),
         )
     )
 

@@ -514,9 +514,9 @@ def scd2_versions_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "euro_decimal_parse",
     """
     SELECT l_orderkey, l_linenumber,
-           CAST(replace(replace(
+           CAST(CAST(replace(replace(
                   replace(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS VARCHAR), '.', ','),
-                '.', ''), ',', '.') AS DECIMAL(15,2)) AS amt
+                '.', ''), ',', '.') AS DECIMAL(15,2)) AS VARCHAR) AS amt
     FROM lineitem
     WHERE l_linenumber = 1
     """,
@@ -527,6 +527,11 @@ def euro_decimal_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     A European-formatted amount string ("44473,56") is synthesized from
     l_extendedprice, then parsed by the engine's euro_decimal: strip '.'
     thousands separators, ',' -> '.', cast decimal(15,2).
+
+    The parsed decimal is re-emitted as its canonical fixed-scale string
+    ("44473.56") on BOTH the Spark and oracle sides: decimal(15,2) →
+    string always renders exactly two fractional digits in both engines,
+    so the comparison cannot diverge on decimal canonicalization.
     """
     li = tbl(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") == 1)
     euro_str = F.replace(
@@ -535,7 +540,7 @@ def euro_decimal_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return li.select(
         "l_orderkey", "l_linenumber",
-        euro_decimal(euro_str).alias("amt"),
+        euro_decimal(euro_str).cast("string").alias("amt"),
     )
 
 
