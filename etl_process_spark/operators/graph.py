@@ -203,6 +203,9 @@ def pagerank_fixed_point(
     src: str = "src",
     dst: str = "dst",
     broadcast_ranks: bool = False,
+    symmetric_input: bool = False,
+    adjacency: bool = False,
+    checkpoint_interval: int = 2,
 ) -> DataFrame:
     """PageRank over the (symmetrized) edge graph in FIXED-POINT integer
     arithmetic — every rank is a BIGINT count of 1e-12 units, so the
@@ -216,45 +219,74 @@ def pagerank_fixed_point(
     quantization error ≤ out_degree × 1 unit per node per round,
     irrelevant at 1e-12 granularity.
 
-    Per iteration: one shuffle (contributions grouped by destination).
-    The symmetrized, degree-annotated edge list is computed once and
-    localCheckpoint-ed — iterations re-scan it without re-deriving.
-    Lineage is truncated per round so round N doesn't re-plan rounds
-    1..N-1 (the same discipline as connected_components).
+    Two physical layouts, identical results:
 
-    ``broadcast_ranks=True`` additionally broadcasts the rank table into
-    the edge join each round, so the (much larger) edge list is never
-    shuffled — right whenever node count ≪ edge count (dense graphs,
-    e.g. co-occurrence). Leave False for graphs whose node set itself
-    is beyond broadcast size; AQE still localizes what it can.
+    - ``adjacency=False`` (default): degree-annotated EDGE LIST,
+      symmetrized+distinct-ed once and localCheckpoint-ed. Per round one
+      contribution shuffle. Degree-unbounded — the layout for power-law
+      graphs (a 1e8-degree web hub is just 1e8 edge rows, never one
+      array).
+    - ``adjacency=True``: per-node NEIGHBOR ARRAYS built by
+      ``collect_set`` — the dedup happens inside the aggregation, so the
+      separate edge-distinct shuffle AND the O(|E|)-row checkpoint
+      disappear (the checkpoint is O(|V|) rows). Rounds explode the
+      arrays map-side; the only shuffle is the contribution partial-agg.
+      This is the GraphX/GraphFrames layout; use it when max degree is
+      bounded (co-occurrence, kNN graphs), not for hub-dominated graphs
+      where a single node's array would blow a task.
+
+    ``symmetric_input=True`` declares the input already contains both
+    (u,v) and (v,u) — e.g. co-occurrence self-joins — skipping the
+    symmetrize union (input duplicates are still dedup-ed either way).
+
+    ``broadcast_ranks=True`` broadcasts the rank table into the per-round
+    join, so the (much larger) edge side is never shuffled — right
+    whenever node count ≪ edge count. Leave False for graphs whose node
+    set is beyond broadcast size; AQE still localizes what it can.
+
+    Lineage is truncated every ``checkpoint_interval`` rounds (each round
+    nests one broadcast/join layer; unbounded nesting re-plans the whole
+    history). Between checkpoints rounds stay lazy — at small iteration
+    counts this skips whole materialization jobs.
     """
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
-    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
-    adj = sym.join(deg, on="u").localCheckpoint()
-
-    nodes = adj.select(F.col("u").alias("node")).distinct().localCheckpoint()
+    both = (
+        e
+        if symmetric_input
+        else e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    )
+    if adjacency:
+        adj = (
+            both.groupBy("u")
+            .agg(F.collect_set("v").alias("vs"))
+            .withColumn("d", F.size("vs").cast("long"))
+            .localCheckpoint()
+        )
+        nodes = adj.select(F.col("u").alias("node")).localCheckpoint()
+    else:
+        sym = both.distinct().localCheckpoint()
+        deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+        adj = sym.join(F.broadcast(deg) if broadcast_ranks else deg, on="u")
+        nodes = sym.select(F.col("u").alias("node")).distinct().localCheckpoint()
     n = nodes.count()
     base = ((100 - damping_pct) * unit) // (100 * n)
     ranks = nodes.withColumn("r", F.lit(unit // n).cast("long"))
 
-    for _ in range(iterations):
+    for i in range(iterations):
         rank_side = F.broadcast(ranks) if broadcast_ranks else ranks
+        joined = adj.join(rank_side, adj.u == rank_side.node)
         contribs = (
-            adj.join(rank_side, adj.u == rank_side.node)
-            .select(F.col("v"), F.expr("r div d").alias("c"))
-            .groupBy("v")
-            .agg(F.sum("c").alias("s"))
+            joined.select(F.explode("vs").alias("v"), F.expr("r div d").alias("c"))
+            if adjacency
+            else joined.select(F.col("v"), F.expr("r div d").alias("c"))
+        ).groupBy("v").agg(F.sum("c").alias("s"))
+        contrib_side = F.broadcast(contribs) if broadcast_ranks else contribs
+        ranks = nodes.join(contrib_side, nodes.node == contribs.v, "left").select(
+            "node",
+            (
+                F.lit(base) + F.expr(f"({damping_pct} * coalesce(s, 0L)) div 100")
+            ).cast("long").alias("r"),
         )
-        ranks = (
-            nodes.join(contribs, nodes.node == contribs.v, "left")
-            .select(
-                "node",
-                (
-                    F.lit(base)
-                    + F.expr(f"({damping_pct} * coalesce(s, 0L)) div 100")
-                ).cast("long").alias("r"),
-            )
-            .localCheckpoint()
-        )
+        if (i + 1) % checkpoint_interval == 0 and i + 1 < iterations:
+            ranks = ranks.localCheckpoint()
     return ranks

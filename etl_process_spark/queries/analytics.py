@@ -1088,26 +1088,35 @@ def part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Floating PageRank can't be oracle-checked exactly (partial-sum order
     moves the low bits); integer units make every engine agree to the
-    last digit. The co-occurrence self-join shuffles lineitem once on
-    orderkey; each iteration is one contribution shuffle over the cached
-    degree-annotated edges.
+    last digit.
+
+    Edge derivation avoids the lineitem self-join: group parts per order
+    (one orderkey shuffle of the base table), explode the k×(k-1) pairs
+    map-side, and let the adjacency ``collect_set`` dedup pairs inside
+    its aggregation — no separate DISTINCT shuffle, and the iteration
+    input checkpoint is O(nodes) adjacency rows, not O(edges) pairs.
+    Co-purchase degree is bounded (parts per order × orders per part),
+    so the adjacency layout is safe; rank and contribution tables
+    broadcast (20k parts), leaving one partial-agg shuffle per round.
     """
     from etl_process_spark.operators.graph import pagerank_fixed_point
 
     li = tbl(spark, sf_dir, "lineitem")
-    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
-    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
-    edges = (
-        a.join(b, on="ok")
-        .filter(F.col("u") != F.col("v"))
-        .select("u", "v")
-        .distinct()
+    per_order = li.groupBy("l_orderkey").agg(
+        F.collect_set("l_partkey").alias("ps")
+    )
+    pairs = per_order.select(F.explode("ps").alias("u"), "ps").select(
+        "u", F.explode(F.array_remove("ps", F.col("u"))).alias("v")
     )
     return pagerank_fixed_point(
-        edges, iterations=3, src="u", dst="v",
-        # 20k part nodes vs ~2.4M co-occurrence edges: broadcasting the
-        # rank table keeps the edge list un-shuffled every round.
+        pairs, iterations=3, src="u", dst="v",
         broadcast_ranks=True,
+        # (u,v) and (v,u) both emitted by the pair explosion
+        symmetric_input=True,
+        adjacency=True,
+        # 3 lazy rounds nest only 3 broadcast layers — no mid-run
+        # checkpoint needed
+        checkpoint_interval=4,
     ).select(
         F.col("node").alias("part_key"), F.col("r").alias("rank_units")
     )
