@@ -753,18 +753,14 @@ def packed_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens — the running-total bin assignment used to pack short docs
     into full context windows without padding waste.
 
-    A document lands in the sequence its PRECEDING cumulative token count
-    falls into (``(cum - own) div budget``), so assignment is a pure
-    window cumsum — one shuffle on the ``lang`` partition key, then a
-    map-side bin id and one more (lang, seq)-keyed aggregate. At 100 TB
-    the lang partition is too coarse (a single reducer per language);
-    the scale deployment packs per (lang, shard) where shard =
-    ``hash(doc_id) % k`` — same plan shape, k-way parallel, at the cost
-    of k partially-filled tail sequences per language.
+    Implemented as ``operators/packing.py::pack_sequences`` with
+    ``shards=1`` — the oracle-checkable single-lane special case of the
+    sharded operator (see packed_training_sequences_sharded for the
+    k-way-parallel layout a 100 TB corpus requires).
     """
-    docs = tbl(spark, sf_dir, "documents")
-    from pyspark.sql import Window
+    from etl_process_spark.operators.packing import pack_sequences, pack_summary
 
+    docs = tbl(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id",
         "lang",
@@ -772,21 +768,57 @@ def packed_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_tokens"),
     )
-    w = (
-        Window.partitionBy("lang")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    assigned = pack_sequences(tok, budget=512, shards=1)
+    return pack_summary(assigned).select("lang", "seq_id", "n_docs", "total_tokens")
+
+
+@query(
+    "packed_training_sequences_sharded",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, lang, CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+      FROM documents),
+    placed AS (
+      SELECT lang, doc_id % 4 AS shard, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY lang, doc_id % 4 ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum
+      FROM tok)
+    SELECT lang, CAST(shard AS BIGINT) AS shard,
+           CAST((cum - n_tokens) // 512 AS BIGINT) AS seq_id,
+           count(*) AS n_docs, sum(n_tokens) AS total_tokens
+    FROM placed
+    GROUP BY lang, shard, (cum - n_tokens) // 512
+    """,
+)
+def packed_training_sequences_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing in the SHARDED layout — the plan that survives
+    100 TB. The window partitions on (lang, shard) with shard =
+    ``doc_id % 4``, so each language packs in 4 independent parallel
+    lanes; the cost is ≤ 4 partially-filled tail sequences per language
+    instead of 1.
+
+    The shard expression here is ``pmod(doc_id, 4)`` (not the operator's
+    default murmur3 hash) so DuckDB can replay the exact lane split —
+    the cross-engine-checkable instance of the same plan shape. Scale
+    deployments keep the default hash shard to decorrelate lanes from
+    id-assignment patterns.
+    """
+    from etl_process_spark.operators.packing import pack_sequences, pack_summary
+
+    docs = tbl(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+        .cast("bigint")
+        .alias("n_tokens"),
     )
-    placed = tok.withColumn("cum", F.sum("n_tokens").over(w))
-    return (
-        placed.withColumn(
-            "seq_id", F.expr("CAST((cum - n_tokens) div 512 AS BIGINT)")
-        )
-        .groupBy("lang", "seq_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_tokens").alias("total_tokens"),
-        )
+    assigned = pack_sequences(
+        tok, budget=512, shards=4, shard_expr=F.col("doc_id")
+    )
+    return pack_summary(assigned).select(
+        "lang", "shard", "seq_id", "n_docs", "total_tokens"
     )
 
 
