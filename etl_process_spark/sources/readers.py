@@ -155,14 +155,96 @@ def read_jsonl(
 
     Schema is required thinking at scale: ``inferSchema`` on JSON is a
     full extra pass over 100 TB and can widen types differently per run;
-    an explicit DDL string pins one pass and one contract. Records that
-    do not parse land in ``_corrupt_record`` (PERMISSIVE mode) rather
-    than failing the scan — the dead-letter philosophy of the loaders
-    (quarantine_transactions) applied at the source.
+    an explicit DDL string pins one pass and one contract.
+
+    Corrupt-record capture: Spark's PERMISSIVE mode only routes bad
+    lines into ``_corrupt_record`` if that column EXISTS in the schema,
+    so when a schema is given without it, it is appended automatically —
+    otherwise corrupt lines silently become all-NULL rows. Caveat
+    (Spark's own restriction): a query referencing ONLY
+    ``_corrupt_record`` raises unless the DataFrame is cached first;
+    select at least one data column alongside it.
     """
     reader = spark.read
     if schema is not None:
+        if "_corrupt_record" not in schema:
+            schema = f"{schema}, _corrupt_record string"
         reader = reader.schema(schema)
     for k, v in options.items():
         reader = reader.option(k, v)
     return reader.json(path)
+
+
+def jdbc_incremental_options(
+    url: str,
+    table: str,
+    watermark: str,
+    watermark_expr: str = "coalesce(update_dt, create_dt)",
+    partition_col: str | None = None,
+    num_partitions: int = 16,
+    lower_bound: str | int | None = None,
+    upper_bound: str | int | None = None,
+    fetchsize: int = 10_000,
+) -> dict[str, str]:
+    """Spark JDBC options for a watermark-incremental pull (reference S3:
+    cards.py:50-56 pushes ``WHERE coalesce(update_dt,create_dt) > wm``
+    to the source Postgres).
+
+    Pure option construction — unit-testable without a live database.
+    The watermark predicate is embedded in a ``dbtable`` subquery, so it
+    executes INSIDE the source DB (guaranteed pushdown, independent of
+    Spark's pushDownPredicate heuristics): the OLTP side ships only the
+    changed rows, never the table.
+
+    ``partition_col`` + bounds split the pull into ``num_partitions``
+    parallel range queries — without them a JDBC read is ONE executor
+    holding one cursor, the classic single-task ingestion bottleneck.
+    Bounds only steer the split (rows outside them still arrive, in the
+    edge partitions); derive them from the previous watermark / now() so
+    strides stay balanced as history grows.
+    """
+    sub = f"(SELECT * FROM {table} WHERE {watermark_expr} > '{watermark}') AS src"
+    opts: dict[str, str] = {
+        "url": url,
+        "dbtable": sub,
+        "fetchsize": str(fetchsize),
+    }
+    if partition_col is not None:
+        if lower_bound is None or upper_bound is None:
+            raise ValueError(
+                "partitioned JDBC read needs lower_bound and upper_bound "
+                f"for {partition_col!r}"
+            )
+        opts.update(
+            partitionColumn=partition_col,
+            lowerBound=str(lower_bound),
+            upperBound=str(upper_bound),
+            numPartitions=str(num_partitions),
+        )
+    return opts
+
+
+def read_jdbc_incremental(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    watermark: str,
+    watermark_expr: str = "coalesce(update_dt, create_dt)",
+    partition_col: str | None = None,
+    num_partitions: int = 16,
+    lower_bound: str | int | None = None,
+    upper_bound: str | int | None = None,
+    **extra_options: str,
+) -> DataFrame:
+    """Reference S3 as a Spark primitive: incremental JDBC scan that
+    ships only rows newer than the watermark, in parallel range
+    partitions. See ``jdbc_incremental_options`` for the option
+    semantics; ``extra_options`` passes through driver specifics
+    (driver class, sessionInitStatement, queryTimeout, ...).
+    """
+    opts = jdbc_incremental_options(
+        url, table, watermark, watermark_expr,
+        partition_col, num_partitions, lower_bound, upper_bound,
+    )
+    opts.update(extra_options)
+    return spark.read.format("jdbc").options(**opts).load()

@@ -442,3 +442,59 @@ def test_jsonl_and_orc_source_roundtrips(spark, tmp_path):
     rows = parsed.collect()
     assert len(rows) == 2
     assert sum(r["_corrupt_record"] is not None for r in rows) == 1
+
+def test_jsonl_auto_appends_corrupt_record_column(spark, tmp_path):
+    """An explicit schema WITHOUT _corrupt_record still captures bad
+    lines (the column is appended automatically) — without it Spark
+    silently turns corrupt lines into all-NULL rows."""
+    from etl_process_spark.sources.readers import read_jsonl
+
+    bad = tmp_path / "bad2.jsonl"
+    bad.write_text('{"event_id": 7}\nNOT JSON\n')
+    parsed = read_jsonl(spark, str(bad), "event_id long")
+    assert "_corrupt_record" in parsed.columns
+    rows = parsed.collect()
+    assert len(rows) == 2
+    assert sum(r["_corrupt_record"] is not None for r in rows) == 1
+    assert {r["event_id"] for r in rows} == {7, None}
+
+
+def test_jdbc_incremental_options_pushdown_and_partitioning():
+    """Reference S3 (cards.py:50-56): the watermark predicate must be a
+    dbtable subquery (executes inside the source DB) and the partitioned
+    read must carry all four range-split options."""
+    from etl_process_spark.sources.readers import jdbc_incremental_options
+
+    opts = jdbc_incremental_options(
+        "jdbc:postgresql://db:5432/bank",
+        "info.transactions",
+        "2024-01-15 00:00:00",
+        partition_col="transaction_id",
+        num_partitions=8,
+        lower_bound=0,
+        upper_bound=1_000_000,
+    )
+    assert opts["dbtable"] == (
+        "(SELECT * FROM info.transactions WHERE "
+        "coalesce(update_dt, create_dt) > '2024-01-15 00:00:00') AS src"
+    )
+    assert opts["partitionColumn"] == "transaction_id"
+    assert opts["lowerBound"] == "0"
+    assert opts["upperBound"] == "1000000"
+    assert opts["numPartitions"] == "8"
+    assert opts["fetchsize"] == "10000"
+
+    # unpartitioned pull: no range options at all
+    plain = jdbc_incremental_options(
+        "jdbc:postgresql://db:5432/bank", "t", "2024-01-01",
+        watermark_expr="update_dt",
+    )
+    assert "partitionColumn" not in plain
+    assert plain["dbtable"] == "(SELECT * FROM t WHERE update_dt > '2024-01-01') AS src"
+
+    # partition column without bounds is a hard error, not a 1-task read
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        jdbc_incremental_options(
+            "jdbc:x", "t", "2024-01-01", partition_col="id"
+        )
