@@ -412,13 +412,23 @@ def exact_dedup_incremental(
 
     Returns ``(kept, new_index)``: batch rows whose text is unseen (one
     keeper per in-batch duplicate group, min id), and the index with the
-    keepers merged in. Exact dedup is associative — grouping by
-    fingerprint commutes with batching — so applying this per batch
-    yields EXACTLY the keep-set of a full-corpus recompute (asserted by
-    differential test). Cost per run: one batch-sized groupBy + an anti
-    join against the index (broadcast while the index is small; at scale
-    both sides bucket by fp and the join is co-located, with the batch
-    side always the small probe).
+    keepers merged in.
+
+    Semantics: same fingerprint partition as a full recompute — one
+    keeper per distinct text — but the keeper is FIRST-SEEN: once a
+    fingerprint is indexed, a later batch carrying a smaller id for the
+    same text does not displace it (a full recompute would keep the new
+    min id). The keep-SET therefore equals full recompute exactly when
+    ids are batch-monotonic (the common append-only case, and what the
+    differential test exercises); under out-of-order ids only the choice
+    of representative differs, never the partition into duplicate
+    groups. First-seen is the deliberate choice for a stored index: the
+    keeper already in the training corpus stays authoritative.
+
+    Cost per run: one batch-sized groupBy + an anti join against the
+    index (broadcast while the index is small; at scale both sides
+    bucket by fp and the join is co-located, with the batch side always
+    the small probe).
     """
     from etl_process_spark.operators.text import fingerprint
 

@@ -310,6 +310,7 @@ def scd2_rebuild_log(
     late_events: DataFrame,
     key: str,
     tracked: Sequence[str],
+    dim: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Order-independent SCD2 from an OBSERVATION LOG.
 
@@ -328,10 +329,16 @@ def scd2_rebuild_log(
     null-safely equal to its kept predecessor) happens only in the
     DERIVED dimension; the log keeps everything.
 
-    Returns ``(dim, log')`` — persist both; per-run cost is the late
-    batch keys' log slices plus the affected-key window, exactly like
-    ``scd2_rebuild``. The log is the same idea as a CDC retention topic:
-    storage-priced insurance that makes late data safe.
+    Returns ``(dim, log')`` — persist both.
+
+    Per-run cost: with the PRIOR DIMENSION passed as ``dim``, all three
+    window passes (conflict, consolidation, timeline) run only over the
+    late batch's keys — untouched log rows and untouched dim rows pass
+    through unwindowed, so the nightly cost is the affected keys' log
+    slices, like ``scd2_rebuild``. Without ``dim`` (first build, or an
+    explicit full replay) the whole log is re-windowed and the full
+    dimension derived. The log is the same idea as a CDC retention
+    topic: storage-priced insurance that makes late data safe.
     """
     from pyspark.sql import Window
 
@@ -348,11 +355,24 @@ def scd2_rebuild_log(
         late_flg.alias("deleted_flg"),
         F.lit(1).alias("__prio"),
     )
-    merged = log.select(*log_cols, F.lit(0).alias("__prio")).unionByName(late)
+
+    if dim is not None:
+        affected = late.select(key).distinct()
+        log_untouched = log.select(*log_cols).join(affected, on=key, how="left_anti")
+        log_affected = log.select(*log_cols).join(
+            F.broadcast(affected), on=key, how="left_semi"
+        )
+    else:
+        log_untouched = None
+        log_affected = log.select(*log_cols)
+
+    merged = log_affected.select(
+        *log_cols, F.lit(0).alias("__prio")
+    ).unionByName(late)
     w_conflict = Window.partitionBy(key, "effective_from").orderBy(
         F.col("__prio").desc()
     )
-    new_log = (
+    affected_log = (
         merged.withColumn("__rn", F.row_number().over(w_conflict))
         .filter(F.col("__rn") == 1)
         .drop("__rn", "__prio")
@@ -363,11 +383,11 @@ def scd2_rebuild_log(
     for c in tracked:
         same_as_prev = same_as_prev & F.col(c).eqNullSafe(F.lag(c).over(w_key))
     events = (
-        new_log.withColumn("__dup", F.coalesce(same_as_prev, F.lit(False)))
+        affected_log.withColumn("__dup", F.coalesce(same_as_prev, F.lit(False)))
         .filter(~F.col("__dup"))
         .drop("__dup")
     )
-    dim = events.select(
+    rebuilt = events.select(
         F.col(key), *[F.col(c) for c in tracked],
         F.col("effective_from"),
         F.coalesce(
@@ -375,4 +395,12 @@ def scd2_rebuild_log(
         ).alias("effective_to"),
         F.col("deleted_flg"),
     )
-    return dim.select(out_cols), new_log.select(log_cols)
+
+    if dim is not None:
+        dim_untouched = dim.select(out_cols).join(
+            late.select(key).distinct(), on=key, how="left_anti"
+        )
+        new_dim = dim_untouched.unionByName(rebuilt.select(out_cols))
+        new_log = log_untouched.unionByName(affected_log.select(log_cols))
+        return new_dim, new_log
+    return rebuilt.select(out_cols), affected_log.select(log_cols)

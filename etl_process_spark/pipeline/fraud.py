@@ -90,15 +90,25 @@ def with_lags(cl: DataFrame) -> DataFrame:
     )
 
 
-def _event(df: DataFrame, event_type: int, report_dt) -> DataFrame:
-    return df.select(
+def _event(
+    df: DataFrame, event_type: int, report_dt, include_trans_id: bool = False
+) -> DataFrame:
+    cols = [
         F.col("trans_date").alias("event_dt"),
         F.col("passport_num").alias("passport"),
         F.col("fio"),
         F.col("phone"),
         F.lit(event_type).alias("event_type"),
         F.to_timestamp(F.lit(str(report_dt))).alias("report_dt"),
-    )
+    ]
+    if include_trans_id:
+        # NULL-free, collision-free idempotency key for append dedup:
+        # passport arrives through a LEFT-join chain and can be NULL
+        # (never matched by an anti-join), and (event_dt, passport,
+        # event_type) collapses distinct same-second events. trans_id is
+        # the fact PK — always present in the rule slices.
+        cols.append(F.col("trans_id"))
+    return df.select(*cols)
 
 
 # Rule predicates are built lazily (Column construction needs an active
@@ -134,22 +144,32 @@ def _rule4() -> F.Column:
     )
 
 
-def _all_rules(cl: DataFrame, lg: DataFrame, report_dt) -> DataFrame:
+def _all_rules(
+    cl: DataFrame, lg: DataFrame, report_dt, include_trans_id: bool = False
+) -> DataFrame:
     return (
-        _event(cl.filter(_rule1()), 1, report_dt)
-        .unionByName(_event(cl.filter(_rule2()), 2, report_dt))
-        .unionByName(_event(lg.filter(_rule3()), 3, report_dt))
-        .unionByName(_event(lg.filter(_rule4()), 4, report_dt))
+        _event(cl.filter(_rule1()), 1, report_dt, include_trans_id)
+        .unionByName(_event(cl.filter(_rule2()), 2, report_dt, include_trans_id))
+        .unionByName(_event(lg.filter(_rule3()), 3, report_dt, include_trans_id))
+        .unionByName(_event(lg.filter(_rule4()), 4, report_dt, include_trans_id))
     )
 
 
-def build_fraud_report(cl: DataFrame, report_dt) -> DataFrame:
-    """Rules 1–4 UNION ALL (report.py:63-113). ``report_dt`` = pinned now()."""
-    return _all_rules(cl, with_lags(cl), report_dt)
+def build_fraud_report(
+    cl: DataFrame, report_dt, include_trans_id: bool = False
+) -> DataFrame:
+    """Rules 1–4 UNION ALL (report.py:63-113). ``report_dt`` = pinned now().
+
+    ``include_trans_id=True`` appends the source transaction id — the
+    reference's rep_fraud schema (main.ddl:124-131) lacks it, but the
+    runner's idempotent append needs a NULL-free dedup key; the default
+    keeps the reference-parity shape.
+    """
+    return _all_rules(cl, with_lags(cl), report_dt, include_trans_id)
 
 
 def build_fraud_report_incremental(
-    cl: DataFrame, watermark_ts, report_dt
+    cl: DataFrame, watermark_ts, report_dt, include_trans_id: bool = False
 ) -> DataFrame:
     """Incremental maintenance of the fraud report: emit events ONLY for
     transactions after ``watermark_ts``, reading back just enough history
@@ -183,4 +203,4 @@ def build_fraud_report_incremental(
         .drop("__rn")
     )
     lg = with_lags(tails.unionByName(new)).filter(F.col("trans_date") > wm)
-    return _all_rules(new, lg, report_dt)
+    return _all_rules(new, lg, report_dt, include_trans_id)

@@ -25,7 +25,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_process_spark.operators.scd2 import scd2_init, scd2_merge
-from etl_process_spark.pipeline.fraud import build_fraud_report, enrich_transactions
+from etl_process_spark.pipeline.fraud import (
+    build_fraud_report,
+    build_fraud_report_incremental,
+    enrich_transactions,
+)
 from etl_process_spark.pipeline.loaders import (
     load_blacklist_file,
     load_transactions_file,
@@ -82,6 +86,7 @@ def run_daily_batch(
     # --- transactions: dated inbox -> quarantine split -> dedup append ----
     tx_inbox = DatedInbox(inbox_dir, "transactions_*.txt")
     last = wm.get("transactions", "1900-01-01")
+    min_new_ts: dt.datetime | None = None  # earliest newly-appended trans_date
     for fdate, path in tx_inbox.discover(after=dt.date.fromisoformat(last[:10])):
         fact = cat.read("fact_transactions") if cat.exists("fact_transactions") else None
         clean, rejects = quarantine_transactions(stage_transactions(spark, path))
@@ -89,6 +94,10 @@ def run_daily_batch(
             fact.select("trans_id"), on="trans_id", how="left_anti"
         )
         n_new = new_rows.count()
+        if n_new:
+            batch_min = new_rows.agg(F.min("trans_date")).first()[0]
+            if batch_min is not None and (min_new_ts is None or batch_min < min_new_ts):
+                min_new_ts = batch_min
         n_rej = rejects.count()
         if fact is None:
             cat.overwrite("fact_transactions", new_rows)
@@ -175,25 +184,53 @@ def run_daily_batch(
         }
 
     # --- report: enrichment join chain + 4 rules, append-only -------------
+    # Incremental contract: after the first full build, each run derives
+    # events only for trans_date beyond the report watermark (new rows ∪
+    # 3-row per-card tails — build_fraud_report_incremental), so nightly
+    # cost tracks NEW data, not all-time history. Late-arriving facts
+    # below the watermark pull the effective watermark back to just
+    # before the earliest new row, so their events are still derived; the
+    # dedup anti-join (bounded to the same lookback window — rep_fraud is
+    # never scanned past it) absorbs the overlap. The dedup key is
+    # (trans_id, event_type): NULL-free (passport can be NULL through the
+    # LEFT-join chain and a NULL key never matches an anti-join) and
+    # collision-free for same-second events. A retroactive dimension
+    # rewrite that changes OLD transactions' enrichment needs an explicit
+    # rebuild (clear the 'report' watermark + rep_fraud) — same as any
+    # watermark-incremental pipeline.
     if cat.exists("fact_transactions") and cat.exists("dim_terminals_hist"):
         blacklist = (
             cat.read("fact_blacklist")
             if cat.exists("fact_blacklist")
             else dims["blacklist"]
         )
+        fact = cat.read("fact_transactions")
         cl = enrich_transactions(
-            cat.read("fact_transactions"),
+            fact,
             cat.read("dim_terminals_hist"),
             dims["cards"], dims["accounts"], dims["clients"],
             blacklist,
         )
-        # Append-only with dedup against prior runs (the reference re-runs
-        # append blindly; anti-join keeps re-runs idempotent).
-        report = build_fraud_report(cl, clock)
+        stored_wm = wm.get("report", "")
+        if not stored_wm:
+            report = build_fraud_report(cl, clock, include_trans_id=True)
+            eff_wm = None
+        else:
+            eff_wm = stored_wm
+            if min_new_ts is not None and str(min_new_ts) <= stored_wm:
+                eff_wm = str(min_new_ts - dt.timedelta(seconds=1))
+            report = build_fraud_report_incremental(
+                cl, eff_wm, clock, include_trans_id=True
+            )
         if cat.exists("rep_fraud"):
-            prior = cat.read("rep_fraud").select("event_dt", "passport", "event_type")
+            prior = cat.read("rep_fraud")
+            if eff_wm is not None:
+                prior = prior.filter(
+                    F.col("event_dt") > F.to_timestamp(F.lit(eff_wm))
+                )
             report = report.join(
-                prior, on=["event_dt", "passport", "event_type"], how="left_anti"
+                prior.select("trans_id", "event_type"),
+                on=["trans_id", "event_type"], how="left_anti",
             )
             n = report.count()
             if n:
@@ -202,5 +239,6 @@ def run_daily_batch(
             n = report.count()
             cat.overwrite("rep_fraud", report)
         res.report_rows = n
+        wm.advance_from("report", fact, "trans_date")
 
     return res

@@ -23,6 +23,21 @@ from pyspark.sql import SparkSession
 DEFAULT_SHUFFLE_PARTITIONS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 
+def _default_driver_mem() -> str:
+    """min(48g, ~40% of MemTotal) — the heap that survives 32 concurrent
+    hash-aggregate tasks on a big box without OOM-killing a small one.
+    SPARK_GRAFT_DRIVER_MEM overrides either way."""
+    try:
+        with open("/proc/meminfo") as fh:
+            for line in fh:
+                if line.startswith("MemTotal:"):
+                    total_gib = int(line.split()[1]) / (1024 * 1024)
+                    return f"{max(1, min(48, int(total_gib * 0.4)))}g"
+    except OSError:
+        pass
+    return "4g"
+
+
 def get_spark(app_name: str = "etl_process_spark", master: str | None = None,
               extra_conf: dict[str, str] | None = None) -> SparkSession:
     """Return (create if needed) the engine's SparkSession."""
@@ -39,13 +54,16 @@ def get_spark(app_name: str = "etl_process_spark", master: str | None = None,
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        # Size the single local JVM for the machine (128 GiB box, 32 task
-        # threads): the 1 GiB default heap OOMs once ~32 concurrent
-        # hash-aggregate/sort tasks each hold partial maps (seen on the
-        # part co-occurrence self-join at sf0.1). On a real cluster this
-        # is the submitter's executor-memory setting; here it is the
-        # spill-aware equivalent of sizing executor memory to partitions.
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # Size the single local JVM to the machine: the 1 GiB default heap
+        # OOMs once ~32 concurrent hash-aggregate/sort tasks each hold
+        # partial maps (seen on the part co-occurrence self-join at
+        # sf0.1), while a hardcoded 48g would get the process OS-killed
+        # on smaller hosts. On a real cluster this is the submitter's
+        # executor-memory setting.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM") or _default_driver_mem(),
+        )
         # JVM unified logging writes [gc,alloc] warnings to STDOUT, which
         # corrupts bench.py's one-JSON-line contract under memory
         # pressure — route JVM logging off entirely.

@@ -142,3 +142,104 @@ def test_two_day_run_then_idempotent_rerun(spark, dims, tmp_path):
         F.col("run_clock") == str(CLOCK + dt.timedelta(days=1))
     )
     assert {r["n_checked"] for r in last_dq.collect()} == {4}
+
+
+def test_null_passport_event_rerun_is_idempotent(spark, dims, tmp_path):
+    """A rule-3 event on a card missing from the dims chain has NULL
+    passport; the (trans_id, event_type) dedup key must keep re-runs
+    no-ops anyway (a NULL key never matches a left_anti join, which made
+    the old passport-keyed dedup re-append such events every night)."""
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    wh = str(tmp_path / "wh")
+
+    # CARD9 is not in dims["cards"] -> passport NULL; city hop within 1h
+    (inbox / "transactions_01032024.txt").write_text(
+        TX_HEADER
+        + "T101;2024-03-01 10:00:00;10,00;CARD9               ;PAYMENT;SUCCESS;A1\n"
+        + "T102;2024-03-01 10:30:00;20,00;CARD9               ;PAYMENT;SUCCESS;A2\n"
+    )
+    (inbox / "terminals_01032024.csv").write_text(
+        "terminal_id,terminal_type,terminal_city,terminal_address\n"
+        "A1,POS,Moscow,addr1\nA2,POS,Samara,addr2\n"
+    )
+    r1 = run_daily_batch(
+        spark, inbox_dir=str(inbox), warehouse_dir=wh, dims=dims,
+        clock=CLOCK, archive=False,
+    )
+    cat = TableCatalog(spark, wh)
+    rep = cat.read("rep_fraud")
+    hop = rep.filter(F.col("event_type") == 3).collect()
+    assert len(hop) == 1 and hop[0]["passport"] is None
+    assert r1.report_rows == rep.count()
+
+    before = sorted(map(tuple, rep.collect()))
+    r2 = run_daily_batch(
+        spark, inbox_dir=str(inbox), warehouse_dir=wh, dims=dims,
+        clock=CLOCK + dt.timedelta(days=1), archive=False,
+    )
+    assert r2.report_rows == 0
+    assert sorted(map(tuple, cat.read("rep_fraud").collect())) == before
+
+
+def test_late_arriving_fact_still_reported(spark, dims, tmp_path):
+    """A day-2 file carrying a transaction OLDER than the report
+    watermark must still produce its events: the effective watermark is
+    pulled back to just before the earliest new row, and the bounded
+    dedup lookback absorbs the overlap without duplicating day-1 rows."""
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    wh = str(tmp_path / "wh")
+
+    (inbox / "transactions_01032024.txt").write_text(
+        TX_HEADER
+        + "T201;2024-03-01 10:00:00;10,00;CARD1               ;PAYMENT;SUCCESS;A1\n"
+        + "T202;2024-03-01 10:30:00;20,00;CARD1               ;PAYMENT;SUCCESS;A2\n"
+    )
+    # A3 must be live from day 1: the late fact below joins terminals
+    # point-in-time, and a terminal first seen on day 2 is not valid for
+    # a day-1 timestamp
+    (inbox / "terminals_01032024.csv").write_text(
+        "terminal_id,terminal_type,terminal_city,terminal_address\n"
+        "A1,POS,Moscow,addr1\nA2,POS,Samara,addr2\nA3,POS,Kazan,addr3\n"
+    )
+    run_daily_batch(
+        spark, inbox_dir=str(inbox), warehouse_dir=wh, dims=dims,
+        clock=CLOCK, archive=False,
+    )
+    cat = TableCatalog(spark, wh)
+    day1 = sorted(map(tuple, cat.read("rep_fraud").collect()))
+    assert len(day1) == 1  # the T202 city hop
+
+    # day-2 file: one late fact (03-01 10:20, BETWEEN the day-1 rows —
+    # before the watermark) and one new fact. The late Kazan stop at
+    # 10:20 changes the hop structure: Moscow@10:00 -> Kazan@10:20 and
+    # Kazan@10:20 -> Samara@10:30 are both hops; the old Moscow->Samara
+    # event stays (already appended, event row itself unchanged).
+    (inbox / "transactions_02032024.txt").write_text(
+        TX_HEADER
+        + "T203;2024-03-01 10:20:00;15,00;CARD1               ;PAYMENT;SUCCESS;A3\n"
+        + "T204;2024-03-02 09:00:00;30,00;CARD1               ;PAYMENT;SUCCESS;A2\n"
+    )
+    (inbox / "terminals_02032024.csv").write_text(
+        "terminal_id,terminal_type,terminal_city,terminal_address\n"
+        "A1,POS,Moscow,addr1\nA2,POS,Samara,addr2\nA3,POS,Kazan,addr3\n"
+    )
+    r2 = run_daily_batch(
+        spark, inbox_dir=str(inbox), warehouse_dir=wh, dims=dims,
+        clock=CLOCK + dt.timedelta(days=1), archive=False,
+    )
+    rep = cat.read("rep_fraud")
+    # late T203 (Moscow->Kazan hop) got its event; T202's Kazan->Samara
+    # re-derivation deduped against the already-stored T202 row
+    t203 = rep.filter(F.col("trans_id") == "T203").collect()
+    assert len(t203) == 1 and t203[0]["event_type"] == 3
+    assert rep.filter(F.col("trans_id") == "T202").count() == 1
+    assert r2.report_rows == 1  # only the late hop is new
+
+    # third run, nothing new: full no-op
+    r3 = run_daily_batch(
+        spark, inbox_dir=str(inbox), warehouse_dir=wh, dims=dims,
+        clock=CLOCK + dt.timedelta(days=2), archive=False,
+    )
+    assert r3.report_rows == 0

@@ -231,3 +231,43 @@ def test_scd2_dim_only_rebuild_counterexample_fixed_by_log(spark):
 
     canon = lambda rs: sorted((tuple(r) for r in rs), key=repr)  # noqa: E731
     assert canon(dim.collect()) == canon(in_order)
+
+
+def test_scd2_rebuild_log_affected_key_split_matches_full_replay(spark):
+    """Passing the prior dimension restricts the window passes to the
+    late batch's keys; the result (both dim and log) must be identical
+    to the full-replay path — untouched keys pass through unchanged."""
+    from etl_process_spark.operators.scd2 import scd2_rebuild_log
+
+    days = [
+        {"a": 1, "b": 10, "c": 100},
+        {"a": 2, "c": 100},          # confirm c, change a
+        {"b": 11},
+    ]
+    empty = spark.createDataFrame(
+        [], "k string, v int, effective_from timestamp, deleted_flg string"
+    )
+    # seed: apply day 0 and day 2 first (day 1 arrives late)
+    log = empty
+    for i in (0, 2):
+        late = _mk_batch(spark, days[i], _day_ts(i)).withColumnRenamed(
+            "batch_ts", "effective_from"
+        )
+        dim, log = scd2_rebuild_log(log, late, "k", ["v"])
+        log, _ = _materialize_log(spark, log)
+    dim, dim_rows = _materialize(spark, dim)
+
+    late = _mk_batch(spark, days[1], _day_ts(1)).withColumnRenamed(
+        "batch_ts", "effective_from"
+    )
+    # incremental: prior dim passed, only keys {a, c} re-windowed
+    inc_dim, inc_log = scd2_rebuild_log(log, late, "k", ["v"], dim=dim)
+    # full replay: no dim
+    full_dim, full_log = scd2_rebuild_log(log, late, "k", ["v"])
+
+    canon = lambda df: sorted((tuple(r) for r in df.collect()), key=repr)  # noqa: E731
+    assert canon(inc_dim) == canon(full_dim)
+    assert canon(inc_log) == canon(full_log)
+    # untouched key b kept its two versions verbatim
+    b_rows = [r for r in inc_dim.collect() if r["k"] == "b"]
+    assert len(b_rows) == 2
