@@ -823,6 +823,40 @@ def packed_training_sequences_sharded(spark: SparkSession, sf_dir: str) -> DataF
 
 
 @query(
+    "balanced_lang_sample",
+    """
+    WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+         cap AS (SELECT min(n) AS cap FROM counts)
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN counts c ON d.lang = c.lang CROSS JOIN cap
+    WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
+            * c.n
+          < cap.cap * 65536
+    """,
+)
+def balanced_lang_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic balanced mixture: downsample every language to
+    (approximately) the smallest language's size via a pure md5 gate —
+    ``operators/sampling.py::balanced_sample``.
+
+    ``df.sample()`` would be wrong here at scale: RNG draws differ
+    across engines AND across task retries (a re-executed partition
+    resamples), so the training set would not be re-derivable. The hash
+    gate makes membership a pure function of the row id: bit-identical
+    on any engine (the oracle replays it exactly), stable under
+    retries, and append-stable (a kept doc stays kept as the corpus
+    grows). The keep test multiplies BIGINTs instead of comparing a
+    float rate, so no rounding boundary exists to diverge on. One tiny
+    per-lang count aggregate broadcasts back; the corpus is scanned
+    once, filtered map-side.
+    """
+    from etl_process_spark.operators.sampling import balanced_sample
+
+    docs = tbl(spark, sf_dir, "documents").select("doc_id", "lang")
+    return balanced_sample(docs, "lang", "doc_id").select("doc_id", "lang")
+
+
+@query(
     "doc_oov_rate",
     f"""
     WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS t FROM documents),

@@ -223,6 +223,35 @@ def test_new_query_plan_budgets(spark):
     assert exchange_count(hh) <= 3, plan_summary(hh)
 
 
+def test_round2_operator_plan_budgets(spark):
+    """Plan contracts for the round-2 operators.
+
+    - sharded packing: the (lang, shard, seq_id) aggregate REUSES the
+      window's (lang, shard) hash partitioning — the whole query is ONE
+      exchange, so k-way packing adds parallelism without adding a
+      shuffle.
+    - part_pagerank (adjacency + broadcast mode): the post-checkpoint
+      plan keeps rank/contribution tables broadcast every round (≥6
+      broadcast joins over 3 rounds) and stays within 9 exchanges — the
+      O(|E|)-row edge list is never shuffle-joined.
+    - balanced sampling: the counts side reads only the group column (a
+      pruned scan), and the min-count scalar comes from a bounded window
+      over the tiny counts table — not a THIRD derivation of it; the
+      corpus side is filtered map-side behind one broadcast, within 3
+      exchanges total, never re-shuffled for the gate.
+    """
+    pk = _df(spark, "packed_training_sequences_sharded")
+    assert exchange_count(pk) <= 1, plan_summary(pk)
+
+    pr = _df(spark, "part_pagerank")
+    assert broadcast_join_count(pr) >= 6, plan_summary(pr)
+    assert exchange_count(pr) <= 9, plan_summary(pr)
+
+    bs = _df(spark, "balanced_lang_sample")
+    assert broadcast_join_count(bs) >= 1, plan_summary(bs)
+    assert exchange_count(bs) <= 3, plan_summary(bs)
+
+
 def test_join_strategy_hints_change_plan_not_results(spark):
     """Physical-strategy control: the same logical join planned as
     sort-merge (default, spill-safe) and as shuffle-hash (no sort, wins
