@@ -256,34 +256,29 @@ def hyperplane_signs(band: int, nbits: int, dim: int) -> list[list[int]]:
     return out
 
 
-def hyperplane_code(vec: Column, signs: list[list[int]]) -> Column:
-    """SimHash-style LSH bucket code: bit b = [Σ_i sign(b,i)·v_i >= 0].
+def hyperplane_projections(vec: Column, rows: list[list[int]]) -> Column:
+    """All ``len(rows)`` hyperplane projections Σ_i sign(b,i)·v_i in ONE
+    index-ordered aggregate pass over the vector — bit-identical across
+    engines for identical float inputs (fixed summation order), so the
+    signs (hence buckets) derived from it are engine-portable. Per-row,
+    no shuffle.
 
-    Each projection is an index-ordered zip_with/aggregate sum in double —
-    bit-identical across engines for identical float inputs, so the sign
-    (and hence the bucket) is engine-portable. Per-row, no shuffle.
-
-    The ±1 planes are encoded as one '+-…' string literal per bit and
-    expanded row-side: a 64-element literal array per plane would put
-    thousands of literal nodes into the plan and push Janino compile time
-    past the query's own runtime.
+    The ±1 planes are encoded as one '+-…' string literal per projection
+    and expanded row-side: a dim-element literal array per plane would
+    put thousands of literal nodes into the plan, and one aggregate per
+    projection would multiply the operator tree by the projection count —
+    both blow Janino/Catalyst compile time past the query's own runtime
+    (the fused form exists precisely because 4 band-wise aggregates
+    compiled 4× slower than they ran).
     """
-    nbits = len(signs)
-    dim = len(signs[0])
-    # one '+-…' pattern string per bit; a literal-array encoding (dim×bits
-    # literal nodes) or one aggregate per bit (bits× the operator tree)
-    # both blow up Janino compile time past the query's own runtime
+    dim = len(rows[0])
     patterns = F.array(
-        *[F.lit("".join("+" if s > 0 else "-" for s in row)) for row in signs]
+        *[F.lit("".join("+" if s > 0 else "-" for s in row)) for row in rows]
     )
     dbl = F.transform(vec, lambda x: x.cast("double"))
-    # ONE pass over the vector, accumulating all nbits projections in an
-    # array: acc[b] += v_i * sign(b, i). Index order i ascending per bit —
-    # the same summation order the per-bit formulation and the SQL oracle
-    # use, so signs (hence buckets) stay engine-portable.
-    zero = F.array(*[F.lit(0.0) for _ in range(nbits)])
+    zero = F.array(*[F.lit(0.0) for _ in range(len(rows))])
     idx = F.sequence(F.lit(1), F.lit(dim))
-    projs = F.aggregate(
+    return F.aggregate(
         F.zip_with(dbl, idx, lambda x, i: F.struct(x.alias("x"), i.alias("i"))),
         zero,
         lambda acc, e: F.zip_with(
@@ -296,9 +291,21 @@ def hyperplane_code(vec: Column, signs: list[list[int]]) -> Column:
             ),
         ),
     )
-    # code = Σ bit_b << b  via an MSB-first fold: acc*2 + bit
+
+
+def _code_from_flags(flags: Column, start: int, nbits: int) -> Column:
+    """code = Σ bit_b << b over flags[start:start+nbits], an MSB-first
+    fold (acc*2 + bit). ``start`` is 0-based."""
+    window = F.slice(flags, start + 1, nbits)
+    return F.aggregate(F.reverse(window), F.lit(0), lambda acc, x: acc * 2 + x)
+
+
+def hyperplane_code(vec: Column, signs: list[list[int]]) -> Column:
+    """SimHash-style LSH bucket code: bit b = [Σ_i sign(b,i)·v_i >= 0].
+    Single-band convenience over ``hyperplane_projections``."""
+    projs = hyperplane_projections(vec, signs)
     flags = F.transform(projs, lambda p: F.when(p >= 0, F.lit(1)).otherwise(F.lit(0)))
-    return F.aggregate(F.reverse(flags), F.lit(0), lambda acc, x: acc * 2 + x)
+    return _code_from_flags(flags, 0, len(signs))
 
 
 def embedding_neardup_pairs(
@@ -315,12 +322,30 @@ def embedding_neardup_pairs(
     """
     from etl_process_spark.operators.similarity import cosine
 
-    codes = ensure_parallelism(df).select(
+    # ONE fused aggregate computes all nbands×nbits projections, staged
+    # behind a projection boundary (CollapseProject keeps a non-cheap
+    # alias used by every band fold from being re-inlined) — 4 band-wise
+    # aggregate trees quadrupled Catalyst/Janino compile time for the
+    # same math.
+    all_rows = [
+        row for band in range(nbands) for row in hyperplane_signs(band, nbits, dim)
+    ]
+    projected = ensure_parallelism(df).select(
         F.col(id_col).alias("doc"),
+        hyperplane_projections(F.col(vec_col), all_rows).alias("projs"),
+    )
+    flagged = projected.select(
+        "doc",
+        F.transform(
+            "projs", lambda p: F.when(p >= 0, F.lit(1)).otherwise(F.lit(0))
+        ).alias("flags"),
+    )
+    codes = flagged.select(
+        "doc",
         F.posexplode(
             F.array(
                 *[
-                    hyperplane_code(F.col(vec_col), hyperplane_signs(band, nbits, dim))
+                    _code_from_flags(F.col("flags"), band * nbits, nbits)
                     for band in range(nbands)
                 ]
             )
