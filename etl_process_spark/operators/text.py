@@ -98,3 +98,48 @@ def fingerprint(text: Column | str) -> Column:
     practical exact-dup key for web-scale corpora.
     """
     return F.md5(F.concat_ws(" ", tokens(text)))
+
+
+# PII patterns shared by the engine and the DuckDB oracle: RE2-safe
+# (no lookarounds/backrefs — the Java regex ∩ RE2 portable subset), so
+# both engines match identical spans. Order matters: emails before
+# generic number shapes so an address is never half-eaten.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+)
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Replace email / phone / IPv4 shapes with typed placeholders — the
+    standard scrub pass before text reaches a training corpus.
+
+    A chain of ``regexp_replace`` calls, one per pattern: pure per-row
+    JVM work, no shuffle, streams through 100 TB at scan speed. Typed
+    placeholders (not deletion) preserve sentence structure so
+    downstream tokenization/quality signals stay meaningful. The
+    pattern list is the deliberately-reviewable core of the operator —
+    extend per corpus policy (SSNs, IBANs, ...) keeping to the RE2-safe
+    subset for cross-engine replayability.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    for pat, repl in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return c
+
+
+def pii_match_count(text: Column | str) -> Column:
+    """How many PII spans ``redact_pii`` actually replaces — the audit
+    metric (per-source PII density drives crawl-filter policy).
+
+    Counts SEQUENTIALLY on the progressively-redacted text, mirroring
+    the replacement chain: a phone-shaped number inside an address that
+    the email pattern already consumed must not count twice.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    total = F.lit(0)
+    for pat, repl in PII_PATTERNS:
+        total = total + F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0)))
+        c = F.regexp_replace(c, pat, repl)
+    return total

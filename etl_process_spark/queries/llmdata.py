@@ -822,6 +822,71 @@ def packed_training_sequences_sharded(spark: SparkSession, sf_dir: str) -> DataF
     )
 
 
+def _pii_sql() -> str:
+    """Oracle for pii_redaction, composed from the SAME PII_PATTERNS the
+    operator uses (single source of truth for the regexes; DuckDB's RE2
+    and Spark's Java regex agree on the RE2-safe subset the patterns
+    keep to). DuckDB needs the explicit 'g' flag for global replace."""
+    from etl_process_spark.operators.text import PII_PATTERNS
+
+    aug = (
+        "SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN text"
+        " || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com'"
+        " || ' or 555-123-4567 at 10.0.0.' || CAST(doc_id % 256 AS VARCHAR)"
+        " ELSE text END AS t FROM documents"
+    )
+    clean = "t"
+    counts = []
+    for pat, repl in PII_PATTERNS:
+        # DuckDB '...' literals take backslashes verbatim — no doubling
+        lit = pat.replace("'", "''")
+        # count BEFORE this pattern's own replacement, AFTER the earlier
+        # ones — same sequential semantics as pii_match_count (an email's
+        # digits must not re-count as a phone)
+        counts.append(f"len(regexp_extract_all({clean}, '{lit}'))")
+        clean = f"regexp_replace({clean}, '{lit}', '{repl}', 'g')"
+    return (
+        f"WITH aug AS ({aug}) SELECT doc_id, md5({clean}) AS clean_fp, "
+        f"CAST({' + '.join(counts)} AS BIGINT) AS n_pii FROM aug"
+    )
+
+
+@query("pii_redaction", _pii_sql())
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (operators/text.py::redact_pii): email/phone/IPv4 shapes
+    → typed placeholders, plus the per-doc match count that drives
+    per-source PII-density policy.
+
+    The synthetic corpus carries no organic PII, so every 7th document
+    is deterministically augmented with one email+phone+IP clause before
+    scrubbing — both engines inject the identical text, so the oracle
+    exercises real matches, not just no-ops. Output carries md5 of the
+    redacted text (small, order-insensitive, still pins every byte of
+    the redaction). Pure per-row regexp chain — zero shuffle at any
+    corpus size.
+    """
+    from etl_process_spark.operators.text import pii_match_count, redact_pii
+
+    docs = tbl(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"), F.col("doc_id").cast("string"),
+                F.lit("@mail.example.com or 555-123-4567 at 10.0.0."),
+                (F.col("doc_id") % 256).cast("string"),
+            ),
+        ).otherwise(F.col("text")).alias("t"),
+    )
+    return aug.select(
+        "doc_id",
+        F.md5(redact_pii("t")).alias("clean_fp"),
+        pii_match_count("t").cast("bigint").alias("n_pii"),
+    )
+
+
 @query(
     "balanced_lang_sample",
     """
