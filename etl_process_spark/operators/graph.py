@@ -13,6 +13,13 @@ small and dense (diameter ≤ 3-4 in practice), so the loop is short. Each
 round is one shuffle (join on node) + one aggregation; ``localCheckpoint``
 truncates the lineage so round N's plan doesn't re-analyze rounds 1..N-1.
 
+The EVERY-round checkpoint is load-bearing, not an overhead to batch
+away: both round functions reference their input several times (labels
+feeds the neighbor aggregate AND the update join; a star step derives
+sym and the min table from the same edges), so an un-materialized
+intermediate round re-executes its whole subtree per reference —
+measured 2× SLOWER when checkpointing every second round, not faster.
+
 For galaxy-scale graphs (web-crawl link graphs, not dedup clusters),
 ``connected_components_star`` implements the alternating large-star /
 small-star algorithm (Kiveris et al., "Connected Components in MapReduce
