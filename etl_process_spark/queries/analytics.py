@@ -259,6 +259,43 @@ def brand_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "approx_price_quantiles",
+    """
+    SELECT p_brand,
+           round(quantile_cont(p_retailprice, 0.25), 6) AS q1,
+           round(quantile_cont(p_retailprice, 0.75), 6) AS q3,
+           TRUE AS estimate_ok
+    FROM part
+    GROUP BY p_brand
+    """,
+)
+def approx_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile SKETCH with a checkable contract — the approx twin of
+    brand_price_quantiles, following the approx_distinct_users pattern:
+    sketch internals are engine-specific, so the hashed value is the
+    sketch's ACCURACY, not its raw output.
+
+    approx_percentile builds a mergeable sketch map-side (no per-group
+    sort shuffle — the 100 TB path); at accuracy=10000 its rank error is
+    ~1e-4, so the estimated median must land within the exact [q1, q3]
+    band with enormous margin. The oracle asserts that band check TRUE
+    per group alongside the exact quartiles.
+    """
+    pt = tbl(spark, sf_dir, "part")
+    agg = pt.groupBy("p_brand").agg(
+        F.round(F.percentile("p_retailprice", F.lit(0.25)), 6).alias("q1"),
+        F.round(F.percentile("p_retailprice", F.lit(0.75)), 6).alias("q3"),
+        F.approx_percentile("p_retailprice", F.lit(0.5), F.lit(10000)).alias("am"),
+    )
+    return agg.select(
+        "p_brand", "q1", "q3",
+        ((F.col("q1") <= F.col("am")) & (F.col("am") <= F.col("q3"))).alias(
+            "estimate_ok"
+        ),
+    )
+
+
+@query(
     "order_priority_pivot",
     """
     SELECT o_orderstatus,
