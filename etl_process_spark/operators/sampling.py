@@ -48,6 +48,46 @@ def stratified_sample(
     return df.filter(hash_gate16(id_col) < thresh)
 
 
+def resample_weighted(
+    df: DataFrame, group_col: str, id_col: str, weights: dict[str, float]
+) -> DataFrame:
+    """Temperature-style mixture resampling: replicate each group's rows
+    by its weight — the generalization that handles UP-sampling (weight
+    2.5 → every row twice, half the rows a third time) and down-sampling
+    (weight 0.25) in one rule. Epoch multipliers for under-represented
+    sources are exactly this operator.
+
+    n_copies(row) = floor(w) + [gate16(id) < frac(w)·65536]; rows with
+    n_copies = 0 drop out. The fractional copy uses the same md5 gate as
+    the samplers, so the replica set is engine-portable, retry-stable,
+    and append-stable. Output adds ``copy_id`` (1-based) so downstream
+    shuffles/dedups see distinct rows, not accidental duplicates.
+
+    Map-side only: a literal weight table folds into the plan (no join),
+    the explode fans out bounded by ceil(max weight), and nothing
+    shuffles. Groups absent from ``weights`` keep weight 1.0.
+    """
+    w_expr = F.lit(1.0)
+    for grp, w in weights.items():
+        if w < 0:
+            raise ValueError(f"negative weight for {grp!r}: {w}")
+        w_expr = F.when(F.col(group_col) == grp, F.lit(float(w))).otherwise(w_expr)
+    whole = F.floor(w_expr).cast("long")
+    frac_gate = (
+        hash_gate16(id_col) < ((w_expr - F.floor(w_expr)) * 65536).cast("long")
+    ).cast("long")
+    n_copies = (whole + frac_gate).alias("__n_copies")
+    out = df.withColumn("__n_copies", n_copies)
+    # sequence(1, 0) in Spark counts DOWN ([1, 0]) — guard the empty case
+    copies = F.when(
+        F.col("__n_copies") >= 1, F.sequence(F.lit(1), F.col("__n_copies"))
+    ).otherwise(F.array().cast("array<int>"))
+    return (
+        out.withColumn("copy_id", F.explode(copies))
+        .drop("__n_copies")
+    )
+
+
 def balanced_sample(df: DataFrame, group_col: str, id_col: str) -> DataFrame:
     """Downsample every group to (approximately) the SMALLEST group's
     size — the balanced-mixture special case, with the per-group rate

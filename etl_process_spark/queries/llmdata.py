@@ -888,6 +888,45 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "mixture_resampled_docs",
+    """
+    WITH w AS (
+      SELECT doc_id, lang,
+             CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 2.25 ELSE 1.0 END AS wt,
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) AS g
+      FROM documents),
+    n AS (
+      SELECT doc_id, lang,
+             CAST(floor(wt) AS BIGINT)
+             + CASE WHEN g < CAST((wt - floor(wt)) * 65536 AS BIGINT)
+                    THEN 1 ELSE 0 END AS nc
+      FROM w)
+    SELECT doc_id, lang, CAST(u.c AS INT) AS copy_id
+    FROM n, unnest(generate_series(1, nc)) AS u(c)
+    """,
+)
+def mixture_resampled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-style mixture reweighting
+    (operators/sampling.py::resample_weighted): English down-weighted to
+    0.5, German up-weighted to 2.25 (every row twice, a gated quarter a
+    third time), other languages untouched — the epoch-multiplier
+    operator of a data-mixture recipe.
+
+    The replica decision reuses the samplers' md5 gate, so DuckDB
+    replays the exact copy set; weights are binary-exact fractions
+    (.5/.25) so the fractional threshold computes identically in both
+    engines. Map-side only: literal weight table, bounded explode, zero
+    shuffle at any corpus size.
+    """
+    from etl_process_spark.operators.sampling import resample_weighted
+
+    docs = tbl(spark, sf_dir, "documents").select("doc_id", "lang")
+    return resample_weighted(
+        docs, "lang", "doc_id", {"en": 0.5, "de": 2.25}
+    ).select("doc_id", "lang", "copy_id")
+
+
+@query(
     "balanced_lang_sample",
     """
     WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),

@@ -68,3 +68,34 @@ def test_membership_is_append_stable(spark):
     kept_big = {r.doc_id for r in
                 stratified_sample(big, "lang", "doc_id", rates).collect()}
     assert kept_small <= kept_big
+
+
+def test_resample_weighted_copy_counts(spark):
+    from etl_process_spark.operators.sampling import resample_weighted
+
+    df = _docs(spark, {"en": 4000, "de": 4000, "fr": 1000})
+    out = resample_weighted(df, "lang", "doc_id", {"en": 0.5, "de": 2.25})
+    got = {r["lang"]: r["cnt"] for r in
+           out.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert abs(got["en"] / 4000 - 0.5) < 0.03          # downsample
+    assert abs(got["de"] / 4000 - 2.25) < 0.03         # upsample
+    assert got["fr"] == 1000                            # untouched
+    # every de row appears at least twice (whole part of the weight)
+    de_min = (out.filter(F.col("lang") == "de").groupBy("doc_id")
+              .agg(F.count(F.lit(1)).alias("c"))
+              .agg(F.min("c")).first()[0])
+    assert de_min == 2
+    # copy_id makes replicas distinct rows
+    assert out.distinct().count() == out.count()
+
+
+def test_resample_weight_zero_drops_group(spark):
+    from etl_process_spark.operators.sampling import resample_weighted
+
+    df = _docs(spark, {"en": 100, "fr": 50})
+    out = resample_weighted(df, "lang", "doc_id", {"en": 0.0})
+    langs = {r["lang"] for r in out.select("lang").distinct().collect()}
+    assert langs == {"fr"}
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        resample_weighted(df, "lang", "doc_id", {"en": -1.0})
