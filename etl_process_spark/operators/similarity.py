@@ -224,18 +224,26 @@ def quantize_int8(
     return df.withColumn(out_col, q).withColumn(f"{out_col}_scale", scale)
 
 
-def cosine_quantized(a_q: Column, b_q: Column) -> Column:
+def quantized_norm(q: Column) -> Column:
+    """sqrt(Σ q_i²) of an int8-quantized vector (exact integer sum in
+    doubles). Precompute this on the QUERY side of a broadcast scoring
+    join — recomputing a constant query norm per corpus row both wastes
+    the scan and doubles the scoring expression tree."""
+    return F.sqrt(F.aggregate(
+        F.transform(q, lambda x: (x * x).cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine_quantized(a_q: Column, b_q: Column, b_norm: Column | None = None) -> Column:
     """Cosine over int8-quantized vectors. Per-vector symmetric scaling
     cancels in the cosine ratio, so no dequantization multiply is needed
-    — integer dot and norms only."""
+    — integer dot and norms only. Pass ``b_norm`` (``quantized_norm`` of
+    ``b_q``) when b is a broadcast query vector whose norm is constant
+    across rows; identical value, one aggregate less per row."""
     num = F.aggregate(
         F.zip_with(a_q, b_q, lambda x, y: (x * y).cast("double")),
         F.lit(0.0), lambda acc, x: acc + x,
     )
-    na = F.sqrt(F.aggregate(
-        F.transform(a_q, lambda x: (x * x).cast("double")),
-        F.lit(0.0), lambda acc, x: acc + x))
-    nb = F.sqrt(F.aggregate(
-        F.transform(b_q, lambda x: (x * x).cast("double")),
-        F.lit(0.0), lambda acc, x: acc + x))
+    na = quantized_norm(a_q)
+    nb = b_norm if b_norm is not None else quantized_norm(b_q)
     return num / (na * nb)

@@ -1152,14 +1152,22 @@ def embedding_topk_cosine_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = tbl(spark, sf_dir, "embeddings")
     qdf = sim.quantize_int8(emb)
-    qv = qdf.filter(F.col("vec_id") == 0).select(F.col("qvec").alias("query_q"))
+    qv = qdf.filter(F.col("vec_id") == 0).select(
+        F.col("qvec").alias("query_q"),
+        # query norm is constant across scored rows — compute it once on
+        # the 1-row broadcast side, not per corpus row
+        sim.quantized_norm(F.col("qvec")).alias("qnorm"),
+    )
     return (
         qdf.crossJoin(F.broadcast(qv))
         .select(
             "vec_id",
-            F.round(sim.cosine_quantized(F.col("qvec"), F.col("query_q")), 6).alias(
-                "cos_sim_q"
-            ),
+            F.round(
+                sim.cosine_quantized(
+                    F.col("qvec"), F.col("query_q"), b_norm=F.col("qnorm")
+                ),
+                6,
+            ).alias("cos_sim_q"),
         )
         .orderBy(F.col("cos_sim_q").desc(), F.col("vec_id"))
         .limit(10)
