@@ -79,3 +79,35 @@ def pack_summary(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(n_tokens).alias("total_tokens"),
     )
+
+
+def pack_texts(
+    assigned: DataFrame,
+    text_col: str = "text",
+    order_by: str = "doc_id",
+    partition_by: Sequence[str] = ("lang",),
+    sep: str = " <|doc|> ",
+) -> DataFrame:
+    """Materialize the packed sequences as TEXT — the actual training
+    shard: documents of each ``(*partition_by, shard, seq_id)`` sequence
+    concatenated in ``order_by`` order with a document separator token.
+
+    One (group, shard, seq)-keyed aggregate; within-sequence order is
+    pinned by sorting struct(order_key, text) pairs inside the group, so
+    the output string is deterministic under any partitioning (shuffles
+    do not reorder it). Sequence groups are budget-bounded (≈ the token
+    budget per sequence), so the collect_list never builds an unbounded
+    row — the safety the packing rule itself guarantees.
+    """
+    pair = F.struct(F.col(order_by).alias("o"), F.col(text_col).alias("t"))
+    return (
+        assigned.groupBy(*partition_by, "shard", "seq_id")
+        .agg(F.array_sort(F.collect_list(pair)).alias("ps"))
+        .select(
+            *partition_by, "shard", "seq_id",
+            F.array_join(
+                F.transform("ps", lambda p: p["t"]), sep
+            ).alias("seq_text"),
+            F.size("ps").alias("n_docs"),
+        )
+    )

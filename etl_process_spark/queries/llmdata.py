@@ -961,6 +961,57 @@ def balanced_lang_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "packed_sequence_texts",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, lang, text, CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+      FROM documents),
+    placed AS (
+      SELECT lang, doc_id % 4 AS shard, doc_id, text, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY lang, doc_id % 4 ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum
+      FROM tok)
+    SELECT lang, CAST(shard AS BIGINT) AS shard,
+           CAST((cum - n_tokens) // 512 AS BIGINT) AS seq_id,
+           md5(string_agg(text, ' <|doc|> ' ORDER BY doc_id)) AS seq_fp,
+           CAST(count(*) AS INT) AS n_docs
+    FROM placed
+    GROUP BY lang, shard, (cum - n_tokens) // 512
+    """,
+)
+def packed_sequence_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The packed training shard itself: each (lang, shard, seq)
+    sequence's documents concatenated in doc_id order with a separator
+    token (operators/packing.py::pack_texts) — what actually gets
+    written for the trainer, not just the assignment bookkeeping.
+
+    Within-sequence order is pinned by sorting (doc_id, text) pairs
+    inside the aggregation, so the concatenation is deterministic under
+    any partitioning; the oracle compares md5 of each sequence string
+    (pins every byte, keeps the diff rows small). One budget-bounded
+    groupBy after the packing window — group size ≈ the token budget.
+    """
+    from etl_process_spark.operators.packing import pack_sequences, pack_texts
+
+    docs = tbl(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "lang", "text",
+        F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    assigned = pack_sequences(
+        tok, budget=512, shards=4, shard_expr=F.col("doc_id")
+    )
+    return pack_texts(assigned).select(
+        "lang", "shard", "seq_id",
+        F.md5("seq_text").alias("seq_fp"),
+        "n_docs",
+    )
+
+
+@query(
     "doc_oov_rate",
     f"""
     WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS t FROM documents),

@@ -93,3 +93,18 @@ def test_oversize_doc_gets_own_bin_boundary(spark):
 def test_shards_must_be_positive(docs):
     with pytest.raises(ValueError):
         pack_sequences(docs, shards=0)
+
+
+def test_pack_texts_order_and_separator(spark):
+    from etl_process_spark.operators.packing import pack_sequences, pack_texts
+
+    df = spark.createDataFrame(
+        [(2, "en", "beta", 300), (1, "en", "alpha", 300), (3, "en", "gamma", 100)],
+        "doc_id long, lang string, text string, n_tokens long",
+    )
+    assigned = pack_sequences(df, budget=512, shards=1)
+    out = {(r.seq_id): (r.seq_text, r.n_docs)
+           for r in pack_texts(assigned).collect()}
+    # seq 0: doc1 (cum 0) + doc2 (cum 300); doc3 starts at cum 600 -> seq 1
+    assert out[0] == ("alpha <|doc|> beta", 2)
+    assert out[1] == ("gamma", 1)
