@@ -1338,3 +1338,68 @@ def price_band_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(w).cast("double").alias("band_sum"),
         F.count(F.lit(1)).over(w).alias("band_n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Data layout: Z-order (Morton) clustering
+# ---------------------------------------------------------------------------
+
+def _zorder_oracle_terms(xcol: str, ycol: str, bits: int) -> str:
+    """The Morton interleave as portable integer arithmetic (same formula
+    `operators/zorder.py::zorder_key` emits as Spark expressions)."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"(({xcol} >> {i}) & 1) * {1 << (2 * i)}")
+        terms.append(f"(({ycol} >> {i}) & 1) * {1 << (2 * i + 1)}")
+    return " + ".join(terms)
+
+
+@query(
+    "zorder_cluster_stats",
+    f"""
+    WITH coords AS (
+      SELECT o_orderkey,
+             o_custkey % 256 AS x,
+             date_diff('day', DATE '1992-01-01', o_orderdate) % 256 AS y
+      FROM orders),
+    keyed AS (
+      SELECT o_orderkey, x, y,
+             {_zorder_oracle_terms('x', 'y', 8)} AS z
+      FROM coords)
+    SELECT z // 256 AS zbucket,
+           count(*) AS n_orders,
+           min(x) AS x_lo, max(x) AS x_hi,
+           min(y) AS y_lo, max(y) AS y_hi
+    FROM keyed
+    GROUP BY 1
+    """,
+)
+def zorder_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) clustering key over (custkey, orderdate) with
+    per-bucket bounding rectangles.
+
+    Each 256-key Z-prefix bucket covers a 16x16 rectangle of the 256x256
+    (custkey-bin, day-bin) space -- the locality that lets a file layout
+    range-partitioned on ``z`` prune on EITHER dimension
+    (``tests/test_plans.py::test_zorder_layout_prunes_on_both_dimensions``
+    proves the file-skipping; this query pins the key math against the
+    oracle). The interleave is pure JVM bit arithmetic from
+    ``operators/zorder.py::zorder_key`` -- one scan, one small agg
+    shuffle, no UDF at 100 TB.
+    """
+    from etl_process_spark.operators.zorder import zorder_key
+
+    od = tbl(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") % 256).alias("x"),
+        (F.datediff("o_orderdate", F.lit("1992-01-01").cast("date")) % 256)
+        .alias("y"),
+    )
+    return (
+        od.withColumn("z", zorder_key(F.col("x"), F.col("y"), bits=8))
+        .groupBy((F.col("z") / 256).cast("long").alias("zbucket"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.min("x").alias("x_lo"), F.max("x").alias("x_hi"),
+            F.min("y").alias("y_lo"), F.max("y").alias("y_hi"),
+        )
+    )

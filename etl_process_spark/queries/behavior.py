@@ -1,0 +1,201 @@
+"""User-behavior analytics over the events table: ordered funnels, weekly
+cohort retention, robust (median/MAD) outlier detection.
+
+These are the product-analytics shapes a clickstream warehouse runs daily;
+none exist in the reference (its report.py is rule-based fraud), so they
+extend SURVEY §2's window/aggregate families with the sequential-semantics
+variants (step N's timestamp depends on step N-1's).
+
+Scale notes
+-----------
+* ``funnel_conversion`` computes all four step timestamps with consecutive
+  window functions over ONE ``partitionBy(user_id)`` exchange — Catalyst
+  reuses the partitioning across the four Window nodes, so the corpus is
+  shuffled once regardless of funnel depth, then reduced per user.
+* ``cohort_retention_weekly`` is two user-keyed aggregations joined on
+  user_id (same key → co-partitioned) and a ≤(cohorts×weeks)-row output.
+* ``value_mad_outliers`` broadcasts the per-type medians back (5 rows);
+  the corpus is scanned twice but shuffled only for two tiny aggs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_process_spark.queries.registry import query, tbl
+
+_FUNNEL = ("signup", "view", "click", "purchase")
+
+
+@query(
+    "funnel_conversion",
+    """
+    WITH u1 AS (SELECT user_id, min(ts) AS t FROM events
+                WHERE event_type = 'signup' GROUP BY 1),
+         u2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+                JOIN u1 ON e.user_id = u1.user_id
+                WHERE e.event_type = 'view' AND e.ts > u1.t GROUP BY 1),
+         u3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+                JOIN u2 ON e.user_id = u2.user_id
+                WHERE e.event_type = 'click' AND e.ts > u2.t GROUP BY 1),
+         u4 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+                JOIN u3 ON e.user_id = u3.user_id
+                WHERE e.event_type = 'purchase' AND e.ts > u3.t GROUP BY 1),
+         steps AS (
+           SELECT 1 AS step_no, 'signup' AS step, count(*) AS users FROM u1
+           UNION ALL
+           SELECT 2, 'view', count(*) FROM u2
+           UNION ALL
+           SELECT 3, 'click', count(*) FROM u3
+           UNION ALL
+           SELECT 4, 'purchase', count(*) FROM u4)
+    SELECT step_no, step, users,
+           round(users * 1.0 / max(users) OVER (), 6) AS conv_pct
+    FROM steps
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel signup→view→click→purchase.
+
+    Step N is reached at the FIRST event of its type strictly after the
+    user reached step N-1 (strict ordering, not mere presence — a purchase
+    before any click does not count). All four step timestamps come from
+    consecutive whole-partition window mins over the same
+    ``partitionBy(user_id)``: one exchange total, depth-independent.
+    """
+    ev = tbl(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    df = ev.select("user_id", "event_type", "ts")
+    prev = None
+    for i, step in enumerate(_FUNNEL, start=1):
+        cond = F.col("event_type") == step
+        if prev is not None:
+            cond = cond & F.col(prev).isNotNull() & (F.col("ts") > F.col(prev))
+        df = df.withColumn(f"t{i}", F.min(F.when(cond, F.col("ts"))).over(w))
+        prev = f"t{i}"
+    per_user = df.groupBy("user_id").agg(
+        *[F.max(f"t{i}").alias(f"t{i}") for i in range(1, 5)]
+    )
+    steps = None
+    for i, step in enumerate(_FUNNEL, start=1):
+        s = per_user.where(F.col(f"t{i}").isNotNull()).agg(
+            F.lit(i).alias("step_no"),
+            F.lit(step).alias("step"),
+            F.count("*").alias("users"),
+        )
+        steps = s if steps is None else steps.unionAll(s)
+    return steps.withColumn(
+        "conv_pct",
+        F.round(F.col("users") / F.max("users").over(Window.partitionBy()), 6),
+    )
+
+
+@query(
+    "cohort_retention_weekly",
+    """
+    WITH first_seen AS (
+      SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+      FROM events GROUP BY 1),
+    active AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS w
+      FROM events),
+    cohort_sizes AS (
+      SELECT cohort_week, count(*) AS cohort_size FROM first_seen GROUP BY 1)
+    SELECT f.cohort_week,
+           CAST(date_diff('day', f.cohort_week, a.w) / 7 AS INT) AS week_offset,
+           count(*) AS active_users,
+           round(count(*) * 1.0 / any_value(s.cohort_size), 6) AS retention_pct
+    FROM first_seen f
+    JOIN active a ON f.user_id = a.user_id
+    JOIN cohort_sizes s ON f.cohort_week = s.cohort_week
+    GROUP BY 1, 2
+    """,
+)
+def cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle.
+
+    Cohort = ISO week of a user's first event; a cohort's week-``k`` cell
+    counts its users with ANY event in cohort_week+k. Both inputs are
+    user-keyed aggregates joined on user_id (co-partitioned, no extra
+    shuffle); cohort sizes re-derive from the same first_seen aggregate
+    via a tiny broadcast.
+    """
+    ev = tbl(spark, sf_dir, "events").select("user_id", "ts")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    active = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("w")
+    ).distinct()
+    sizes = first_seen.groupBy("cohort_week").agg(
+        F.count("*").alias("cohort_size")
+    )
+    return (
+        first_seen.join(active, "user_id")
+        .join(F.broadcast(sizes), "cohort_week")
+        .groupBy("cohort_week", (F.datediff("w", "cohort_week") / 7)
+                 .cast("int").alias("week_offset"))
+        .agg(
+            F.count("*").alias("active_users"),
+            F.round(F.count("*") / F.any_value("cohort_size"), 6)
+            .alias("retention_pct"),
+        )
+    )
+
+
+@query(
+    "value_mad_outliers",
+    """
+    WITH med AS (
+      SELECT event_type, median(value) AS med
+      FROM events GROUP BY 1),
+    mad AS (
+      SELECT e.event_type, any_value(m.med) AS med,
+             median(abs(e.value - m.med)) AS mad
+      FROM events e JOIN med m ON e.event_type = m.event_type
+      GROUP BY 1)
+    SELECT e.event_type,
+           round(any_value(m.med), 6) AS med,
+           round(any_value(m.mad), 6) AS mad,
+           count(*) FILTER (WHERE abs(e.value - m.med) > 3 * m.mad)
+             AS n_outliers,
+           round(count(*) FILTER (WHERE abs(e.value - m.med) > 3 * m.mad)
+                 * 1.0 / count(*), 6) AS outlier_pct
+    FROM events e JOIN mad m ON e.event_type = m.event_type
+    GROUP BY 1
+    """,
+)
+def value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type outlier detection: median + MAD, 3-MAD fence.
+
+    Median/MAD resist the heavy tails that make mean/stddev fences
+    useless on revenue-like columns. Exact ``percentile`` (sort-based
+    within each of ~5 type groups) is fine here because the group count
+    is tiny; the 5-row median table broadcasts back onto the corpus so
+    the big side never reshuffles for the join.
+    """
+    ev = tbl(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    mad = (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.any_value("med").alias("med"),
+            F.expr("percentile(abs(value - med), 0.5)").alias("mad"),
+        )
+    )
+    is_out = F.abs(F.col("value") - F.col("med")) > 3 * F.col("mad")
+    return (
+        ev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.any_value("med"), 6).alias("med"),
+            F.round(F.any_value("mad"), 6).alias("mad"),
+            F.count(F.when(is_out, 1)).alias("n_outliers"),
+            F.round(F.count(F.when(is_out, 1)) / F.count("*"), 6)
+            .alias("outlier_pct"),
+        )
+    )

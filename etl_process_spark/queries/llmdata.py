@@ -11,7 +11,7 @@ tie-breaks so top-k sets are reproducible across engines.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_process_spark.operators import dedup as dd
@@ -1284,4 +1284,104 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate = F.substring(F.md5(F.col("cluster_id").cast("string")), 1, 1)
     return assigned.withColumn(
         "split", F.when(gate <= "3", "test").otherwise("train")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-level boilerplate detection + training-batch layout
+# ---------------------------------------------------------------------------
+
+@query(
+    "boilerplate_trigram_coverage",
+    f"""
+    WITH sh AS ({_SHINGLES}),
+    g AS (SELECT doc_id, unnest(s) AS gram FROM sh),
+    dfq AS (SELECT gram, count(*) AS df FROM g GROUP BY 1),
+    b AS (SELECT gram FROM dfq WHERE df >= 5)
+    SELECT g.doc_id,
+           count(*) AS n_grams,
+           count(b.gram) AS n_boiler,
+           round(count(b.gram) * 1.0 / count(*), 6) AS boiler_pct,
+           count(b.gram) * 1.0 / count(*) <= 0.25 AS keep
+    FROM g LEFT JOIN b ON g.gram = b.gram
+    GROUP BY 1
+    """,
+)
+def boilerplate_trigram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus boilerplate filter: per-doc coverage by trigrams that
+    occur in >= 5 distinct documents (headers/footers/navigation chrome in
+    a real crawl).
+
+    Unlike ``doc_repetition_ratio`` (WITHIN-doc repetition), the signal
+    here is CORPUS-level document frequency, so it needs a global gram ->
+    df aggregate joined back onto the per-doc gram stream. Both the df
+    aggregate and the join-back shuffle on the gram key — the corpus text
+    itself never reshuffles, only (doc_id, gram) pairs, and the same
+    gram-keyed exchange serves both steps. No threshold on total corpus
+    size is smuggled in driver-side: everything is one lazy plan.
+    """
+    docs = tbl(spark, sf_dir, "documents")
+    g = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(dd.shingles(F.col("text"), 3))).alias("gram"),
+    )
+    boiler = (
+        g.groupBy("gram").agg(F.count("*").alias("df"))
+        .where(F.col("df") >= 5)
+        .select("gram", F.lit(1).alias("is_b"))
+    )
+    return (
+        g.join(boiler, "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.count("is_b").alias("n_boiler"),
+            F.round(F.count("is_b") / F.count("*"), 6).alias("boiler_pct"),
+            (F.count("is_b") / F.count("*") <= 0.25).alias("keep"),
+        )
+    )
+
+
+@query(
+    "length_bucketed_batches",
+    f"""
+    WITH d AS (SELECT doc_id, len({_TOKS}) AS n FROM documents),
+    r AS (SELECT doc_id, n, n // 32 AS bucket,
+                 row_number() OVER (PARTITION BY n // 32 ORDER BY doc_id) AS rn
+          FROM d)
+    SELECT bucket, (rn - 1) // 8 AS batch_id,
+           count(*) AS n_docs,
+           min(n) AS min_tokens, max(n) AS max_tokens,
+           count(*) * max(n) - sum(n) AS padding_tokens
+    FROM r GROUP BY 1, 2
+    """,
+)
+def length_bucketed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length bucketing for training-batch efficiency: group docs
+    into 32-token length buckets, fill 8-doc batches inside each bucket,
+    and account the padding waste (docs padded to their batch max).
+
+    Batching like-length sequences together is how a trainer avoids
+    padding short docs to the global max. ``padding_tokens`` =
+    ``n_docs*max - sum(n)`` per batch quantifies what the layout saves.
+    One shuffle keyed on the bucket; the row_number fill is deterministic
+    (doc_id order). At 100 TB a single bucket is one reducer — the
+    sharded-window pattern from ``operators/packing.py`` (partition by
+    ``(bucket, pmod(hash(doc_id), k))``) removes that ceiling with
+    identical per-shard semantics; this query pins the k=1 contract the
+    oracle can express.
+    """
+    docs = tbl(spark, sf_dir, "documents")
+    d = docs.select("doc_id", F.size(tx.tokens(F.col("text"))).alias("n"))
+    d = d.withColumn("bucket", F.floor(F.col("n") / 32))
+    w = Window.partitionBy("bucket").orderBy("doc_id")
+    r = d.withColumn("rn", F.row_number().over(w))
+    return (
+        r.groupBy("bucket", F.floor((F.col("rn") - 1) / 8).alias("batch_id"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n").alias("min_tokens"),
+            F.max("n").alias("max_tokens"),
+            (F.count("*") * F.max("n") - F.sum("n")).alias("padding_tokens"),
+        )
     )
