@@ -297,3 +297,66 @@ def pagerank_fixed_point(
         if (i + 1) % checkpoint_interval == 0 and i + 1 < iterations:
             ranks = ranks.localCheckpoint()
     return ranks
+
+
+def triangle_count(edges: DataFrame, src: str = "u", dst: str = "v") -> DataFrame:
+    """Exact triangle count via degree-ordered adjacency intersection
+    (one row out).
+
+    Input: canonical undirected edges (``src < dst``, distinct). Orient
+    every edge from its lower- to its higher-(degree, id) endpoint; a
+    triangle then has exactly one edge (x, y) between its two
+    order-smallest nodes, and closes iff the third node is in BOTH
+    out-neighborhoods — so ``sum(size(array_intersect(N(x), N(y))))``
+    over directed edges counts each triangle once.
+
+    Two design points for 100 TB:
+    * the intersection happens INSIDE ``array_intersect`` (whole-stage
+      codegen) — the naive two-hop join materializes every open wedge
+      (Σ out-deg², quadratic per node) as shuffle rows; here wedges are
+      never rows at all;
+    * degree-ordering bounds every out-neighborhood by O(√m) (Suri &
+      Vassilvitskii, "Counting Triangles and the Curse of the Last
+      Reducer", WWW'11), so a celebrity hub's adjacency array stays
+      small enough to carry — without it a hub row holds its whole
+      neighborhood.
+
+    Shuffles: one degree agg + two degree-attach joins (node-keyed,
+    AQE-broadcast when small), one adjacency groupBy, two
+    adjacency-attach joins keyed on the directed endpoints.
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    ed = (
+        e.join(deg.select(F.col("node").alias("u"), F.col("d").alias("du")), "u")
+        .join(deg.select(F.col("node").alias("v"), F.col("d").alias("dv")), "v")
+    )
+    a_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    d = ed.select(
+        F.when(a_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(a_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+    ).localCheckpoint(eager=False)
+    adj = d.groupBy("a").agg(F.collect_set("b").alias("nbrs"))
+    return (
+        d.join(adj.select(F.col("a"), F.col("nbrs").alias("na")), "a")
+        .join(
+            adj.select(F.col("a").alias("b"), F.col("nbrs").alias("nb")),
+            "b",
+            "left",
+        )
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("nb").isNotNull(),
+                    F.size(F.array_intersect("na", "nb")),
+                ).otherwise(0)
+            ).alias("triangles")
+        )
+    )

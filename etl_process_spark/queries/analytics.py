@@ -1403,3 +1403,68 @@ def zorder_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("y").alias("y_lo"), F.max("y").alias("y_hi"),
         )
     )
+
+
+@query(
+    "copurchase_triangles",
+    """
+    WITH e AS (
+      SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+             greatest(a.l_partkey, b.l_partkey) AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+    tri AS (
+      SELECT count(*) AS triangles
+      FROM e e1 JOIN e e2 ON e2.u = e1.v
+                JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+    deg AS (
+      SELECT node, count(*) AS d
+      FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+      GROUP BY 1),
+    wed AS (SELECT sum(d * (d - 1) / 2) AS wedges FROM deg)
+    SELECT triangles, CAST(wedges AS BIGINT) AS wedges,
+           round(3.0 * triangles / wedges, 6) AS global_cc
+    FROM tri CROSS JOIN wed
+    """,
+)
+def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count + global clustering coefficient of the part
+    co-purchase graph (parts are adjacent when they share an order).
+
+    Edges come from the same per-order ``collect_set`` explosion as
+    ``part_pagerank`` (no lineitem self-join), canonically ordered
+    u < v. Counting uses ``operators/graph.py::triangle_count`` —
+    degree-ordered orientation, so no reducer ever squares a hub's
+    full neighborhood (the wedge side is bounded by out-degree ≤
+    O(√m), the WWW'11 "last reducer" fix) — while the oracle states
+    the same count as the textbook two-hop self-join, which DuckDB
+    can afford at sf0.01. Wedge counts (d choose 2) make the
+    clustering coefficient a pure degree aggregate.
+    """
+    from etl_process_spark.operators.graph import triangle_count
+
+    li = tbl(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.collect_set("l_partkey").alias("ps")
+    )
+    pairs = per_order.select(F.explode("ps").alias("u"), "ps").select(
+        "u", F.explode(F.array_remove("ps", F.col("u"))).alias("v")
+    )
+    # lazy local checkpoint: the deduped edge set feeds four plan
+    # references (orientation, two degree attaches, wedge close + the
+    # degree/wedge aggregates below); materialize it once, at first use
+    e = pairs.where(F.col("u") < F.col("v")).distinct().localCheckpoint(eager=False)
+    tri = triangle_count(e)
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    wed = deg.agg(
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("bigint").alias("wedges")
+    )
+    return tri.crossJoin(F.broadcast(wed)).select(
+        "triangles", "wedges",
+        F.round(3.0 * F.col("triangles") / F.col("wedges"), 6).alias("global_cc"),
+    )

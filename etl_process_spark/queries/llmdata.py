@@ -1385,3 +1385,71 @@ def length_bucketed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count("*") * F.max("n") - F.sum("n")).alias("padding_tokens"),
         )
     )
+
+
+_BM25_TERMS = ("spark", "join", "window")
+
+
+@query(
+    "bm25_search_topk",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    d AS (SELECT doc_id, len(toks) AS dl, toks FROM t),
+    stats AS (SELECT count(*) AS n, avg(len(toks)) AS avgdl FROM t),
+    tok AS (SELECT doc_id, dl, unnest(toks) AS token FROM d),
+    tf AS (SELECT doc_id, any_value(dl) AS dl, token, count(*) AS tf
+           FROM tok WHERE token IN ('spark', 'join', 'window')
+           GROUP BY doc_id, token),
+    dfreq AS (SELECT token, count(*) AS dfr FROM tf GROUP BY 1),
+    sc AS (SELECT tf.doc_id,
+                  sum(ln(1 + (s.n - df.dfr + 0.5) / (df.dfr + 0.5))
+                      * tf.tf * 2.2
+                      / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / s.avgdl)))
+                    AS score
+           FROM tf JOIN dfreq df ON tf.token = df.token CROSS JOIN stats s
+           GROUP BY 1)
+    SELECT doc_id, round(score, 6) AS bm25
+    FROM sc ORDER BY bm25 DESC, doc_id LIMIT 20
+    """,
+)
+def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (k1=1.2, b=0.75) for the query
+    ['spark', 'join', 'window'], top-20 docs.
+
+    The keyword-search primitive of a corpus-curation stack. Data flow:
+    explode tokens -> keep only query terms (the explode shrinks to
+    |terms| x docs BEFORE any shuffle) -> per-(doc, term) tf ->
+    per-term document frequency (3-row broadcast) -> scalar (N, avgdl)
+    broadcast -> per-doc score sum -> TakeOrdered top-20. The corpus
+    text is scanned twice (stats + tf) but never shuffled; everything
+    shuffled is (doc, term) pairs for matched terms only. Scores are
+    rounded to 6 decimals with doc_id tie-break in BOTH engines, so the
+    cut is reproducible.
+    """
+    docs = tbl(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tx.tokens(F.col("text")).alias("toks"))
+    stats = toks.agg(
+        F.count("*").alias("n"), F.avg(F.size("toks")).alias("avgdl")
+    )
+    tf = (
+        toks.select(
+            "doc_id", F.size("toks").alias("dl"),
+            F.explode("toks").alias("token"),
+        )
+        .where(F.col("token").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.any_value("dl").alias("dl"), F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("dfr"))
+    idf = F.log(1 + (F.col("n") - F.col("dfr") + 0.5) / (F.col("dfr") + 0.5))
+    w = idf * F.col("tf") * 2.2 / (
+        F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(w), 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(20)
+    )

@@ -129,3 +129,31 @@ def test_pagerank_fixed_point_star_graph_ranks_hub_highest(spark):
     total = hub + sum(leaf_ranks)
     assert 0 < total <= 10**12  # mass bounded; floor-divs only lose units
     assert total > 0.9 * 10**12
+
+
+def test_triangle_count_known_and_random(spark):
+    from etl_process_spark.operators.graph import triangle_count
+
+    # K4 has 4 triangles; a square has 0; sharing no nodes
+    k4 = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+    square = [(10, 11), (11, 12), (12, 13), (10, 13)]
+    e = spark.createDataFrame(k4 + square, ["u", "v"])
+    assert triangle_count(e).collect()[0][0] == 4
+
+    # random graph vs naive O(n^3) reference
+    import itertools
+    import random
+
+    rng = random.Random(7)
+    nodes = list(range(30))
+    edges = sorted(
+        {(a, b) for a in nodes for b in nodes if a < b and rng.random() < 0.2}
+    )
+    adj = set(edges)
+    naive = sum(
+        1
+        for a, b, c in itertools.combinations(nodes, 3)
+        if (a, b) in adj and (b, c) in adj and (a, c) in adj
+    )
+    e2 = spark.createDataFrame(edges, ["u", "v"])
+    assert triangle_count(e2).collect()[0][0] == naive
