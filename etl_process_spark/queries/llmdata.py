@@ -1453,3 +1453,68 @@ def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(20)
     )
+
+
+@query(
+    "duplicate_chunk_docs",
+    f"""
+    WITH tok AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    c AS (SELECT doc_id, md5(array_to_string(t[s:s+31], ' ')) AS fp
+          FROM tok, unnest(generate_series(1, len(t), 24)) AS u(s)
+          WHERE len(t[s:s+31]) = 32),
+    shared AS (SELECT fp FROM c GROUP BY fp
+               HAVING count(DISTINCT doc_id) >= 2)
+    SELECT c.doc_id,
+           count(*) AS n_chunks,
+           count(s.fp) AS n_dup_chunks,
+           round(count(s.fp) * 1.0 / count(*), 6) AS dup_frac
+    FROM c LEFT JOIN shared s ON c.fp = s.fp
+    GROUP BY 1
+    """,
+)
+def duplicate_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-granularity duplication: per doc, the fraction of its
+    full-width 32-token chunks (stride 24, the ``doc_token_chunks``
+    contract) that also appear verbatim in ANOTHER document.
+
+    The scalable approximation of suffix-array substring dedup (Lee et
+    al. 2022 find exact ~50-token spans repeated across web corpora;
+    a suffix array is not a distributed-friendly structure, strided
+    chunk fingerprints are). Data flow: map-side chunking (zero
+    shuffle, bounded fan-out) → md5 fingerprints so the shuffle
+    carries 16-byte digests, never chunk text → fp-keyed df aggregate
+    with a >=2-distinct-docs gate → join-back on the same fp-keyed
+    exchange. Docs heavy in shared spans are the boilerplate/mirror
+    candidates exact-doc dedup misses.
+    """
+    docs = tbl(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("t")
+    )
+    c = (
+        toks.select(
+            "doc_id",
+            "t",
+            F.explode(F.sequence(F.lit(1), F.size("t"), F.lit(24))).alias("s"),
+        )
+        .where(F.expr("size(slice(t, s, 32))") == 32)
+        .select(
+            "doc_id",
+            F.md5(F.concat_ws(" ", F.expr("slice(t, s, 32)"))).alias("fp"),
+        )
+    )
+    shared = (
+        c.groupBy("fp")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("fp", F.lit(1).alias("is_shared"))
+    )
+    return (
+        c.join(shared, "fp", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.count("is_shared").alias("n_dup_chunks"),
+            F.round(F.count("is_shared") / F.count("*"), 6).alias("dup_frac"),
+        )
+    )
