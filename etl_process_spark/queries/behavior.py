@@ -77,17 +77,20 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_user = df.groupBy("user_id").agg(
         *[F.max(f"t{i}").alias(f"t{i}") for i in range(1, 5)]
     )
-    steps = None
-    for i, step in enumerate(_FUNNEL, start=1):
-        s = per_user.where(F.col(f"t{i}").isNotNull()).agg(
-            F.lit(i).alias("step_no"),
-            F.lit(step).alias("step"),
-            F.count("*").alias("users"),
-        )
-        steps = s if steps is None else steps.unionAll(s)
-    return steps.withColumn(
-        "conv_pct",
-        F.round(F.col("users") / F.max("users").over(Window.partitionBy()), 6),
+    # ONE global aggregate carrying all four step counts, then a map-side
+    # stack() unpivot — a unionAll of per-step aggregates would re-execute
+    # the scan + window chain once per step
+    counts = per_user.agg(
+        *[F.count(f"t{i}").alias(f"c{i}") for i in range(1, 5)]
+    )
+    stack_args = ", ".join(
+        f"{i}, '{s}', c{i}" for i, s in enumerate(_FUNNEL, start=1)
+    )
+    return counts.select(
+        F.expr(f"stack(4, {stack_args}) AS (step_no, step, users)"), "c1"
+    ).select(
+        "step_no", "step", "users",
+        F.round(F.col("users") / F.col("c1"), 6).alias("conv_pct"),
     )
 
 
