@@ -502,3 +502,33 @@ def test_aggregate_topk_plans_as_take_ordered(spark):
         plan = explain_str(QUERIES[name].builder(spark, SF_DIR))
         assert "TakeOrderedAndProject" in plan, name
         assert "Sort [" not in plan, name
+
+
+def test_behavior_and_corpus_query_plan_budgets(spark):
+    """Plan contracts for the round-2 behavior/corpus queries.
+
+    - funnel: one events scan, one user_id exchange — step depth adds
+      Window nodes, never scans or shuffles (the step counts ride ONE
+      global aggregate + a map-side stack unpivot).
+    - zorder key stats / length bucketing: pure map + one agg exchange.
+    - BM25: the corpus is never shuffled whole — everything exchanged is
+      (doc, matched-term) rows; df + (N, avgdl) sides broadcast.
+    """
+    fu = _df(spark, "funnel_conversion")
+    fs = fu._jdf.queryExecution().executedPlan().toString()
+    assert fs.count("Scan parquet") == 1, plan_summary(fu)
+    assert fs.count("hashpartitioning(user_id") == 1, plan_summary(fu)
+
+    for name in ("zorder_cluster_stats", "length_bucketed_batches"):
+        df = _df(spark, name)
+        ps = df._jdf.queryExecution().executedPlan().toString()
+        assert ps.count("Scan parquet") == 1, (name, plan_summary(df))
+        assert exchange_count(df) <= 2, (name, plan_summary(df))
+
+    bm = _df(spark, "bm25_search_topk")
+    # df side is a BroadcastHashJoin; the (N, avgdl) scalar rides a
+    # BroadcastNestedLoopJoin — both are BroadcastExchange, zero shuffles
+    # of the corpus for either
+    bs = bm._jdf.queryExecution().executedPlan().toString()
+    assert broadcast_join_count(bm) >= 1, plan_summary(bm)
+    assert bs.count("BroadcastExchange") >= 2, plan_summary(bm)
