@@ -63,6 +63,8 @@ def main() -> None:
     ).count()
     spark.range(64).mapInPandas(lambda it: it, "id long").count()
 
+    import gc
+
     timings: dict[str, float] = {}
     for name in names:
         best = float("inf")
@@ -71,6 +73,11 @@ def main() -> None:
             QUERIES[name].builder(spark, sf_dir).count()
             best = min(best, time.perf_counter() - start)
         timings[name] = round(best, 3)
+        # drop builder refs promptly so the ContextCleaner unpersists
+        # localCheckpoint blocks (CC rounds, triangle edge sets) between
+        # queries — otherwise storage memory accumulates across the
+        # corpus and later queries inherit GC pauses
+        gc.collect()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
