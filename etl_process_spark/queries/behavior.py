@@ -202,3 +202,63 @@ def value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("outlier_pct"),
         )
     )
+
+
+@query(
+    "last_touch_attribution",
+    """
+    SELECT t.event_type AS channel, count(*) AS purchases
+    FROM events p, LATERAL (
+      SELECT e.event_type
+      FROM events e
+      WHERE e.user_id = p.user_id
+        AND (e.ts, e.event_id) < (p.ts, p.event_id)
+        AND e.event_type <> 'purchase'
+        AND e.ts >= p.ts - INTERVAL 7 DAY
+      ORDER BY e.ts DESC, e.event_id DESC
+      LIMIT 1) t
+    WHERE p.event_type = 'purchase'
+    GROUP BY 1
+    """,
+)
+def last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase credits the user's most
+    recent preceding non-purchase event within 7 days.
+
+    The oracle states it as a correlated LATERAL top-1 — the formulation
+    warehouses actually run, quadratic per user. The Spark build is the
+    as-of-VIA-WINDOW pattern: one sort within a single user_id exchange,
+    carrying the last non-purchase (ts, type) with
+    ``last(..., ignoreNulls=True)`` over ROWS UNBOUNDED..1 PRECEDING —
+    no join at all, linear per user whatever the history length. Total
+    (ts, event_id) ordering on both sides makes same-timestamp
+    tie-breaks engine-independent.
+    """
+    ev = tbl(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    non_purchase = F.col("event_type") != "purchase"
+    attributed = (
+        ev.withColumn(
+            "prev_type",
+            F.last(F.when(non_purchase, F.col("event_type")), ignorenulls=True)
+            .over(w),
+        )
+        .withColumn(
+            "prev_ts",
+            F.last(F.when(non_purchase, F.col("ts")), ignorenulls=True).over(w),
+        )
+        .where(
+            (F.col("event_type") == "purchase")
+            & F.col("prev_ts").isNotNull()
+            & (F.col("prev_ts") >= F.col("ts") - F.expr("INTERVAL 7 DAYS"))
+        )
+    )
+    return attributed.groupBy(F.col("prev_type").alias("channel")).agg(
+        F.count("*").alias("purchases")
+    )
