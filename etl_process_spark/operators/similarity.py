@@ -247,3 +247,87 @@ def cosine_quantized(a_q: Column, b_q: Column, b_norm: Column | None = None) -> 
     na = quantized_norm(a_q)
     nb = b_norm if b_norm is not None else quantized_norm(b_q)
     return num / (na * nb)
+
+
+def _sq_dist(v: Column, c: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(v, c, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def kmeans_lloyd(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 4,
+    rounds: int = 2,
+) -> tuple[DataFrame, DataFrame]:
+    """Lloyd k-means refinement: ``rounds`` assignment passes with a
+    centroid update between each (the clustering step of SemDeDup-style
+    semantic pruning, and the trained coarse quantizer IVF cells want in
+    production). Deterministic init: the ``k`` lowest-id vectors.
+
+    Returns ``(assignments, centroids)`` — the final assignment and the
+    centroids it was scored against.
+
+    100 TB shape: the k centroids are packed into ONE row
+    (``collect_list``) and broadcast, so assignment is a pure map stage
+    — per-vector argmin via ``array_sort`` over (distance², cluster)
+    structs, the corpus never shuffled to rank candidates (a naive
+    crossJoin × row_number ranks k copies of the corpus through a
+    full id-keyed exchange per round). The centroid update shuffles
+    only (cluster, dim) partial sums thanks to map-side combine —
+    centroid-sized, independent of corpus size, the same contract as
+    ``ivf_centroids``. Lineage per round is cut with a lazy
+    localCheckpoint. Ties (equidistant centroids) break to the lower
+    cluster id in every engine.
+    """
+    from pyspark.sql import Window
+
+    v = df.select(F.col(id_col).alias("vid"), _dbl(F.col(vec_col)).alias("v"))
+    cents = (
+        v.orderBy("vid")
+        .limit(k)
+        .select(
+            (F.row_number().over(Window.orderBy("vid")) - 1).alias("cluster"),
+            F.col("v").alias("c"),
+        )
+    )
+    scored = None
+    for r in range(rounds):
+        packed = cents.agg(
+            F.array_sort(F.collect_list(F.struct("cluster", "c"))).alias("cs")
+        )
+        scored = v.crossJoin(F.broadcast(packed)).select(
+            "vid",
+            "v",
+            F.element_at(
+                F.array_sort(
+                    F.transform(
+                        F.col("cs"),
+                        lambda s: F.struct(
+                            _sq_dist(F.col("v"), s["c"]).alias("d2"),
+                            s["cluster"].alias("cluster"),
+                        ),
+                    )
+                ),
+                1,
+            )["cluster"].alias("cluster"),
+        )
+        if r < rounds - 1:
+            cents = (
+                scored.select("cluster", F.posexplode("v").alias("dim", "val"))
+                .groupBy("cluster", "dim")
+                .agg(F.avg("val").alias("m"))
+                .groupBy("cluster")
+                .agg(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                        lambda s: s["m"],
+                    ).alias("c")
+                )
+                .localCheckpoint(eager=False)
+            )
+    return scored.select("vid", "cluster"), cents

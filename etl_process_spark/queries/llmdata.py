@@ -1518,3 +1518,65 @@ def duplicate_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.count("is_shared") / F.count("*"), 6).alias("dup_frac"),
         )
     )
+
+
+@query(
+    "kmeans_embedding_clusters",
+    """
+    WITH v AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v
+               FROM embeddings),
+    c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, v AS c
+           FROM (SELECT * FROM v ORDER BY vec_id LIMIT 4)),
+    a1 AS (SELECT vec_id, v, cluster FROM (
+        SELECT e.vec_id, e.v, c.cluster,
+               row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY list_distance(e.v, c.c), c.cluster) AS rn
+        FROM v e CROSS JOIN c0 c) WHERE rn = 1),
+    c1 AS (SELECT cluster, list(m ORDER BY dim) AS c FROM (
+        SELECT cluster, dim, avg(val) AS m FROM (
+          SELECT cluster, unnest(v) AS val, generate_subscripts(v, 1) AS dim
+          FROM a1)
+        GROUP BY 1, 2) GROUP BY 1),
+    a2 AS (SELECT vec_id, cluster FROM (
+        SELECT e.vec_id, c.cluster,
+               row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY list_distance(e.v, c.c), c.cluster) AS rn
+        FROM v e CROSS JOIN c1 c) WHERE rn = 1)
+    SELECT a2.cluster, count(*) AS n_vecs,
+           round(sqrt(list_inner_product(any_value(c1.c), any_value(c1.c))), 6)
+             AS centroid_norm
+    FROM a2 JOIN c1 ON a2.cluster = c1.cluster
+    GROUP BY 1
+    """,
+)
+def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd k-means (k=4, two assignment passes, deterministic
+    lowest-id init) over the embedding corpus — cluster sizes and the
+    norms of the refined centroids.
+
+    The clustering step of SemDeDup-style semantic pruning and the
+    trained coarse quantizer for IVF. `operators/similarity.py::
+    kmeans_lloyd` keeps assignment a pure map stage (k centroids packed
+    into one broadcast row, in-row argmin over (dist², cluster)
+    structs) and the update a centroid-sized (cluster, dim) partial
+    agg; the oracle replays both rounds with DuckDB's list_distance —
+    sqrt is monotone, so its ranking equals the engine's dist² ranking,
+    and equidistant ties break to the lower cluster id in both.
+    """
+    emb = tbl(spark, sf_dir, "embeddings")
+    assigned, cents = sim.kmeans_lloyd(emb, "embedding", "vec_id", k=4, rounds=2)
+    counts = assigned.groupBy("cluster").agg(F.count("*").alias("n_vecs"))
+    norms = cents.select(
+        "cluster",
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    F.zip_with(F.col("c"), F.col("c"), lambda x, y: x * y),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                )
+            ),
+            6,
+        ).alias("centroid_norm"),
+    )
+    return counts.join(F.broadcast(norms), "cluster")

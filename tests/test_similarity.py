@@ -143,3 +143,34 @@ def test_int8_quantization_roundtrip_and_cosine_fidelity(emb, spark):
         for r in scored.orderBy(F.col("approx").desc(), "vec_id").limit(10).collect()
     }
     assert len(top_exact & top_approx) >= 7, (top_exact, top_approx)
+
+
+def test_kmeans_lloyd_recovers_separated_clusters(spark):
+    """Three well-separated blobs: two Lloyd passes from lowest-id init
+    must group each blob into one cluster (whatever the label), and the
+    refined centroids must sit near the blob centers."""
+    import random
+
+    from etl_process_spark.operators.similarity import kmeans_lloyd
+
+    rng = random.Random(11)
+    centers = [(0.0, 0.0), (10.0, 0.0), (0.0, 10.0)]
+    rows = []
+    for i in range(90):
+        cx, cy = centers[i % 3]
+        rows.append(
+            (i, [cx + rng.uniform(-0.5, 0.5), cy + rng.uniform(-0.5, 0.5)])
+        )
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    assigned, cents = kmeans_lloyd(df, "embedding", "vec_id", k=3, rounds=3)
+    got = {r["vid"]: r["cluster"] for r in assigned.collect()}
+    # every blob maps to exactly one cluster label and labels are distinct
+    blob_labels = [{got[i] for i in range(90) if i % 3 == b} for b in range(3)]
+    assert all(len(s) == 1 for s in blob_labels), blob_labels
+    assert len(set().union(*blob_labels)) == 3
+    # refined centroids land within the blobs' jitter radius
+    cent_rows = {r["cluster"]: r["c"] for r in cents.collect()}
+    for b, label_set in enumerate(blob_labels):
+        cx, cy = centers[b]
+        gx, gy = cent_rows[next(iter(label_set))]
+        assert abs(gx - cx) < 0.5 and abs(gy - cy) < 0.5
