@@ -1520,11 +1520,11 @@ def duplicate_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "kmeans_embedding_clusters",
-    """
-    WITH v AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v
-               FROM embeddings),
+# Two Lloyd rounds (lowest-id init, lower-cluster tie-break) as DuckDB
+# CTEs — shared by the kmeans stats query and SemDeDup pruning.
+_KMEANS_CTES = """
+    v AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v
+          FROM embeddings),
     c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, v AS c
            FROM (SELECT * FROM v ORDER BY vec_id LIMIT 4)),
     a1 AS (SELECT vec_id, v, cluster FROM (
@@ -1542,6 +1542,13 @@ def duplicate_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                row_number() OVER (PARTITION BY e.vec_id
                    ORDER BY list_distance(e.v, c.c), c.cluster) AS rn
         FROM v e CROSS JOIN c1 c) WHERE rn = 1)
+"""
+
+
+@query(
+    "kmeans_embedding_clusters",
+    f"""
+    WITH {_KMEANS_CTES}
     SELECT a2.cluster, count(*) AS n_vecs,
            round(sqrt(list_inner_product(any_value(c1.c), any_value(c1.c))), 6)
              AS centroid_norm
@@ -1580,3 +1587,59 @@ def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("centroid_norm"),
     )
     return counts.join(F.broadcast(norms), "cluster")
+
+
+@query(
+    "semantic_dedup_keep",
+    f"""
+    WITH {_KMEANS_CTES},
+    n AS (SELECT a2.vec_id, a2.cluster, v.v,
+                 sqrt(list_inner_product(v.v, v.v)) AS nrm
+          FROM a2 JOIN v ON a2.vec_id = v.vec_id),
+    drops AS (
+      SELECT DISTINCT b.vec_id
+      FROM n a JOIN n b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      WHERE round(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.4)
+    SELECT n.vec_id, n.cluster, d.vec_id IS NULL AS keep
+    FROM n LEFT JOIN drops d ON n.vec_id = d.vec_id
+    """,
+)
+def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means the embedding space, then
+    drop any vector with a lower-id cluster-mate at cosine ≥ 0.4 —
+    semantic near-duplicate pruning at cluster scope.
+
+    The clustering is what makes this 100 TB-shaped: pairwise cosine is
+    only computed WITHIN a cluster (equi-join on the cluster id), and in
+    production k grows with the corpus so cluster sizes stay bounded —
+    the quadratic term is (corpus/k)² per cluster, a constant, never
+    corpus². Assignment itself is the map-side ``kmeans_lloyd`` pass;
+    the keeper rule (smallest id survives) and the round-6 cosine
+    threshold are pinned identically in the oracle's replay.
+    """
+    emb = tbl(spark, sf_dir, "embeddings")
+    assigned, _ = sim.kmeans_lloyd(emb, "embedding", "vec_id", k=4, rounds=2)
+    n = assigned.withColumnRenamed("vid", "vec_id").join(
+        emb.select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        ),
+        "vec_id",
+    )
+    a, b = n.alias("a"), n.alias("b")
+    drops = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .where(
+            F.round(sim.cosine(F.col("a.v"), F.col("b.v")), 6) >= 0.4
+        )
+        .select(F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+        .withColumn("dropped", F.lit(1))
+    )
+    return n.join(drops, "vec_id", "left").select(
+        "vec_id", "cluster", F.col("dropped").isNull().alias("keep")
+    )
