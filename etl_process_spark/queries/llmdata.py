@@ -1643,3 +1643,72 @@ def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return n.join(drops, "vec_id", "left").select(
         "vec_id", "cluster", F.col("dropped").isNull().alias("keep")
     )
+
+
+@query(
+    "quality_logit_score",
+    f"""
+    WITH f AS (
+      SELECT doc_id,
+             len(toks) AS n_tokens,
+             CAST(round(1000000.0 * list_sum([length(t) for t in toks])
+                        / len(toks), 0) AS BIGINT) AS avg_u,
+             CAST(round(1000000.0 * len(list_filter(toks,
+                     t -> t IN ('the','a','of','and','is')))
+                        / len(toks), 0) AS BIGINT) AS stop_u,
+             CAST(round(1000000.0 * len(list_distinct(toks))
+                        / len(toks), 0) AS BIGINT) AS lex_u
+      FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)),
+    s AS (
+      SELECT doc_id,
+             -200000000 + 1000000 * n_tokens + 30 * avg_u
+                        + 300 * stop_u + 150 * lex_u AS z_units
+      FROM f)
+    SELECT doc_id, z_units AS logit_units,
+           round(1.0 / (1.0 + exp(-(z_units / 100000000.0))), 6) AS score,
+           z_units >= 0 AS keep
+    FROM s
+    """,
+)
+def quality_logit_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering: a fixed-weight logistic scorer over
+    handcrafted features (token count, mean token length, stopword
+    ratio, lexical diversity) — the CCNet/fastText-classifier SHAPE of
+    web-corpus curation with public placeholder weights, so the scoring
+    plumbing is real and oracle-checkable while trained weights remain a
+    drop-in.
+
+    Pure per-row expressions end to end: zero shuffles at any corpus
+    size, whole-stage codegen, no UDF. The linear term is computed in
+    fixed-point BIGINT units (features at 1e6, weights as exact
+    rationals at 1e8) — rounding a float logit built FROM quantized
+    features lands on .5 boundaries where JVM and DuckDB round()
+    disagree at ulp level (3/500 docs in practice), while the integer
+    logit is bit-exact in every engine; only the sigmoid display value
+    rounds a continuous double, where boundaries have measure zero.
+    """
+    docs = tbl(spark, sf_dir, "documents")
+    t = tx.tokens(F.col("text"))
+    n = F.size(t)
+
+    def units(num: F.Column) -> F.Column:
+        return F.round(1000000.0 * num / n, 0).cast("bigint")
+
+    avg_u = units(F.aggregate(t, F.lit(0), lambda a, x: a + F.length(x))
+                  .cast("double"))
+    stop_u = units(
+        F.size(F.filter(t, lambda x: x.isin("the", "a", "of", "and", "is")))
+        .cast("double"))
+    lex_u = units(F.size(F.array_distinct(t)).cast("double"))
+    z_units = (
+        F.lit(-200000000).cast("bigint")
+        + 1000000 * n.cast("bigint")
+        + 30 * avg_u + 300 * stop_u + 150 * lex_u
+    )
+    return docs.select(
+        "doc_id",
+        z_units.alias("logit_units"),
+        F.round(1.0 / (1.0 + F.exp(-(z_units / 100000000.0))), 6)
+        .alias("score"),
+        (z_units >= 0).alias("keep"),
+    )
