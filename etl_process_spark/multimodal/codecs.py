@@ -114,3 +114,15 @@ def iter_frames(content: bytes, every_n: int = 1):
     n_frames = max(1, -(-len(content) // FRAME_BYTES))
     for idx in range(0, n_frames, every_n):
         yield idx, content[idx * FRAME_BYTES : (idx + 1) * FRAME_BYTES]
+
+
+def perceptual_hash(content: bytes) -> str:
+    """64-bit perceptual hash as 16 hex chars.
+
+    Real path: grayscale -> 32x32 -> DCT -> top-left 8x8 sign bits
+    (pHash; needs Pillow/scipy, not in this container). Fake path: the
+    first 16 hex chars of the content md5 — NOT perceptual (no
+    near-match behavior), but the same 64-bit contract, so the banding /
+    hamming-verify plumbing downstream is real and oracle-checkable.
+    """
+    return hashlib.md5(content).hexdigest()[:16]

@@ -112,3 +112,25 @@ def sample_frames(assets: DataFrame, every_n: int = 2) -> DataFrame:
             )
 
     return assets.select("asset_id", "content").mapInPandas(fn, FRAME_SCHEMA)
+
+
+PHASH_SCHEMA = "asset_id long, phash string"
+
+
+def phash_images(assets: DataFrame) -> DataFrame:
+    """Per-asset 64-bit perceptual hash (16 hex chars): the Python decode
+    stage of image near-dup detection. Bytes stay on the executor; only
+    the 16-char digest crosses the wire."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"].to_numpy(),
+                    "phash": [
+                        codecs.perceptual_hash(bytes(c)) for c in pdf["content"]
+                    ],
+                }
+            )
+
+    return assets.select("asset_id", "content").mapInPandas(fn, PHASH_SCHEMA)

@@ -95,3 +95,96 @@ def audio_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_process_spark.multimodal.ops import audio_features
 
     return audio_features(synthesize_assets(spark, sf_dir))
+
+
+@query(
+    "image_phash_dup_pairs",
+    """
+    WITH h AS (SELECT doc_id AS asset_id, substr(md5(text), 1, 16) AS ph
+               FROM documents),
+    p AS (SELECT asset_id,
+                 CAST('0x' || substr(ph, 1, 8) AS BIGINT) AS h1,
+                 CAST('0x' || substr(ph, 9, 8) AS BIGINT) AS h2,
+                 ph
+          FROM h),
+    b AS (SELECT asset_id, i AS band, substr(ph, 1 + 4 * i, 4) AS code
+          FROM h, unnest(range(0, 4)) AS t(i)),
+    cand AS (SELECT DISTINCT a.asset_id AS asset_a, b2.asset_id AS asset_b
+             FROM b a JOIN b b2
+               ON a.band = b2.band AND a.code = b2.code
+              AND a.asset_id < b2.asset_id)
+    SELECT c.asset_a, c.asset_b,
+           CAST(bit_count(xor(pa.h1, pb.h1))
+                + bit_count(xor(pa.h2, pb.h2)) AS INT) AS hamming,
+           bit_count(xor(pa.h1, pb.h1)) + bit_count(xor(pa.h2, pb.h2)) <= 6
+             AS is_dup
+    FROM cand c
+    JOIN p pa ON c.asset_a = pa.asset_id
+    JOIN p pb ON c.asset_b = pb.asset_id
+    """,
+)
+def image_phash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup detection: per-asset 64-bit perceptual hash
+    (mapInPandas decode stage), 4×16-bit band buckets for candidate
+    generation, exact hamming-distance verify on candidates only.
+
+    The pigeonhole guarantee: any pair within hamming ≤ 3 of the full
+    hash shares at least one untouched band, so banding loses nothing
+    at that radius; the ≤ 6 verify fence is then exact bit math
+    (bit_count of xor on two 32-bit halves — pure codegen). Candidates
+    come from an equi join on (band, code): the asset corpus is never
+    all-paired, the same LSH shape as the text and embedding dedup
+    paths. The stand-in hash has no near-match behavior (codecs.py), so
+    pairs here are band collisions scored honestly — with a real pHash
+    the SAME plan performs corpus-level image near-dup removal.
+    """
+    from pyspark.sql import functions as F
+
+    from etl_process_spark.multimodal.assets import synthesize_assets
+    from etl_process_spark.multimodal.ops import phash_images
+
+    ph = phash_images(synthesize_assets(spark, sf_dir))
+    p = ph.select(
+        "asset_id",
+        F.conv(F.substring("phash", 1, 8), 16, 10).cast("long").alias("h1"),
+        F.conv(F.substring("phash", 9, 8), 16, 10).cast("long").alias("h2"),
+        "phash",
+    )
+    bands = ph.select(
+        "asset_id",
+        F.posexplode(
+            F.array(*[F.substring("phash", 1 + 4 * i, 4) for i in range(4)])
+        ).alias("band", "code"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.code") == F.col("b.code"))
+            & (F.col("a.asset_id") < F.col("b.asset_id")),
+        )
+        .select(
+            F.col("a.asset_id").alias("asset_a"),
+            F.col("b.asset_id").alias("asset_b"),
+        )
+        .distinct()
+    )
+    pa = p.select(
+        F.col("asset_id").alias("asset_a"),
+        F.col("h1").alias("h1a"), F.col("h2").alias("h2a"),
+    )
+    pb = p.select(
+        F.col("asset_id").alias("asset_b"),
+        F.col("h1").alias("h1b"), F.col("h2").alias("h2b"),
+    )
+    hamming = F.expr("bit_count(h1a ^ h1b) + bit_count(h2a ^ h2b)")
+    return (
+        cand.join(pa, "asset_a")
+        .join(pb, "asset_b")
+        .select(
+            "asset_a", "asset_b",
+            hamming.cast("int").alias("hamming"),
+            (hamming <= 6).alias("is_dup"),
+        )
+    )
