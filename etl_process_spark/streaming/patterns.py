@@ -129,3 +129,104 @@ def decreasing_run_batch(
         <= F.lit(window_seconds * 1_000_000)
     )
     return df.filter(chain & in_window).select("user_id", "event_id", "ts", "run_start")
+
+
+FUNNEL_SCHEMA = (
+    "user_id bigint, t1 timestamp, t2 timestamp, t3 timestamp, t4 timestamp"
+)
+_FUNNEL_STATE = "step int, reached array<long>"
+FUNNEL_STEPS = ("signup", "view", "click", "purchase")
+
+
+def _make_funnel(steps: tuple[str, ...]):
+    def fn(
+        key: Tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["ts", "event_id"], kind="mergesort")
+        ts_us = rows["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        types = rows["event_type"].to_numpy()
+
+        if state.exists:
+            st = state.get
+            step, reached = int(st[0]), list(st[1])
+        else:
+            step, reached = 0, []
+
+        done = None
+        for t, ty in zip(ts_us, types):
+            if step >= len(steps):
+                break
+            t = int(t)
+            if ty == steps[step] and (step == 0 or t > reached[-1]):
+                reached.append(t)
+                step += 1
+                if step == len(steps):
+                    done = reached
+        state.update((step, reached))
+        if done is not None:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    **{
+                        f"t{i + 1}": [pd.Timestamp(done[i], unit="us")]
+                        for i in range(len(steps))
+                    },
+                }
+            )
+
+    return fn
+
+
+def funnel_stream(
+    events: DataFrame,
+    steps: tuple[str, ...] = FUNNEL_STEPS,
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Streaming ordered-funnel detector (custom stateful operator): per
+    user, advance a step cursor on the FIRST event of the next step type
+    strictly after the previous step's timestamp; emit one completion row
+    with all step timestamps the moment the last step is reached.
+
+    State per key is O(steps): a cursor + the reached timestamps — the
+    streaming dual of ``funnel_conversion``'s window mins, and the reason
+    a funnel over an unbounded stream never re-reads history. Completed
+    users freeze (cursor = len(steps)), so re-deliveries and later events
+    can't re-emit. Emission is on arrival, not watermark-gated: with
+    event-time-ordered input the output equals the batch twin exactly.
+    """
+    src = events.withWatermark("ts", watermark)
+    return src.groupBy("user_id").applyInPandasWithState(
+        _make_funnel(tuple(steps)),
+        outputStructType=FUNNEL_SCHEMA,
+        stateStructType=_FUNNEL_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def funnel_batch(
+    events: DataFrame, steps: tuple[str, ...] = FUNNEL_STEPS
+) -> DataFrame:
+    """Batch twin: consecutive whole-partition window mins (the
+    ``funnel_conversion`` construction), completed users only."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id")
+    df = events.select("user_id", "event_type", "ts")
+    prev = None
+    for i, step in enumerate(steps, start=1):
+        cond = F.col("event_type") == step
+        if prev is not None:
+            cond = cond & F.col(prev).isNotNull() & (F.col("ts") > F.col(prev))
+        df = df.withColumn(f"t{i}", F.min(F.when(cond, F.col("ts"))).over(w))
+        prev = f"t{i}"
+    names = [f"t{i}" for i in range(1, len(steps) + 1)]
+    return (
+        df.groupBy("user_id")
+        .agg(*[F.max(n).alias(n) for n in names])
+        .where(F.col(names[-1]).isNotNull())
+    )

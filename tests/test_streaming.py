@@ -583,3 +583,17 @@ def test_tws_sessionizer_matches_batch_and_legacy_stream(spark, event_inbox, tmp
     assert len(set(batch_rows) - set(got_rows)) <= n_users
     assert len(got_rows) >= len(batch_rows) - n_users
     assert len(got_rows) > 0
+
+
+def test_funnel_stream_matches_batch(spark, event_inbox, tmp_path):
+    """The streaming funnel state machine must agree with the window-min
+    batch twin exactly: completions are emitted on arrival and completed
+    users freeze, so in-order input gives identical completion rows."""
+    from etl_process_spark.streaming.patterns import funnel_batch, funnel_stream
+
+    stream = read_event_stream(spark, event_inbox, max_files_per_trigger=1)
+    got = _run_stream(spark, funnel_stream(stream), tmp_path, "funnel")
+    batch = funnel_batch(tbl(spark, SF_DIR, "events"))
+    cols = ["user_id", "t1", "t2", "t3", "t4"]
+    assert _canon(got, cols) == _canon(batch, cols)
+    assert got.count() > 0
