@@ -1712,3 +1712,62 @@ def quality_logit_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("score"),
         (z_units >= 0).alias("keep"),
     )
+
+
+@query(
+    "unigram_logprob_score",
+    f"""
+    WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS token FROM documents),
+    vocab AS (SELECT token, count(*) AS c FROM tok GROUP BY 1),
+    tot AS (SELECT sum(c) AS n, count(*) AS v FROM vocab),
+    scored AS (
+      SELECT t.doc_id,
+             count(*) AS n_tokens,
+             sum(-ln((vb.c + 1.0) / (tt.n + tt.v))) AS nll
+      FROM tok t
+      JOIN vocab vb ON t.token = vb.token
+      CROSS JOIN tot tt
+      GROUP BY 1)
+    SELECT doc_id, n_tokens,
+           round(nll / n_tokens, 6) AS avg_nll,
+           round(exp(nll / n_tokens), 2) AS ppl
+    FROM scored
+    """,
+)
+def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model perplexity scoring (CCNet-style quality filter)
+    with a corpus-trained add-one-smoothed unigram LM: per-doc mean
+    negative log-likelihood and perplexity.
+
+    The LM "training" is one token-keyed count aggregate; scoring
+    broadcasts the vocab back onto the token stream (same shape as
+    ``doc_oov_rate`` — the corpus text itself is never reshuffled, only
+    (doc, token) pairs move, and the vocab side is |V|-sized). With a
+    real KenLM the per-token lookup becomes an Arrow-batched UDF; the
+    unigram case keeps the whole filter inside codegen. Perplexity is
+    rounded to 2 decimals (it exponentiates the mean, so 6-decimal
+    stability of the mean gives ~4 stable ppl decimals).
+    """
+    docs = tbl(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(tx.tokens(F.col("text"))).alias("token")
+    )
+    vocab = tok.groupBy("token").agg(F.count("*").alias("c"))
+    tot = vocab.agg(
+        F.sum("c").alias("n"), F.count("*").alias("v")
+    )
+    nll = F.sum(-F.log((F.col("c") + 1.0) / (F.col("n") + F.col("v"))))
+    return (
+        tok.join(vocab, "token")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            nll.alias("nll"),
+        )
+        .select(
+            "doc_id", "n_tokens",
+            F.round(F.col("nll") / F.col("n_tokens"), 6).alias("avg_nll"),
+            F.round(F.exp(F.col("nll") / F.col("n_tokens")), 2).alias("ppl"),
+        )
+    )
