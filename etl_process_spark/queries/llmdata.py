@@ -1645,10 +1645,10 @@ def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "quality_logit_score",
-    f"""
-    WITH f AS (
+# Fixed-point quality logit (features at 1e6 units, weights as exact
+# rationals at 1e8) shared by the scorer and cluster-canonical selection.
+_QUALITY_Z_CTES = f"""
+    qf AS (
       SELECT doc_id,
              len(toks) AS n_tokens,
              CAST(round(1000000.0 * list_sum([length(t) for t in toks])
@@ -1659,15 +1659,44 @@ def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(round(1000000.0 * len(list_distinct(toks))
                         / len(toks), 0) AS BIGINT) AS lex_u
       FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)),
-    s AS (
+    qz AS (
       SELECT doc_id,
              -200000000 + 1000000 * n_tokens + 30 * avg_u
                         + 300 * stop_u + 150 * lex_u AS z_units
-      FROM f)
+      FROM qf)
+"""
+
+
+def _quality_z_units(docs: DataFrame) -> DataFrame:
+    """(doc_id, z_units) — the exact-BIGINT logit of quality_logit_score."""
+    t = tx.tokens(F.col("text"))
+    n = F.size(t)
+
+    def units(num):
+        return F.round(1000000.0 * num / n, 0).cast("bigint")
+
+    avg_u = units(F.aggregate(t, F.lit(0), lambda a, x: a + F.length(x))
+                  .cast("double"))
+    stop_u = units(
+        F.size(F.filter(t, lambda x: x.isin("the", "a", "of", "and", "is")))
+        .cast("double"))
+    lex_u = units(F.size(F.array_distinct(t)).cast("double"))
+    z_units = (
+        F.lit(-200000000).cast("bigint")
+        + 1000000 * n.cast("bigint")
+        + 30 * avg_u + 300 * stop_u + 150 * lex_u
+    )
+    return docs.select("doc_id", z_units.alias("z_units"))
+
+
+@query(
+    "quality_logit_score",
+    f"""
+    WITH {_QUALITY_Z_CTES}
     SELECT doc_id, z_units AS logit_units,
            round(1.0 / (1.0 + exp(-(z_units / 100000000.0))), 6) AS score,
            z_units >= 0 AS keep
-    FROM s
+    FROM qz
     """,
 )
 def quality_logit_score(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1688,29 +1717,13 @@ def quality_logit_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds a continuous double, where boundaries have measure zero.
     """
     docs = tbl(spark, sf_dir, "documents")
-    t = tx.tokens(F.col("text"))
-    n = F.size(t)
-
-    def units(num: F.Column) -> F.Column:
-        return F.round(1000000.0 * num / n, 0).cast("bigint")
-
-    avg_u = units(F.aggregate(t, F.lit(0), lambda a, x: a + F.length(x))
-                  .cast("double"))
-    stop_u = units(
-        F.size(F.filter(t, lambda x: x.isin("the", "a", "of", "and", "is")))
-        .cast("double"))
-    lex_u = units(F.size(F.array_distinct(t)).cast("double"))
-    z_units = (
-        F.lit(-200000000).cast("bigint")
-        + 1000000 * n.cast("bigint")
-        + 30 * avg_u + 300 * stop_u + 150 * lex_u
-    )
-    return docs.select(
+    q = _quality_z_units(docs)
+    z = F.col("z_units")
+    return q.select(
         "doc_id",
-        z_units.alias("logit_units"),
-        F.round(1.0 / (1.0 + F.exp(-(z_units / 100000000.0))), 6)
-        .alias("score"),
-        (z_units >= 0).alias("keep"),
+        z.alias("logit_units"),
+        F.round(1.0 / (1.0 + F.exp(-(z / 100000000.0))), 6).alias("score"),
+        (z >= 0).alias("keep"),
     )
 
 
@@ -1770,4 +1783,75 @@ def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("nll") / F.col("n_tokens"), 6).alias("avg_nll"),
             F.round(F.exp(F.col("nll") / F.col("n_tokens")), 2).alias("ppl"),
         )
+    )
+
+
+@query(
+    "cluster_canonical_docs",
+    f"""
+    WITH RECURSIVE sh AS ({_SHINGLES}),
+         sig AS ({_SIGS}),
+         bands AS ({_BANDS}),
+         pairs AS (
+           SELECT DISTINCT a.doc_id AS pa, b.doc_id AS pb
+           FROM bands a
+           JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+                       AND a.doc_id < b.doc_id
+         ),
+         edges AS (
+           SELECT pa AS ea, pb AS eb FROM pairs
+           UNION
+           SELECT pb, pa FROM pairs
+         ),
+         reach(n, m) AS (
+           SELECT ea, eb FROM edges
+           UNION
+           SELECT r.n, e.eb FROM reach r JOIN edges e ON r.m = e.ea
+         ),
+         cc AS (SELECT n AS doc_id, least(n, min(m)) AS cluster_id
+                FROM reach GROUP BY n),
+         {_QUALITY_Z_CTES.strip()}
+    SELECT qz.doc_id,
+           coalesce(cc.cluster_id, qz.doc_id) AS cluster_id,
+           qz.z_units AS logit_units,
+           row_number() OVER (
+             PARTITION BY coalesce(cc.cluster_id, qz.doc_id)
+             ORDER BY qz.z_units DESC, qz.doc_id) = 1 AS is_canonical
+    FROM qz LEFT JOIN cc ON qz.doc_id = cc.doc_id
+    """,
+)
+def cluster_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware keep-one-per-cluster: near-dup clusters (MinHash-LSH
+    pairs → connected components) keep their HIGHEST-QUALITY member
+    (fixed-point logit, doc_id tie-break), not the arbitrary min-id —
+    what a production dedup actually ships, since the canonical copy
+    should be the best copy. Singletons are their own cluster.
+
+    Composition of three already-audited stages: LSH candidate pairs
+    (band-bucket join, never all-pairs), iterative CC (one shuffle per
+    round), and the zero-shuffle quality scorer; the keeper choice adds
+    one cluster-keyed window. The exact-BIGINT logit makes the argmax
+    tie-free across engines wherever texts differ.
+    """
+    from etl_process_spark.operators.graph import connected_components
+
+    docs = tbl(spark, sf_dir, "documents")
+    pairs = dd.lsh_candidate_pairs(docs, "text", "doc_id",
+                                   num_hashes=4, band_size=2, k=3)
+    cc = connected_components(pairs, "doc_a", "doc_b").select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+    q = _quality_z_units(docs)
+    full = q.join(cc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+        "z_units",
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("z_units").desc(), F.col("doc_id")
+    )
+    return full.select(
+        "doc_id", "cluster_id",
+        F.col("z_units").alias("logit_units"),
+        (F.row_number().over(w) == 1).alias("is_canonical"),
     )
