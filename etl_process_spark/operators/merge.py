@@ -18,7 +18,10 @@ O(source + touched buckets).
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from etl_process_spark.sources.tables import TableCatalog
 
@@ -58,3 +61,43 @@ def catalog_merge(
         cat.overwrite(name, source)
         return
     cat.overwrite(name, merge_upsert(cat.read(name), source, key, delete_keys))
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key: str,
+    tracked: Sequence[str],
+) -> DataFrame:
+    """CDC between two table snapshots: classify every key as insert /
+    update / delete (unchanged rows are dropped — the diff is the
+    output, and at 100 TB it is the small side).
+
+    One full-outer equi join on the key (both sides shuffle once on the
+    same key — co-partitioned; full outer cannot broadcast) and a
+    null-safe any-column-changed predicate (`functions/scalar.py::
+    changed_any`). Output carries old_/new_ images of every tracked
+    column, so a MERGE/SCD2 writer can consume it directly — this is
+    the snapshot-diff primitive table formats expose as
+    `table_changes`, derived here from plain snapshots.
+    """
+    from etl_process_spark.functions.scalar import changed_any
+
+    o = old.select(key, *tracked).alias("o")
+    n = new.select(key, *tracked).alias("n")
+    ok, nk = F.col(f"o.{key}"), F.col(f"n.{key}")
+    change = (
+        F.when(ok.isNull(), F.lit("insert"))
+        .when(nk.isNull(), F.lit("delete"))
+        .when(changed_any("o", "n", tracked), F.lit("update"))
+    )
+    return (
+        o.join(n, ok == nk, "full_outer")
+        .select(
+            F.coalesce(ok, nk).alias(key),
+            change.alias("change_type"),
+            *[F.col(f"o.{c}").alias(f"old_{c}") for c in tracked],
+            *[F.col(f"n.{c}").alias(f"new_{c}") for c in tracked],
+        )
+        .where(F.col("change_type").isNotNull())
+    )

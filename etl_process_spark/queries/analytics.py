@@ -1468,3 +1468,62 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "triangles", "wedges",
         F.round(3.0 * F.col("triangles") / F.col("wedges"), 6).alias("global_cc"),
     )
+
+
+@query(
+    "snapshot_diff_changes",
+    """
+    WITH v1 AS (SELECT o_orderkey AS k, o_totalprice AS price,
+                       o_orderstatus AS status
+                FROM orders),
+    v2 AS (
+      SELECT k,
+             CASE WHEN k % 7 = 0 THEN price + 10 ELSE price END AS price,
+             status
+      FROM v1 WHERE k % 13 <> 0
+      UNION ALL
+      SELECT -k, price * 2, status FROM v1 WHERE k % 11 = 0)
+    SELECT coalesce(a.k, b.k) AS k,
+           CASE WHEN a.k IS NULL THEN 'insert'
+                WHEN b.k IS NULL THEN 'delete'
+                WHEN a.price <> b.price OR a.status <> b.status
+                  THEN 'update' END AS change_type,
+           a.price AS old_price, b.price AS new_price,
+           a.status AS old_status, b.status AS new_status
+    FROM v1 a FULL OUTER JOIN v2 b ON a.k = b.k
+    WHERE a.k IS NULL OR b.k IS NULL
+       OR a.price <> b.price OR a.status <> b.status
+    """,
+)
+def snapshot_diff_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot CDC: diff two table versions into insert/update/delete
+    rows with old/new column images (the `table_changes` primitive of
+    lakehouse formats, derived from plain snapshots by
+    `operators/merge.py::snapshot_diff`).
+
+    The second snapshot is synthesized deterministically from the first
+    (key%7 price bump, key%13 deletes, key%11 inserts), so both engines
+    diff identical inputs. One co-partitioned full-outer join on the
+    key; unchanged rows are dropped, making the output the small side
+    at any scale.
+    """
+    from etl_process_spark.operators.merge import snapshot_diff
+
+    v1 = tbl(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    v2 = v1.where(F.col("k") % 13 != 0).select(
+        "k",
+        F.when(F.col("k") % 7 == 0, F.col("price") + 10)
+        .otherwise(F.col("price")).alias("price"),
+        "status",
+    ).unionAll(
+        v1.where(F.col("k") % 11 == 0).select(
+            (-F.col("k")).alias("k"),
+            (F.col("price") * 2).alias("price"),
+            "status",
+        )
+    )
+    return snapshot_diff(v1, v2, "k", ["price", "status"])

@@ -1855,3 +1855,46 @@ def cluster_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("z_units").alias("logit_units"),
         (F.row_number().over(w) == 1).alias("is_canonical"),
     )
+
+
+@query(
+    "bpe_pair_counts",
+    f"""
+    WITH tok AS (SELECT unnest({_TOKS}) AS t FROM documents),
+    pairs AS (
+      SELECT substr(t, i, 2) AS pair
+      FROM tok, unnest(range(1, len(t))) AS u(i)
+      WHERE len(t) >= 2)
+    SELECT pair, count(*) AS n
+    FROM pairs GROUP BY 1
+    ORDER BY n DESC, pair LIMIT 20
+    """,
+)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The count stage of a BPE tokenizer-training round: corpus-wide
+    adjacent character-pair frequencies inside whitespace tokens, top 20
+    with (count, pair) tie-break.
+
+    A BPE trainer iterates exactly this aggregate — count pairs, merge
+    the winner into one symbol, recount — so the distributed cost of
+    tokenizer training IS this query's shape: map-side pair explosion
+    (bounded fan-out: token length), one partial-agg shuffle carrying
+    (pair, count) partials, TakeOrdered for the winner. The merge
+    rewrite between rounds is a per-row map; the shuffle never grows.
+    """
+    docs = tbl(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tx.tokens(F.col("text"))).alias("t"))
+    pairs = toks.where(F.length("t") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(t) - 1),"
+                " i -> substring(t, i, 2))"
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(20)
+    )

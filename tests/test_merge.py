@@ -57,3 +57,22 @@ def test_catalog_merge_swaps_versions_atomically(spark, tmp_path):
     versions = cat.versions("dim")
     assert len(versions) == 2
     assert _rows(cat.read_version("dim", versions[0])) == [(1, "a"), (2, "b")]
+
+
+def test_snapshot_diff_classifies_and_null_safe(spark):
+    from etl_process_spark.operators.merge import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", None), (3, "c", 30.0), (4, None, 40.0)],
+        "k long, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10.0),      # unchanged -> dropped
+         (2, "b", 20.0),      # NULL -> value: update (null-safe)
+         (4, None, 40.0),     # unchanged incl. NULL field -> dropped
+         (5, "e", 50.0)],     # insert
+        "k long, s string, v double",
+    )
+    got = {r["k"]: r["change_type"] for r in snapshot_diff(
+        old, new, "k", ["s", "v"]).collect()}
+    assert got == {2: "update", 3: "delete", 5: "insert"}
