@@ -76,3 +76,37 @@ def test_snapshot_diff_classifies_and_null_safe(spark):
     got = {r["k"]: r["change_type"] for r in snapshot_diff(
         old, new, "k", ["s", "v"]).collect()}
     assert got == {2: "update", 3: "delete", 5: "insert"}
+
+
+def test_snapshot_diff_property_random(spark):
+    """Random snapshot pairs vs a dict-based reference: classification,
+    old/new images, and unchanged-row suppression."""
+    import random
+
+    rng = random.Random(23)
+    for _ in range(5):
+        keys = range(12)
+        mk = lambda: {
+            k: (rng.choice(["a", "b", None]), rng.choice([1.0, 2.0, None]))
+            for k in keys if rng.random() < 0.7
+        }
+        o, n = mk(), mk()
+        old = spark.createDataFrame(
+            [(k, s, v) for k, (s, v) in o.items()], "k long, s string, v double"
+        )
+        new = spark.createDataFrame(
+            [(k, s, v) for k, (s, v) in n.items()], "k long, s string, v double"
+        )
+        from etl_process_spark.operators.merge import snapshot_diff
+
+        got = {r["k"]: r["change_type"] for r in snapshot_diff(
+            old, new, "k", ["s", "v"]).collect()}
+        want = {}
+        for k in set(o) | set(n):
+            if k not in n:
+                want[k] = "delete"
+            elif k not in o:
+                want[k] = "insert"
+            elif o[k] != n[k]:
+                want[k] = "update"
+        assert got == want
