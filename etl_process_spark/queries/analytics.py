@@ -1527,3 +1527,102 @@ def snapshot_diff_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return snapshot_diff(v1, v2, "k", ["price", "status"])
+
+
+@query(
+    "daily_from_hourly_rollup",
+    """
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS h, event_type,
+             count(*) AS n_events,
+             sum(CAST(value AS DECIMAL(12,4))) AS sum_value,
+             min(value) AS min_value, max(value) AS max_value
+      FROM events
+      GROUP BY 1, 2)
+    SELECT CAST(date_trunc('day', h) AS DATE) AS day, event_type,
+           sum(n_events) AS n_events,
+           CAST(sum(sum_value) AS DOUBLE) AS total_value,
+           round(CAST(sum(sum_value) AS DOUBLE) / sum(n_events), 6)
+             AS avg_value,
+           min(min_value) AS min_value, max(max_value) AS max_value
+    FROM hourly
+    GROUP BY 1, 2
+    """,
+)
+def daily_from_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup-lattice re-aggregation (the hypertable continuous-aggregate
+    pattern): daily metrics derived FROM the hourly rollup, never from
+    raw events — sum-of-sums, sum-of-counts, min-of-mins, max-of-maxes,
+    and avg recomposed as Σsum/Σcount (avg itself does not re-aggregate;
+    the decomposition is what makes the lattice valid).
+
+    At 100 TB this is the difference between scanning the raw corpus and
+    scanning a table ~1000× smaller: the second aggregation's input is
+    (hours × types) rows. Sums ride DECIMAL so the hour→day
+    re-aggregation is exactly associative — double partial sums would
+    make the lattice path and the direct path disagree in low bits.
+    """
+    ev = tbl(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("h"), "event_type"
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(12,4)")).alias("sum_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+    return (
+        hourly.groupBy(
+            F.date_trunc("day", "h").cast("date").alias("day"), "event_type"
+        )
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_value").cast("double").alias("total_value"),
+            F.round(
+                F.sum("sum_value").cast("double") / F.sum("n_events"), 6
+            ).alias("avg_value"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+        )
+    )
+
+
+@query(
+    "pareto_frontier_orders",
+    """
+    WITH r AS (
+      SELECT o_custkey, o_orderkey, o_totalprice, o_orderdate,
+             max(o_orderdate) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_totalprice, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best_dt
+      FROM orders)
+    SELECT o_custkey, o_orderkey, o_totalprice, o_orderdate
+    FROM r
+    WHERE best_dt IS NULL OR o_orderdate > best_dt
+    """,
+)
+def pareto_frontier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer Pareto frontier on (cheaper, more recent): an order
+    survives iff no strictly cheaper order (price tie → lower key) is at
+    least as recent.
+
+    The skyline operator without the O(n²) dominance self-join: sort
+    each partition by price and keep rows whose date beats the running
+    max date of everything cheaper — one window pass, one exchange,
+    linear per customer. The (price, key) total order makes the
+    frontier deterministic under price ties in both engines.
+    """
+    od = tbl(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_totalprice", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    r = od.select(
+        "o_custkey", "o_orderkey", "o_totalprice", "o_orderdate",
+        F.max("o_orderdate").over(w).alias("best_dt"),
+    )
+    return r.where(
+        F.col("best_dt").isNull() | (F.col("o_orderdate") > F.col("best_dt"))
+    ).drop("best_dt")
