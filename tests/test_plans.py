@@ -29,7 +29,8 @@ SF_DIR = "/root/testdata/sf0.001"
 # phase executes eagerly at build time (localCheckpoint) — its RETURNED
 # plan (verify scan + broadcast semi-join + exact agg) is JVM-only, which
 # the n == 0 branch below verifies.
-PYTHON_OK = {"image_decode_stats", "video_frame_sample", "audio_feature_stats"}
+PYTHON_OK = {"image_decode_stats", "video_frame_sample", "audio_feature_stats",
+             "image_phash_dup_pairs"}
 # single-query-vector top-k uses a broadcast nested-loop (1-row side)
 NESTED_LOOP_OK = {"embedding_topk_cosine"}
 
