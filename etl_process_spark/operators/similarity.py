@@ -257,6 +257,45 @@ def _sq_dist(v: Column, c: Column) -> Column:
     )
 
 
+def _assign(v: DataFrame, cents: DataFrame) -> DataFrame:
+    """Map-side argmin assignment of (vid, v) rows to packed broadcast
+    centroids — zero corpus shuffle (see kmeans_lloyd docstring)."""
+    packed = cents.agg(
+        F.array_sort(F.collect_list(F.struct("cluster", "c"))).alias("cs")
+    )
+    best = F.element_at(
+        F.array_sort(
+            F.transform(
+                F.col("cs"),
+                lambda s: F.struct(
+                    _sq_dist(F.col("v"), s["c"]).alias("d2"),
+                    s["cluster"].alias("cluster"),
+                ),
+            )
+        ),
+        1,
+    )
+    return v.crossJoin(F.broadcast(packed)).select(
+        "vid", "v",
+        best["cluster"].alias("cluster"),
+        best["d2"].alias("d2"),
+    )
+
+
+def kmeans_assign(
+    df: DataFrame,
+    cents: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Assign NEW vectors to existing centroids (the incremental half of
+    production clustering: train once on a corpus snapshot, assign every
+    later batch with a pure map stage — no retraining, no shuffle).
+    Returns (vid, v, cluster, d2)."""
+    v = df.select(F.col(id_col).alias("vid"), _dbl(F.col(vec_col)).alias("v"))
+    return _assign(v, cents)
+
+
 def kmeans_lloyd(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -297,25 +336,7 @@ def kmeans_lloyd(
     )
     scored = None
     for r in range(rounds):
-        packed = cents.agg(
-            F.array_sort(F.collect_list(F.struct("cluster", "c"))).alias("cs")
-        )
-        scored = v.crossJoin(F.broadcast(packed)).select(
-            "vid",
-            "v",
-            F.element_at(
-                F.array_sort(
-                    F.transform(
-                        F.col("cs"),
-                        lambda s: F.struct(
-                            _sq_dist(F.col("v"), s["c"]).alias("d2"),
-                            s["cluster"].alias("cluster"),
-                        ),
-                    )
-                ),
-                1,
-            )["cluster"].alias("cluster"),
-        )
+        scored = _assign(v, cents)
         if r < rounds - 1:
             cents = (
                 scored.select("cluster", F.posexplode("v").alias("dim", "val"))

@@ -1522,9 +1522,10 @@ def duplicate_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Two Lloyd rounds (lowest-id init, lower-cluster tie-break) as DuckDB
 # CTEs — shared by the kmeans stats query and SemDeDup pruning.
-_KMEANS_CTES = """
+def _kmeans_ctes(pred: str = "TRUE") -> str:
+    return f"""
     v AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v
-          FROM embeddings),
+          FROM embeddings WHERE {pred}),
     c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, v AS c
            FROM (SELECT * FROM v ORDER BY vec_id LIMIT 4)),
     a1 AS (SELECT vec_id, v, cluster FROM (
@@ -1543,6 +1544,9 @@ _KMEANS_CTES = """
                    ORDER BY list_distance(e.v, c.c), c.cluster) AS rn
         FROM v e CROSS JOIN c1 c) WHERE rn = 1)
 """
+
+
+_KMEANS_CTES = _kmeans_ctes()
 
 
 @query(
@@ -1897,4 +1901,100 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .orderBy(F.col("n").desc(), "pair")
         .limit(20)
+    )
+
+
+@query(
+    "mixture_budget_report",
+    f"""
+    WITH tok AS (
+      SELECT lang, CAST(len({_TOKS}) AS BIGINT) AS n
+      FROM documents),
+    actual AS (SELECT lang, sum(n) AS tokens, count(*) AS docs
+               FROM tok GROUP BY 1),
+    total AS (SELECT sum(tokens) AS t FROM actual),
+    target(lang, share) AS (VALUES
+      ('en', 0.5), ('fr', 0.2), ('de', 0.2), ('es', 0.1))
+    SELECT a.lang, a.docs, a.tokens,
+           round(a.tokens * 1.0 / tt.t, 6) AS actual_share,
+           tg.share AS target_share,
+           round(tg.share / (a.tokens * 1.0 / tt.t), 6) AS multiplier
+    FROM actual a JOIN target tg ON a.lang = tg.lang CROSS JOIN total tt
+    """,
+)
+def mixture_budget_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-training mixture accounting: per-language token counts,
+    actual corpus share, target share, and the epoch multiplier
+    (target/actual) a sampler must apply to hit the target mixture —
+    the report that feeds ``resample_weighted``'s weights.
+
+    One token-count aggregate over the corpus (map-side partial sums of
+    per-doc token counts — the text never shuffles, only (lang, count)
+    partials), a 4-row target table, a 1-row total broadcast.
+    """
+    docs = tbl(spark, sf_dir, "documents")
+    target = spark.createDataFrame(
+        [("en", 0.5), ("fr", 0.2), ("de", 0.2), ("es", 0.1)],
+        ["lang", "target_share"],
+    )
+    actual = docs.select(
+        "lang", F.size(tx.tokens(F.col("text"))).cast("bigint").alias("n")
+    ).groupBy("lang").agg(
+        F.sum("n").alias("tokens"), F.count("*").alias("docs")
+    )
+    total = actual.agg(F.sum("tokens").alias("t"))
+    share = F.col("tokens") / F.col("t")
+    return (
+        actual.join(F.broadcast(target), "lang")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "lang", "docs", "tokens",
+            F.round(share, 6).alias("actual_share"),
+            "target_share",
+            F.round(F.col("target_share") / share, 6).alias("multiplier"),
+        )
+    )
+
+
+_D2_SQL = ("list_sum([(b.v[i] - c.c[i]) * (b.v[i] - c.c[i])"
+           " for i in range(1, 65)])")
+
+
+@query(
+    "kmeans_incremental_assign",
+    f"""
+    WITH {_kmeans_ctes("vec_id % 5 <> 0")},
+    batch AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v
+              FROM embeddings WHERE vec_id % 5 = 0),
+    asg AS (SELECT vec_id, cluster, d2 FROM (
+        SELECT b.vec_id, c.cluster, {_D2_SQL} AS d2,
+               row_number() OVER (PARTITION BY b.vec_id
+                   ORDER BY {_D2_SQL}, c.cluster) AS rn
+        FROM batch b CROSS JOIN c1 c) WHERE rn = 1)
+    SELECT cluster, count(*) AS n_assigned, round(avg(d2), 6) AS avg_d2
+    FROM asg GROUP BY 1
+    """,
+)
+def kmeans_incremental_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental clustering: train Lloyd k-means on the corpus
+    snapshot (vec_id % 5 != 0), then assign the NEW batch
+    (vec_id % 5 == 0) to the frozen centroids — per-cluster batch
+    counts and mean squared distance (the drift signal that tells a
+    pipeline when to retrain).
+
+    Train-once/assign-forever is how production keeps clustering O(new
+    data): the batch assignment is `operators/similarity.py::
+    kmeans_assign` — the same packed-broadcast map stage as training
+    rounds, no shuffle of the batch, no retraining. The oracle replays
+    the squared distance with the identical left-to-right fold, so d2
+    and its tie-breaks are bit-equal across engines.
+    """
+    emb = tbl(spark, sf_dir, "embeddings")
+    train = emb.where(F.col("vec_id") % 5 != 0)
+    batch = emb.where(F.col("vec_id") % 5 == 0)
+    _, cents = sim.kmeans_lloyd(train, "embedding", "vec_id", k=4, rounds=2)
+    asg = sim.kmeans_assign(batch, cents, "embedding", "vec_id")
+    return asg.groupBy("cluster").agg(
+        F.count("*").alias("n_assigned"),
+        F.round(F.avg("d2"), 6).alias("avg_d2"),
     )
