@@ -533,3 +533,30 @@ def test_behavior_and_corpus_query_plan_budgets(spark):
     bs = bm._jdf.queryExecution().executedPlan().toString()
     assert broadcast_join_count(bm) >= 1, plan_summary(bm)
     assert bs.count("BroadcastExchange") >= 2, plan_summary(bm)
+
+
+def test_kmeans_and_triangle_plan_budgets(spark):
+    """Scale contracts for the clustering/graph round-2 operators.
+
+    - kmeans assignment is a pure map stage: the embeddings scan feeds
+      the argmin via one packed-centroid BroadcastNestedLoopJoin — the
+      corpus-side rows are never hash-exchanged to rank candidates (the
+      only hash exchanges are the centroid-sized (cluster, dim) update
+      aggregates and tiny init/limit plumbing).
+    - incremental assign keeps the batch side shuffle-free the same way.
+    - triangle counting plans no cartesian product and keeps the
+      adjacency probe as equi joins.
+    """
+    km = _df(spark, "kmeans_embedding_clusters")
+    s = km._jdf.queryExecution().executedPlan().toString()
+    # earlier rounds hide behind the lazy localCheckpoint; the final
+    # assignment must still be the packed-broadcast map stage
+    assert s.count("BroadcastNestedLoopJoin") >= 1, plan_summary(km)
+    assert not has_cartesian(km)
+
+    inc = _df(spark, "kmeans_incremental_assign")
+    si = inc._jdf.queryExecution().executedPlan().toString()
+    assert si.count("BroadcastNestedLoopJoin") >= 1, plan_summary(inc)
+
+    tri = _df(spark, "copurchase_triangles")
+    assert not has_cartesian(tri), plan_summary(tri)
