@@ -360,3 +360,48 @@ def triangle_count(edges: DataFrame, src: str = "u", dst: str = "v") -> DataFram
             ).alias("triangles")
         )
     )
+
+
+def label_propagation(
+    edges: DataFrame, src: str = "u", dst: str = "v", rounds: int = 2
+) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan et
+    al. 2007): every node starts as its own label; each round it adopts
+    the most frequent label among its neighbors, ties to the smallest
+    label. Returns (node, label) after ``rounds`` rounds.
+
+    Unlike connected components (which merges everything reachable),
+    LPA splits dense regions from their bridges — the community notion
+    a co-purchase or link graph wants. Deterministic by construction
+    (count desc, label asc tie order), so a fixed round count is
+    oracle-checkable. Each round is two shuffles (neighbor-label count,
+    per-node argmax) over (edge, label) rows — no adjacency
+    materialization, skew bounded by degree like any count aggregate.
+    Rounds are checkpointed like the CC loop to keep lineage flat.
+    """
+    from pyspark.sql import Window
+
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionAll(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = sym.select(F.col("a").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    w = Window.partitionBy("node").orderBy(
+        F.col("cnt").desc(), F.col("label").asc()
+    )
+    for _ in range(rounds):
+        nbr = sym.join(
+            labels.select(F.col("node").alias("b"), "label"), "b"
+        ).select(F.col("a").alias("node"), "label")
+        counts = nbr.groupBy("node", "label").agg(F.count("*").alias("cnt"))
+        labels = (
+            counts.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("node", "label")
+            .localCheckpoint(eager=False)
+        )
+    return labels

@@ -1626,3 +1626,56 @@ def pareto_frontier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.where(
         F.col("best_dt").isNull() | (F.col("o_orderdate") > F.col("best_dt"))
     ).drop("best_dt")
+
+
+@query(
+    "copurchase_communities",
+    """
+    WITH e AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+    l0 AS (SELECT DISTINCT u AS node, u AS label FROM e),
+    c1 AS (SELECT e.u AS node, l0.label, count(*) AS cnt
+           FROM e JOIN l0 ON e.v = l0.node GROUP BY 1, 2),
+    l1 AS (SELECT node, label FROM (
+        SELECT node, label,
+               row_number() OVER (PARTITION BY node
+                   ORDER BY cnt DESC, label) AS rn
+        FROM c1) WHERE rn = 1),
+    c2 AS (SELECT e.u AS node, l1.label, count(*) AS cnt
+           FROM e JOIN l1 ON e.v = l1.node GROUP BY 1, 2),
+    l2 AS (SELECT node, label FROM (
+        SELECT node, label,
+               row_number() OVER (PARTITION BY node
+                   ORDER BY cnt DESC, label) AS rn
+        FROM c2) WHERE rn = 1)
+    SELECT label AS community, count(*) AS n_members
+    FROM l2 GROUP BY 1
+    """,
+)
+def copurchase_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community sizes after two synchronous label-propagation rounds on
+    the part co-purchase graph (`operators/graph.py::label_propagation`
+    — most-frequent neighbor label, ties to the smallest).
+
+    The third iterative graph family next to min-label CC (merges
+    everything reachable) and fixed-point PageRank (ranks): LPA finds
+    DENSE regions, the community notion a recommender wants. The
+    deterministic (count desc, label asc) tie order makes a fixed round
+    count hash-match the oracle's unrolled replay exactly.
+    """
+    from etl_process_spark.operators.graph import label_propagation
+
+    li = tbl(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.collect_set("l_partkey").alias("ps")
+    )
+    pairs = per_order.select(F.explode("ps").alias("u"), "ps").select(
+        "u", F.explode(F.array_remove("ps", F.col("u"))).alias("v")
+    )
+    e = pairs.where(F.col("u") < F.col("v")).distinct()
+    labels = label_propagation(e, "u", "v", rounds=2)
+    return labels.groupBy(F.col("label").alias("community")).agg(
+        F.count("*").alias("n_members")
+    )

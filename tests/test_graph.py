@@ -157,3 +157,36 @@ def test_triangle_count_known_and_random(spark):
     )
     e2 = spark.createDataFrame(edges, ["u", "v"])
     assert triangle_count(e2).collect()[0][0] == naive
+
+
+def test_label_propagation_matches_simulation(spark):
+    """Synchronous LPA with (count desc, label asc) ties must equal a
+    straight-line Python simulation of the same rule, round for round."""
+    import random
+
+    from etl_process_spark.operators.graph import label_propagation
+
+    rng = random.Random(5)
+    nodes = list(range(24))
+    edges = sorted(
+        {(a, b) for a in nodes for b in nodes if a < b and rng.random() < 0.15}
+    )
+    # python simulation
+    adj: dict[int, list[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    labels = {n: n for n in adj}
+    for _ in range(3):
+        new = {}
+        for n, nbrs in adj.items():
+            cnt: dict[int, int] = {}
+            for m in nbrs:
+                cnt[labels[m]] = cnt.get(labels[m], 0) + 1
+            best = max(cnt.values())
+            new[n] = min(l for l, c in cnt.items() if c == best)
+        labels = new
+    e = spark.createDataFrame(edges, ["u", "v"])
+    got = {r["node"]: r["label"]
+           for r in label_propagation(e, rounds=3).collect()}
+    assert got == labels
