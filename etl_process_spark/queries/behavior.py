@@ -262,3 +262,59 @@ def last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return attributed.groupBy(F.col("prev_type").alias("channel")).agg(
         F.count("*").alias("purchases")
     )
+
+
+@query(
+    "funnel_time_to_convert",
+    """
+    WITH u1 AS (SELECT user_id, min(ts) AS t FROM events
+                WHERE event_type = 'signup' GROUP BY 1),
+         u2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+                JOIN u1 ON e.user_id = u1.user_id
+                WHERE e.event_type = 'view' AND e.ts > u1.t GROUP BY 1),
+         u3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+                JOIN u2 ON e.user_id = u2.user_id
+                WHERE e.event_type = 'click' AND e.ts > u2.t GROUP BY 1),
+         u4 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+                JOIN u3 ON e.user_id = u3.user_id
+                WHERE e.event_type = 'purchase' AND e.ts > u3.t GROUP BY 1),
+         d AS (SELECT u1.user_id,
+                      date_diff('second', u1.t, u4.t) AS sec
+               FROM u4 JOIN u1 ON u4.user_id = u1.user_id)
+    SELECT count(*) AS n_completers,
+           round(quantile_cont(sec, 0.5), 6) AS median_seconds,
+           round(quantile_cont(sec, 0.9), 6) AS p90_seconds
+    FROM d
+    """,
+)
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert for funnel completers: exact median and p90 of
+    signup→purchase latency (integer seconds, interpolated percentile).
+
+    Same one-exchange window-min construction as ``funnel_conversion``;
+    the percentile runs over the ≤ |completers| latency column — a
+    per-group sort of a user-sized input, nothing corpus-sized.
+    """
+    ev = tbl(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    df = ev.select("user_id", "event_type", "ts")
+    prev = None
+    for i, step in enumerate(_FUNNEL, start=1):
+        cond = F.col("event_type") == step
+        if prev is not None:
+            cond = cond & F.col(prev).isNotNull() & (F.col("ts") > F.col(prev))
+        df = df.withColumn(f"t{i}", F.min(F.when(cond, F.col("ts"))).over(w))
+        prev = f"t{i}"
+    per_user = (
+        df.groupBy("user_id")
+        .agg(F.max("t1").alias("t1"), F.max("t4").alias("t4"))
+        .where(F.col("t4").isNotNull())
+        .select(
+            (F.unix_timestamp("t4") - F.unix_timestamp("t1")).alias("sec")
+        )
+    )
+    return per_user.agg(
+        F.count("*").alias("n_completers"),
+        F.round(F.expr("percentile(sec, 0.5)"), 6).alias("median_seconds"),
+        F.round(F.expr("percentile(sec, 0.9)"), 6).alias("p90_seconds"),
+    )
