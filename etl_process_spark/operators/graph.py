@@ -363,7 +363,8 @@ def triangle_count(edges: DataFrame, src: str = "u", dst: str = "v") -> DataFram
 
 
 def label_propagation(
-    edges: DataFrame, src: str = "u", dst: str = "v", rounds: int = 2
+    edges: DataFrame, src: str = "u", dst: str = "v", rounds: int = 2,
+    broadcast_labels: bool = False,
 ) -> DataFrame:
     """Community detection by synchronous label propagation (Raghavan et
     al. 2007): every node starts as its own label; each round it adopts
@@ -379,29 +380,36 @@ def label_propagation(
     materialization, skew bounded by degree like any count aggregate.
     Rounds are checkpointed like the CC loop to keep lineage flat.
     """
-    from pyspark.sql import Window
-
+    # input is canonical (src < dst, distinct): the reverse union cannot
+    # collide, so no re-distinct
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionAll(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        .distinct()
         .localCheckpoint(eager=False)
     )
     labels = sym.select(F.col("a").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
-    w = Window.partitionBy("node").orderBy(
-        F.col("cnt").desc(), F.col("label").asc()
-    )
     for _ in range(rounds):
-        nbr = sym.join(
-            labels.select(F.col("node").alias("b"), "label"), "b"
-        ).select(F.col("a").alias("node"), "label")
+        lab_b = labels.select(F.col("node").alias("b"), "label")
+        if broadcast_labels:
+            # O(nodes) label table rides a broadcast: the O(edges) sym
+            # list is never reshuffled per round (the pagerank
+            # broadcast_ranks pattern). Off by default — at web scale
+            # the label table itself is too big to broadcast.
+            lab_b = F.broadcast(lab_b)
+        nbr = sym.join(lab_b, "b").select(F.col("a").alias("node"), "label")
         counts = nbr.groupBy("node", "label").agg(F.count("*").alias("cnt"))
+        # (count desc, label asc) argmax as a STRUCT MAX — a hash
+        # aggregate with map-side combine; a row_number window here
+        # sorts every (node, label) row per round and measured 2x the
+        # whole query's runtime. Negating the label turns lexicographic
+        # struct max into (max cnt, then min label); labels are ids >= 0.
         labels = (
-            counts.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select("node", "label")
+            counts.groupBy("node")
+            .agg(F.max(F.struct(F.col("cnt").alias("c"),
+                                (-F.col("label")).alias("nl"))).alias("m"))
+            .select("node", (-F.col("m.nl")).alias("label"))
             .localCheckpoint(eager=False)
         )
     return labels

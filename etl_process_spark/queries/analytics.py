@@ -1675,7 +1675,9 @@ def copurchase_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         "u", F.explode(F.array_remove("ps", F.col("u"))).alias("v")
     )
     e = pairs.where(F.col("u") < F.col("v")).distinct()
-    labels = label_propagation(e, "u", "v", rounds=2)
+    # 20k part labels broadcast; the 2x|E| sym list is never
+    # reshuffled per round
+    labels = label_propagation(e, "u", "v", rounds=2, broadcast_labels=True)
     return labels.groupBy(F.col("label").alias("community")).agg(
         F.count("*").alias("n_members")
     )

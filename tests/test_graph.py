@@ -187,6 +187,7 @@ def test_label_propagation_matches_simulation(spark):
             new[n] = min(l for l, c in cnt.items() if c == best)
         labels = new
     e = spark.createDataFrame(edges, ["u", "v"])
-    got = {r["node"]: r["label"]
-           for r in label_propagation(e, rounds=3).collect()}
-    assert got == labels
+    for bc in (False, True):
+        got = {r["node"]: r["label"] for r in
+               label_propagation(e, rounds=3, broadcast_labels=bc).collect()}
+        assert got == labels, f"broadcast_labels={bc}"
