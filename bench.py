@@ -67,12 +67,18 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in names:
-        best = float("inf")
+        runs = []
         for _ in range(2):
             start = time.perf_counter()
             QUERIES[name].builder(spark, sf_dir).count()
-            best = min(best, time.perf_counter() - start)
-        timings[name] = round(best, 3)
+            runs.append(time.perf_counter() - start)
+        # transient host contention shows up as the two runs disagreeing
+        # wildly — take one more sample before trusting the minimum
+        if min(runs) > 0.3 and max(runs) > 2 * min(runs):
+            start = time.perf_counter()
+            QUERIES[name].builder(spark, sf_dir).count()
+            runs.append(time.perf_counter() - start)
+        timings[name] = round(min(runs), 3)
         # drop builder refs promptly so the ContextCleaner unpersists
         # localCheckpoint blocks (CC rounds, triangle edge sets) between
         # queries — otherwise storage memory accumulates across the
