@@ -375,9 +375,12 @@ def label_propagation(
     LPA splits dense regions from their bridges — the community notion
     a co-purchase or link graph wants. Deterministic by construction
     (count desc, label asc tie order), so a fixed round count is
-    oracle-checkable. Each round is two shuffles (neighbor-label count,
-    per-node argmax) over (edge, label) rows — no adjacency
-    materialization, skew bounded by degree like any count aggregate.
+    oracle-checkable. Each round is two aggregate shuffles
+    (neighbor-label count, per-node struct-max argmax) over (edge,
+    label) rows, plus the label-attach join — a third shuffle unless
+    ``broadcast_labels`` rides the O(nodes) label table on a broadcast
+    so the O(edges) list never reshuffles. No adjacency
+    materialization; skew bounded by degree like any count aggregate.
     Rounds are checkpointed like the CC loop to keep lineage flat.
     """
     # input is canonical (src < dst, distinct): the reverse union cannot
