@@ -1998,3 +1998,54 @@ def kmeans_incremental_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_assigned"),
         F.round(F.avg("d2"), 6).alias("avg_d2"),
     )
+
+
+@query(
+    "doc_top_tfidf_terms",
+    f"""
+    WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS token FROM documents),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+    dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(*) AS n FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.token,
+             round(tf.tf * ln(n.n * 1.0 / dfq.df), 6) AS tfidf
+      FROM tf JOIN dfq ON tf.token = dfq.token CROSS JOIN n)
+    SELECT doc_id, token, tfidf, rnk FROM (
+      SELECT doc_id, token, tfidf,
+             row_number() OVER (PARTITION BY doc_id
+                 ORDER BY tfidf DESC, token) AS rnk
+      FROM scored) WHERE rnk <= 3
+    """,
+)
+def doc_top_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword extraction: each document's top-3 TF-IDF terms.
+
+    The exploration primitive behind corpus topic summaries and search
+    snippets. TF is a (doc, token) aggregate, IDF a token-keyed
+    aggregate broadcast back, the top-3 a WindowGroupLimit (rank
+    filter pushes the limit map-side — no doc's full term list survives
+    the sort). Scores round to 6 decimals BEFORE ranking with a token
+    tie-break, so the cut is engine-stable.
+    """
+    docs = tbl(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(tx.tokens(F.col("text"))).alias("token")
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dfq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n"))
+    scored = (
+        tf.join(F.broadcast(dfq), "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id", "token",
+            F.round(F.col("tf") * F.log(F.col("n") / F.col("df")), 6)
+            .alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "token")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+    )
