@@ -1681,3 +1681,63 @@ def copurchase_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.groupBy(F.col("label").alias("community")).agg(
         F.count("*").alias("n_members")
     )
+
+
+@query(
+    "open_orders_over_time",
+    """
+    WITH span AS (
+      SELECT o.o_orderkey, CAST(o.o_orderdate AS DATE) AS ds,
+             max(CAST(l.l_shipdate AS DATE)) AS de
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1, 2
+      HAVING max(CAST(l.l_shipdate AS DATE)) >= CAST(o.o_orderdate AS DATE)),
+    days AS (SELECT DISTINCT d FROM (
+      SELECT ds AS d FROM span UNION ALL SELECT de + 1 FROM span))
+    SELECT days.d AS day, count(s.o_orderkey) AS open_orders
+    FROM days LEFT JOIN span s ON s.ds <= days.d AND s.de >= days.d
+    GROUP BY 1
+    """,
+)
+def open_orders_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concurrent-interval counting: how many orders are open (placed,
+    not yet fully shipped) on each day the count changes.
+
+    The oracle states it naively — join every candidate day against
+    every interval, O(days × orders) — which is exactly what does NOT
+    survive scale. The engine uses the sweep-line event trick: each
+    interval becomes (+1 at start, −1 at end+1), one date-keyed
+    aggregate collapses deltas, and a running sum over the ~unique-days
+    table yields the open count. The only non-distributed step is the
+    final running sum over the ALREADY-AGGREGATED day table (rows =
+    distinct days, thousands at any corpus size); everything
+    order-sized stays in partial-agg shuffles.
+    """
+    od = tbl(spark, sf_dir, "orders")
+    li = tbl(spark, sf_dir, "lineitem")
+    span = (
+        li.groupBy("l_orderkey")
+        .agg(F.max(F.col("l_shipdate").cast("date")).alias("de"))
+        .join(
+            od.select(
+                F.col("o_orderkey").alias("l_orderkey"),
+                F.col("o_orderdate").cast("date").alias("ds"),
+            ),
+            "l_orderkey",
+        )
+        # synthetic data contains spans whose last shipment precedes the
+        # order date; they cover no day (both formulations must drop them
+        # -- the naive join skips them implicitly, the sweep-line would
+        # otherwise emit a stray -1/+1 pair)
+        .where(F.col("de") >= F.col("ds"))
+    )
+    deltas = span.select(
+        F.col("ds").alias("day"), F.lit(1).alias("delta")
+    ).unionAll(
+        span.select(F.date_add("de", 1).alias("day"), F.lit(-1).alias("delta"))
+    )
+    daily = deltas.groupBy("day").agg(F.sum("delta").alias("d"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "day", F.sum("d").over(w).cast("bigint").alias("open_orders")
+    )
