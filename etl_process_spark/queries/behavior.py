@@ -318,3 +318,49 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(sec, 0.5)"), 6).alias("median_seconds"),
         F.round(F.expr("percentile(sec, 0.9)"), 6).alias("p90_seconds"),
     )
+
+
+@query(
+    "daily_quality_drift",
+    """
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             count(*) AS n_events,
+             count(DISTINCT user_id) AS n_users,
+             round(avg(value), 6) AS avg_value
+      FROM events GROUP BY 1)
+    SELECT day, n_events, n_users, avg_value,
+           round(n_events * 1.0 / lag(n_events) OVER (ORDER BY day) - 1, 6)
+             AS volume_drift,
+           round(avg_value / lag(avg_value) OVER (ORDER BY day) - 1, 6)
+             AS value_drift
+    FROM daily
+    """,
+)
+def daily_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-observability drift report: per-day volume, distinct users,
+    mean value, and day-over-day relative drift of volume and value —
+    the table a pipeline alert rule watches for silent upstream breaks
+    (volume cliff, value distribution shift).
+
+    One corpus aggregate (count-distinct adds its expand-shuffle), then
+    lag windows over the ALREADY-AGGREGATED day table — like the
+    sweep-line query, the non-distributed window touches only
+    day-granularity rows, never the corpus.
+    """
+    ev = tbl(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+    )
+    w = Window.orderBy("day")
+    return daily.select(
+        "day", "n_events", "n_users", "avg_value",
+        F.round(F.col("n_events") / F.lag("n_events").over(w) - 1, 6)
+        .alias("volume_drift"),
+        F.round(F.col("avg_value") / F.lag("avg_value").over(w) - 1, 6)
+        .alias("value_drift"),
+    )
