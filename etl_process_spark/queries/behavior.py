@@ -327,7 +327,8 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
              count(*) AS n_events,
              count(DISTINCT user_id) AS n_users,
-             round(avg(value), 6) AS avg_value
+             round(CAST(sum(CAST(value AS DECIMAL(12,4))) AS DOUBLE)
+                   / count(*), 6) AS avg_value
       FROM events GROUP BY 1)
     SELECT day, n_events, n_users, avg_value,
            round(n_events * 1.0 / lag(n_events) OVER (ORDER BY day) - 1, 6)
@@ -354,7 +355,13 @@ def daily_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.count("*").alias("n_events"),
         F.count_distinct("user_id").alias("n_users"),
-        F.round(F.avg("value"), 6).alias("avg_value"),
+        # DECIMAL sum, not avg(double): float partial sums are
+        # partition-order-dependent and flip 6-decimal rounding
+        # boundaries (seen at local[4] vs local[32])
+        F.round(
+            F.sum(F.col("value").cast("decimal(12,4)")).cast("double")
+            / F.count("*"), 6,
+        ).alias("avg_value"),
     )
     w = Window.orderBy("day")
     return daily.select(
