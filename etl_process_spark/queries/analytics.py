@@ -1741,3 +1741,65 @@ def open_orders_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.select(
         "day", F.sum("d").over(w).cast("bigint").alias("open_orders")
     )
+
+
+@query(
+    "part_bfs_reach",
+    """
+    WITH e AS (
+      SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+             greatest(a.l_partkey, b.l_partkey) AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+    sym AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e),
+    d0 AS (SELECT DISTINCT p_partkey AS n FROM part WHERE p_size = 1),
+    d1 AS (SELECT DISTINCT s.b AS n FROM sym s JOIN d0 ON s.a = d0.n
+           WHERE s.b NOT IN (SELECT n FROM d0)),
+    d2 AS (SELECT DISTINCT s.b AS n FROM sym s JOIN d1 ON s.a = d1.n
+           WHERE s.b NOT IN (SELECT n FROM d0)
+             AND s.b NOT IN (SELECT n FROM d1)),
+    d3 AS (SELECT DISTINCT s.b AS n FROM sym s JOIN d2 ON s.a = d2.n
+           WHERE s.b NOT IN (SELECT n FROM d0)
+             AND s.b NOT IN (SELECT n FROM d1)
+             AND s.b NOT IN (SELECT n FROM d2))
+    SELECT n AS part_key, 0 AS dist FROM d0
+    UNION ALL SELECT n, 1 FROM d1
+    UNION ALL SELECT n, 2 FROM d2
+    UNION ALL SELECT n, 3 FROM d3
+    """,
+)
+def part_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS hop distances (<= 3 hops) from the p_size=1 seed
+    parts over the part co-purchase graph — the k-hop-neighborhood /
+    blast-radius query shape (`operators/graph.py::bfs_distances`), the
+    fourth iterative graph family after CC, PageRank and label
+    propagation.
+
+    Frontier expansion settles each node exactly once at its minimal
+    hop, moving O(frontier-incident edges) per round; the oracle states
+    the same distances as level-wise DISTINCT set differences, which is
+    the affordable SQL formulation at sf0.01. Distances are exact
+    integers — no float canonicalization surface at all.
+
+    Seeds outside the co-purchase graph (parts never co-ordered) still
+    report dist 0: distance-from-seed-set is defined on the seed table,
+    not the edge list — both formulations agree on that by
+    construction.
+    """
+    from etl_process_spark.operators.graph import bfs_distances
+
+    li = tbl(spark, sf_dir, "lineitem")
+    pt = tbl(spark, sf_dir, "part")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.collect_set("l_partkey").alias("ps")
+    )
+    pairs = per_order.select(F.explode("ps").alias("u"), "ps").select(
+        "u", F.explode(F.array_remove("ps", F.col("u"))).alias("v")
+    )
+    e = pairs.where(F.col("u") < F.col("v")).distinct()
+    seeds = pt.where(F.col("p_size") == 1).select(
+        F.col("p_partkey").alias("node")
+    )
+    return bfs_distances(e, seeds, max_hops=3).select(
+        F.col("node").alias("part_key"), F.col("dist").cast("int").alias("dist")
+    )

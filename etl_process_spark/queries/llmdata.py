@@ -2049,3 +2049,212 @@ def doc_top_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= 3)
     )
+
+
+@query(
+    "lang_token_fertility",
+    f"""
+    WITH tok AS (
+      SELECT lang, CAST(len({_TOKS}) AS BIGINT) AS n_tokens, n_chars
+      FROM documents)
+    SELECT lang, count(*) AS n_docs,
+           sum(n_tokens) AS total_tokens, sum(n_chars) AS total_chars,
+           round(CAST(sum(n_chars) AS DOUBLE) / sum(n_tokens), 6)
+             AS chars_per_token
+    FROM tok GROUP BY lang
+    """,
+)
+def lang_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by language: characters per (whitespace)
+    token — the standard tokenizer-efficiency audit before committing a
+    training mixture (a language whose fertility is 2x pays 2x the
+    sequence length for the same content; the per-lang budget in
+    ``mixture_budget_report`` is usually corrected by exactly this
+    table).
+
+    Pure map-side token counting (the corpus text never shuffles — only
+    per-doc integer counts move into a |langs|-row aggregate with
+    map-side partials). The ratio divides two exact BIGINTs once, after
+    aggregation — deterministic across engines and partitionings.
+    """
+    docs = tbl(spark, sf_dir, "documents")
+    tok = docs.select(
+        "lang",
+        F.size(tx.tokens(F.col("text"))).cast("bigint").alias("n_tokens"),
+        "n_chars",
+    )
+    return tok.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+        F.round(
+            F.sum("n_chars").cast("double") / F.sum("n_tokens"), 6
+        ).alias("chars_per_token"),
+    )
+
+
+# Hashed-bigram feature bucket shared by the DSIR query and its oracle:
+# first 16 md5 bits of the bigram modulo 256 — engine-portable, and the
+# importance model's whole feature space is a 256-row table.
+_DSIR_BUCKET_SPARK = None  # computed inline below
+_DSIR_B = 256
+
+
+@query(
+    "dsir_importance_weights",
+    f"""
+    WITH words AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+    grams AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(w[i+1] || ' ' || w[i+2]), 1, 4))
+                  AS BIGINT) % {_DSIR_B} AS bucket
+      FROM words, unnest(range(0, len(w)-1)) AS t(i)
+      WHERE len(w) >= 2),
+    tgt AS (SELECT bucket, count(*) AS ct FROM grams
+            WHERE doc_id % 50 = 0 GROUP BY bucket),
+    raw AS (SELECT bucket, count(*) AS cr FROM grams
+            WHERE doc_id % 50 <> 0 GROUP BY bucket),
+    tots AS (SELECT (SELECT sum(ct) FROM tgt) AS nt,
+                    (SELECT sum(cr) FROM raw) AS nr),
+    ratio AS (
+      SELECT b.bucket,
+             ln((coalesce(ct, 0) + 1.0) / (nt + {_DSIR_B}))
+               - ln((coalesce(cr, 0) + 1.0) / (nr + {_DSIR_B})) AS lr
+      FROM (SELECT DISTINCT bucket FROM grams) b
+      LEFT JOIN tgt USING (bucket) LEFT JOIN raw USING (bucket)
+      CROSS JOIN tots),
+    perdoc AS (
+      SELECT g.doc_id, g.bucket, count(*) AS c
+      FROM grams g WHERE g.doc_id % 50 <> 0 GROUP BY 1, 2)
+    SELECT p.doc_id, CAST(sum(p.c) AS BIGINT) AS n_grams,
+           round(sum(p.c * r.lr) / sum(p.c), 6) AS avg_log_ratio
+    FROM perdoc p JOIN ratio r USING (bucket)
+    GROUP BY p.doc_id
+    """,
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al. 2023,
+    arXiv:2302.03169): score every raw document by the average
+    log-likelihood ratio of its hashed-bigram features under a target
+    LM vs a raw LM — the importance weight that upsamples
+    target-domain-like documents. Every 50th doc stands in for the
+    target corpus (the convention ``eval_decontamination`` uses).
+
+    The scale shape is the point: the corpus is exploded and shuffled
+    exactly ONCE, into a (doc, bucket) count table; both "LMs" (256-row
+    add-one-smoothed bucket tables over hashed n-gram features, first
+    16 md5 bits mod 256) are tiny re-aggregations of it, and scoring
+    BROADCASTS the 256-row log-ratio table back onto the same (doc,
+    bucket) rows — per-doc sums run over <=256 addends. md5 bucketing
+    keeps the feature space engine-portable; the final average rounds
+    to 6 decimals like every ranked double in this corpus.
+    """
+    docs = tbl(spark, sf_dir, "documents")
+    words = docs.select("doc_id", F.split("text", " ").alias("w")).filter(
+        F.size("w") >= 2
+    )
+    grams = words.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(w)-2),"
+                " i -> conv(substring(md5(concat_ws(' ', slice(w, i+1, 2))),"
+                " 1, 4), 16, 10))"
+            )
+        ).alias("g16"),
+    ).select(
+        "doc_id", (F.col("g16").cast("long") % _DSIR_B).alias("bucket")
+    )
+    # ONE corpus scan: the (doc, bucket) count table is the only
+    # corpus-sized aggregate, and both "LMs" derive from it (target
+    # docs' rows sum to the target counts, the rest to the raw counts)
+    # — so the text is exploded and shuffled exactly once.
+    is_tgt = F.col("doc_id") % 50 == 0
+    perdoc_all = grams.groupBy("doc_id", "bucket").agg(
+        F.count("*").alias("c")
+    ).localCheckpoint(eager=False)
+    sides = perdoc_all.groupBy("bucket").agg(
+        F.sum(F.when(is_tgt, F.col("c")).otherwise(0)).alias("ct"),
+        F.sum(F.when(~is_tgt, F.col("c")).otherwise(0)).alias("cr"),
+    )
+    tots = sides.agg(F.sum("ct").alias("nt"), F.sum("cr").alias("nr"))
+    ratio = sides.crossJoin(F.broadcast(tots)).select(
+        "bucket",
+        (
+            F.log((F.col("ct") + 1.0) / (F.col("nt") + _DSIR_B))
+            - F.log((F.col("cr") + 1.0) / (F.col("nr") + _DSIR_B))
+        ).alias("lr"),
+    )
+    perdoc = perdoc_all.where(~is_tgt)
+    return (
+        perdoc.join(F.broadcast(ratio), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_grams"),
+            F.round(F.sum(F.col("c") * F.col("lr")) / F.sum("c"), 6).alias(
+                "avg_log_ratio"
+            ),
+        )
+    )
+
+
+@query(
+    "embedding_dim_stats",
+    """
+    WITH vals AS (
+      SELECT CAST(t.i AS INTEGER) - 1 AS dim,
+             CAST(round(CAST(e.embedding[t.i] AS DOUBLE), 6)
+                  AS DECIMAL(18,6)) AS x
+      FROM embeddings e, unnest(range(1, len(e.embedding) + 1)) AS t(i)),
+    agg AS (
+      SELECT dim, count(*) AS n, sum(x) AS s,
+             sum(CAST(x * x AS DECIMAL(30,12))) AS ss
+      FROM vals GROUP BY dim)
+    SELECT dim, n,
+           round(CAST(s AS DOUBLE) / n, 6) AS mean,
+           round(sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / n), 6)
+             AS std
+    FROM agg
+    """,
+)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension mean / population-std of the embedding corpus — the
+    statistics a feature-normalization (z-score / whitening) pass
+    broadcasts back onto the vectors before indexing or clustering.
+
+    Exactness discipline: float sums are partition-order-dependent, so
+    each value is first pinned to DECIMAL(18,6) (6 decimals is already
+    beyond float32 resolution for unit-scale values) and both Σx and
+    Σx² accumulate as exact decimals — associative, hence identical
+    across engines and partitionings; doubles appear only in the final
+    per-dim division. One posexplode (map-side) + one 64-row aggregate
+    with partial combine: the vectors themselves never shuffle, so the
+    pass is a single corpus scan at any scale.
+    """
+    emb = tbl(spark, sf_dir, "embeddings")
+    vals = emb.select(
+        F.posexplode("embedding").alias("dim", "v")
+    ).select(
+        "dim",
+        F.round(F.col("v").cast("double"), 6).cast("decimal(18,6)").alias("x"),
+    )
+    agg = vals.groupBy("dim").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("s"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(30,12)")).alias("ss"),
+    )
+    return agg.select(
+        F.col("dim").cast("int").alias("dim"),
+        "n",
+        F.round(F.col("s").cast("double") / F.col("n"), 6).alias("mean"),
+        F.round(
+            F.sqrt(
+                (
+                    F.col("ss").cast("double")
+                    - F.col("s").cast("double") * F.col("s") / F.col("n")
+                )
+                / F.col("n")
+            ),
+            6,
+        ).alias("std"),
+    )

@@ -191,3 +191,63 @@ def test_label_propagation_matches_simulation(spark):
         got = {r["node"]: r["label"] for r in
                label_propagation(e, rounds=3, broadcast_labels=bc).collect()}
         assert got == labels, f"broadcast_labels={bc}"
+
+
+def _py_bfs_distances(edge_list, seeds, max_hops):
+    """Trusted in-memory answer: hop distance from the seed set."""
+    adj: dict[int, set[int]] = {}
+    for a, b in edge_list:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    dist = {s: 0 for s in seeds}
+    frontier = set(seeds)
+    for hop in range(1, max_hops + 1):
+        nxt = set()
+        for n in frontier:
+            for m in adj.get(n, ()):
+                if m not in dist:
+                    dist[m] = hop
+                    nxt.add(m)
+        frontier = nxt
+    return set(dist.items())
+
+
+def test_bfs_distances_path_graph(spark):
+    from etl_process_spark.operators.graph import bfs_distances
+
+    edges = [(i, i + 1) for i in range(6)]  # path 0-1-2-3-4-5-6
+    e = spark.createDataFrame(edges, "u long, v long")
+    seeds = spark.createDataFrame([(0,)], "node long")
+    got = {
+        (r["node"], r["dist"])
+        for r in bfs_distances(e, seeds, max_hops=3).collect()
+    }
+    assert got == {(0, 0), (1, 1), (2, 2), (3, 3)}  # 4..6 beyond horizon
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)),
+        min_size=1,
+        max_size=25,
+    ),
+    seeds=st.sets(st.integers(0, 15), min_size=1, max_size=3),
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_bfs_distances_matches_python_bfs(spark, edges, seeds):
+    from etl_process_spark.operators.graph import bfs_distances
+
+    canon = sorted({(min(a, b), max(a, b)) for a, b in edges if a != b})
+    if not canon:
+        return
+    e = spark.createDataFrame(canon, "u long, v long")
+    sd = spark.createDataFrame([(s,) for s in seeds], "node long")
+    got = {
+        (r["node"], r["dist"])
+        for r in bfs_distances(e, sd, max_hops=3).collect()
+    }
+    assert got == _py_bfs_distances(canon, seeds, 3)

@@ -560,3 +560,28 @@ def test_kmeans_and_triangle_plan_budgets(spark):
 
     tri = _df(spark, "copurchase_triangles")
     assert not has_cartesian(tri), plan_summary(tri)
+
+
+def test_round2b_query_plan_budgets(spark):
+    """Plan contracts for the newest corpus queries.
+
+    - lang_token_fertility / embedding_dim_stats: single partial-agg
+      shuffle — token counting and the per-dim moment sums are map-side
+      partials; the corpus text / vectors never move.
+    - dsir_importance_weights: the corpus is exploded and shuffled
+      exactly ONCE into the (doc, bucket) count table; the 256-row
+      log-ratio model comes back by broadcast. 6 exchanges total (gram
+      agg, two tiny re-aggs, scalar totals, final per-doc agg, spread).
+    - part_bfs_reach: frontier rounds hide behind lazy localCheckpoints;
+      the assembled result must still plan no cartesian product.
+    """
+    for name in ("lang_token_fertility", "embedding_dim_stats"):
+        df = _df(spark, name)
+        assert exchange_count(df) <= 2, plan_summary(df)
+
+    ds = _df(spark, "dsir_importance_weights")
+    assert exchange_count(ds) <= 6, plan_summary(ds)
+    assert broadcast_join_count(ds) >= 1, plan_summary(ds)
+
+    bfs = _df(spark, "part_bfs_reach")
+    assert not has_cartesian(bfs), plan_summary(bfs)
