@@ -425,6 +425,7 @@ def bfs_distances(
     src: str = "u",
     dst: str = "v",
     node: str = "node",
+    symmetric: bool = False,
 ) -> DataFrame:
     """Multi-source BFS: exact hop distance (0..max_hops) from the seed
     set to every reachable node, by frontier expansion — the fourth
@@ -443,14 +444,22 @@ def bfs_distances(
 
     Per round: one node-keyed join shuffle + one anti-join (AQE
     broadcasts the frontier while it is small) + a distinct over new
-    neighbors. Settled set and frontier are checkpointed per round like
-    the CC loop so round N's plan doesn't replay rounds 1..N-1.
+    neighbors. Each hop's frontier is checkpointed like the CC loop so
+    round N's plan doesn't replay rounds 1..N-1.
+
+    BFS is insensitive to duplicate edges (the per-round neighbor
+    distinct absorbs them), so callers holding an UN-deduplicated
+    directed pair list (e.g. the per-order co-purchase explosion)
+    should pass it directly with ``symmetric=True`` — skipping the
+    canonicalizing distinct saves a full edge-list shuffle, which
+    dominates the whole query on dense graphs.
     """
-    sym = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .unionAll(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        .localCheckpoint(eager=False)
-    )
+    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    if not symmetric:
+        sym = sym.unionAll(
+            edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+        )
+    sym = sym.localCheckpoint(eager=False)
     dist = seeds.select(F.col(node).alias("n")).distinct().select(
         "n", F.lit(0).cast("int").alias("dist")
     ).localCheckpoint(eager=False)
@@ -464,6 +473,9 @@ def bfs_distances(
         new = nbrs.join(dist.select("n"), "n", "left_anti").select(
             "n", F.lit(hop).cast("int").alias("dist")
         ).localCheckpoint(eager=False)
-        dist = dist.unionAll(new).localCheckpoint(eager=False)
+        # dist is a union of already-checkpointed per-hop frames — no
+        # lineage to truncate, so checkpointing the union again would
+        # only re-materialize the same rows every round
+        dist = dist.unionAll(new)
         frontier = new.select("n")
     return dist.select(F.col("n").alias(node), "dist")

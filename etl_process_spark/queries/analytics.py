@@ -1793,13 +1793,15 @@ def part_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_order = li.groupBy("l_orderkey").agg(
         F.collect_set("l_partkey").alias("ps")
     )
+    # the explosion already emits BOTH directions, and BFS tolerates
+    # duplicate edges — no canonicalizing distinct (that shuffle alone
+    # costs more than all three BFS rounds on this graph)
     pairs = per_order.select(F.explode("ps").alias("u"), "ps").select(
         "u", F.explode(F.array_remove("ps", F.col("u"))).alias("v")
     )
-    e = pairs.where(F.col("u") < F.col("v")).distinct()
     seeds = pt.where(F.col("p_size") == 1).select(
         F.col("p_partkey").alias("node")
     )
-    return bfs_distances(e, seeds, max_hops=3).select(
+    return bfs_distances(pairs, seeds, max_hops=3, symmetric=True).select(
         F.col("node").alias("part_key"), F.col("dist").cast("int").alias("dist")
     )
