@@ -1805,3 +1805,174 @@ def part_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bfs_distances(pairs, seeds, max_hops=3, symmetric=True).select(
         F.col("node").alias("part_key"), F.col("dist").cast("int").alias("dist")
     )
+
+
+@query(
+    "weekly_distinct_rollup_hll",
+    """
+    SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
+           count(DISTINCT user_id) AS n_users,
+           TRUE AS estimate_ok
+    FROM events GROUP BY 1
+    """,
+)
+def weekly_distinct_rollup_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-count ROLLUP via sketch MERGE: daily HyperLogLog
+    partials union into weekly estimates WITHOUT re-scanning the raw
+    events — the lattice path for COUNT(DISTINCT) (a continuous
+    aggregate can store per-day sketches and serve any coarser grain by
+    merging; exact distincts don't compose, sketches do). At 100 TB the
+    raw-event re-scan per rollup grain is exactly what this avoids —
+    the weekly numbers here derive from 7 sketch rows each.
+
+    The checkable contract (same device as ``approx_distinct_users``):
+    the engine emits the exact weekly count alongside and asserts the
+    MERGED estimate lands within 5% of it; the hashed value is the
+    assertion, since raw HLL estimates are engine-specific. DataSketches
+    HLL at lgK=12 is ~1% rse — 5% is a deliberately loose alarm bound.
+    """
+    ev = tbl(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("ts").cast("date").alias("day")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    weekly_sketch = daily.groupBy(
+        F.date_trunc("week", "day").cast("date").alias("week")
+    ).agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    )
+    weekly_exact = ev.groupBy(
+        F.date_trunc("week", "ts").cast("date").alias("week")
+    ).agg(F.count_distinct("user_id").alias("n_users"))
+    return weekly_exact.join(weekly_sketch, "week").select(
+        "week",
+        "n_users",
+        (
+            F.abs(F.col("est") - F.col("n_users"))
+            <= 0.05 * F.col("n_users")
+        ).alias("estimate_ok"),
+    )
+
+
+@query(
+    "nation_revenue_trend",
+    """
+    WITH yearly AS (
+      SELECT n.n_name AS nation,
+             CAST(year(o.o_orderdate) - 1990 AS BIGINT) AS x,
+             sum(CAST(o.o_totalprice AS DECIMAL(12,2))) AS y
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY 1, 2),
+    m AS (
+      SELECT nation, count(*) AS n, sum(x) AS sx,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             sum(y) AS sy, sum(CAST(x AS DECIMAL(6,0)) * y) AS sxy
+      FROM yearly GROUP BY nation)
+    SELECT nation, CAST(n AS BIGINT) AS n_years,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (n * sxx - sx * sx), 2) AS slope_per_year
+    FROM m WHERE n * sxx - sx * sx <> 0
+    """,
+)
+def nation_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation ordinary-least-squares revenue trend (slope of yearly
+    revenue over years) from EXACT moment sums — the grouped-regression
+    feature a forecasting pipeline derives per entity.
+
+    Same exactness discipline as ``price_moments_exact``: every moment
+    (Σx, Σx², Σy, Σxy) accumulates in DECIMAL/BIGINT — associative,
+    partition-order-independent — and doubles appear only in the one
+    final slope division, rounded to 2 (cents per year). Two shuffles
+    total: the (nation, year) revenue agg, then a 25-row moment agg;
+    the dims broadcast onto orders. Degenerate single-year nations
+    (zero variance in x) are excluded by both formulations.
+    """
+    od = tbl(spark, sf_dir, "orders")
+    cu = tbl(spark, sf_dir, "customer")
+    na = tbl(spark, sf_dir, "nation")
+    yearly = (
+        od.join(
+            F.broadcast(cu.select("c_custkey", "c_nationkey")),
+            od.o_custkey == F.col("c_custkey"),
+        )
+        .join(F.broadcast(na), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            (F.year("o_orderdate") - 1990).cast("bigint").alias("x"),
+        )
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(12,2)")).alias("y"))
+    )
+    m = yearly.groupBy("nation").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x").cast("decimal(6,0)") * F.col("y")).alias("sxy"),
+    )
+    denom = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return m.where(denom != 0).select(
+        "nation",
+        F.col("n").cast("bigint").alias("n_years"),
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            / denom,
+            2,
+        ).alias("slope_per_year"),
+    )
+
+
+@query(
+    "orders_table_checksum",
+    """
+    SELECT count(*) AS n_rows,
+           bit_xor(CAST(concat('0x', substr(md5(concat_ws('|',
+                     CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR),
+                     o_orderstatus,
+                     CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR),
+                     CAST(CAST(o_orderdate AS DATE) AS VARCHAR),
+                     o_orderpriority)), 1, 15)) AS BIGINT)) AS xor_sig,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2))
+             AS total_price
+    FROM orders
+    """,
+)
+def orders_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent table fingerprint: XOR of per-row 60-bit md5
+    digests + row count + exact price sum — the reconciliation
+    primitive for verifying a migration / replica / backfill without
+    sorting or moving the table (XOR and sums are commutative, so any
+    partitioning and any engine produce the same signature; one scan,
+    one 1-row aggregate).
+
+    Every hashed field is pinned to a canonical string first (BIGINTs,
+    DECIMAL(12,2) for the price, ISO date) — the same representation
+    discipline as ``euro_decimal_parse``, because raw double/timestamp
+    rendering is exactly what engines disagree on. 60 bits (15 hex
+    chars) keeps the XOR inside BIGINT range portably.
+    """
+    od = tbl(spark, sf_dir, "orders")
+    row_sig = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("o_orderkey").cast("string"),
+                    F.col("o_custkey").cast("string"),
+                    F.col("o_orderstatus"),
+                    F.col("o_totalprice").cast("decimal(12,2)").cast("string"),
+                    F.col("o_orderdate").cast("date").cast("string"),
+                    F.col("o_orderpriority"),
+                )
+            ),
+            1, 15,
+        ),
+        16, 10,
+    ).cast("long")
+    return od.agg(
+        F.count("*").alias("n_rows"),
+        F.bit_xor(row_sig).alias("xor_sig"),
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+        .cast("decimal(18,2)")
+        .alias("total_price"),
+    )

@@ -585,3 +585,28 @@ def test_round2b_query_plan_budgets(spark):
 
     bfs = _df(spark, "part_bfs_reach")
     assert not has_cartesian(bfs), plan_summary(bfs)
+
+
+def test_rollup_trend_checksum_plan_budgets(spark):
+    """Plan contracts for the sketch-rollup / regression / checksum trio.
+
+    - weekly_distinct_rollup_hll: the raw scan feeds the daily sketch agg
+      and the weekly-exact agg; the weekly merge re-aggregates DAILY
+      sketch rows (not raw events) and the tiny weekly tables join by
+      broadcast — 5 exchanges, no raw re-shuffle for the merge grain.
+    - nation_revenue_trend: dims broadcast onto orders (2 broadcast
+      joins); the only exchanges are the (nation, year) agg, the 25-row
+      moment agg, and input spread.
+    - orders_table_checksum: one scan into one 1-row aggregate — the
+      whole fingerprint is commutative map-side partials.
+    """
+    hll = _df(spark, "weekly_distinct_rollup_hll")
+    assert exchange_count(hll) <= 5, plan_summary(hll)
+    assert broadcast_join_count(hll) >= 1, plan_summary(hll)
+
+    tr = _df(spark, "nation_revenue_trend")
+    assert broadcast_join_count(tr) >= 2, plan_summary(tr)
+    assert exchange_count(tr) <= 4, plan_summary(tr)
+
+    ck = _df(spark, "orders_table_checksum")
+    assert exchange_count(ck) <= 1, plan_summary(ck)
