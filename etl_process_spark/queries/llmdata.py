@@ -2258,3 +2258,93 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("std"),
     )
+
+
+@query(
+    "embedding_zscore_apply",
+    """
+    WITH vals AS (
+      SELECT CAST(t.i AS INTEGER) AS dim,
+             CAST(round(CAST(e.embedding[t.i] AS DOUBLE), 6)
+                  AS DECIMAL(18,6)) AS x
+      FROM embeddings e, unnest(range(1, len(e.embedding) + 1)) AS t(i)),
+    agg AS (
+      SELECT dim, count(*) AS n, sum(x) AS s,
+             sum(CAST(x * x AS DECIMAL(30,12))) AS ss
+      FROM vals GROUP BY dim),
+    stats AS (
+      SELECT dim,
+             round(CAST(s AS DOUBLE) / n, 6) AS mu,
+             round(sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / n), 6)
+               AS sd
+      FROM agg),
+    packed AS (
+      SELECT list(mu ORDER BY dim) AS mus, list(sd ORDER BY dim) AS sds
+      FROM stats)
+    SELECT e.vec_id, e.label,
+           round(list_sum([
+             ((round(CAST(e.embedding[i] AS DOUBLE), 6) - p.mus[i]) / p.sds[i])
+             * ((round(CAST(e.embedding[i] AS DOUBLE), 6) - p.mus[i]) / p.sds[i])
+             for i in range(1, len(e.embedding) + 1)]), 6) AS z_norm2
+    FROM embeddings e CROSS JOIN packed p
+    """,
+)
+def embedding_zscore_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score (whitening) normalization APPLIED back to every vector —
+    the feature-standardization pass between ``embedding_dim_stats``
+    and any distance-based index (un-normalized dimensions with larger
+    variance silently dominate cosine/L2 rankings).
+
+    The apply step is the kmeans packed-broadcast shape: the 64-row
+    stats table collapses into ONE row of (mean[], std[]) arrays that
+    broadcasts onto the corpus, and the per-vector transform runs
+    inside codegen (`transform` + `aggregate` over array positions) —
+    the vectors are never exploded or shuffled for the application, so
+    the pass is one corpus scan plus a 64-row aggregate. Emits the
+    squared z-norm per vector (its expectation is ~n_dims, a
+    normalization sanity check); stats are pinned at 6 decimals and
+    the oracle replays the identical left-to-right fold, so the result
+    is bit-equal across engines.
+    """
+    emb = tbl(spark, sf_dir, "embeddings")
+    vals = emb.select(F.posexplode("embedding").alias("d", "v")).select(
+        "d",
+        F.round(F.col("v").cast("double"), 6).cast("decimal(18,6)").alias("x"),
+    )
+    stats = (
+        vals.groupBy("d")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("x").alias("s"),
+            F.sum((F.col("x") * F.col("x")).cast("decimal(30,12)")).alias("ss"),
+        )
+        .select(
+            "d",
+            F.round(F.col("s").cast("double") / F.col("n"), 6).alias("mu"),
+            F.round(
+                F.sqrt(
+                    (
+                        F.col("ss").cast("double")
+                        - F.col("s").cast("double") * F.col("s") / F.col("n")
+                    )
+                    / F.col("n")
+                ),
+                6,
+            ).alias("sd"),
+        )
+    )
+    packed = stats.agg(
+        F.array_sort(F.collect_list(F.struct("d", "mu", "sd"))).alias("p")
+    ).select(
+        F.expr("transform(p, s -> s.mu)").alias("mus"),
+        F.expr("transform(p, s -> s.sd)").alias("sds"),
+    )
+    z2 = F.expr(
+        "aggregate(sequence(0, size(embedding) - 1), CAST(0.0 AS DOUBLE),"
+        " (acc, i) -> acc +"
+        "  ((round(CAST(embedding[i] AS DOUBLE), 6) - mus[i]) / sds[i])"
+        "  * ((round(CAST(embedding[i] AS DOUBLE), 6) - mus[i]) / sds[i]))"
+    )
+    return emb.crossJoin(F.broadcast(packed)).select(
+        "vec_id", "label", F.round(z2, 6).alias("z_norm2")
+    )

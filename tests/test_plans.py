@@ -610,3 +610,16 @@ def test_rollup_trend_checksum_plan_budgets(spark):
 
     ck = _df(spark, "orders_table_checksum")
     assert exchange_count(ck) <= 1, plan_summary(ck)
+
+
+def test_zscore_apply_is_packed_broadcast_map_stage(spark):
+    """The z-score application must be the kmeans packed-broadcast
+    shape: one BroadcastNestedLoopJoin carries the single-row (mean[],
+    std[]) arrays onto the corpus scan; the vectors are never hash-
+    exchanged for the apply (the <=3 exchanges are the 64-row stats
+    agg, the 1-row packing agg, and input spread)."""
+    df = _df(spark, "embedding_zscore_apply")
+    s = df._jdf.queryExecution().executedPlan().toString()
+    assert s.count("BroadcastNestedLoopJoin") >= 1, plan_summary(df)
+    assert exchange_count(df) <= 3, plan_summary(df)
+    assert not has_cartesian(df)
