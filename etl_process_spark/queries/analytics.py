@@ -1976,3 +1976,47 @@ def orders_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(18,2)")
         .alias("total_price"),
     )
+
+
+@query(
+    "price_equidepth_histogram",
+    """
+    WITH t AS (
+      SELECT o_totalprice,
+             ntile(8) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+      FROM orders)
+    SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n_rows,
+           CAST(min(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(12,2)) AS lo,
+           CAST(max(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(12,2)) AS hi
+    FROM t GROUP BY bucket
+    """,
+)
+def price_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram (equal row count per bucket, data-dependent
+    bounds) — the statistic cost-based optimizers and range
+    partitioners actually want, vs ``order_price_histogram``'s
+    fixed-WIDTH buckets. The bucket bounds are exactly the split points
+    ``write_sorted``'s range partitioning uses.
+
+    ntile over the (price, orderkey) total order pins every tie, so
+    bucket membership is identical across engines; bounds come out as
+    exact DECIMAL min/max. One sort + one 8-row aggregate — at scale
+    the same statistic comes from approx_percentile split points
+    (``approx_price_quantiles`` carries that sketch's contract); this
+    is the exact formulation that oracle-checks the bucketing rule
+    itself.
+    """
+    od = tbl(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        od.select(
+            F.col("o_totalprice").cast("decimal(12,2)").alias("p"),
+            F.ntile(8).over(w).alias("bucket"),
+        )
+        .groupBy(F.col("bucket").cast("bigint").alias("bucket"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("p").alias("lo"),
+            F.max("p").alias("hi"),
+        )
+    )
