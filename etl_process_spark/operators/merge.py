@@ -101,3 +101,55 @@ def snapshot_diff(
         )
         .where(F.col("change_type").isNotNull())
     )
+
+
+def table_checksum(
+    df: DataFrame,
+    cols: Sequence[str],
+    decimal_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Order-independent table fingerprint: one row of
+    ``(n_rows, xor_sig, ...sums)`` where ``xor_sig`` XORs a 60-bit md5
+    digest of every row's canonical string form.
+
+    The reconciliation primitive for verifying a migration, replica, or
+    backfill WITHOUT sorting or moving either table: XOR and sums are
+    commutative and associative, so any partitioning, any engine, and
+    any row order produce the same signature from the same rows — and a
+    single changed/missing/duplicated row flips it. Compare two tables
+    by comparing two 1-row aggregates (one scan each, all partials
+    map-side combined).
+
+    ``cols`` are hashed in the given order after canonicalization:
+    every column is cast to string EXCEPT those named in
+    ``decimal_cols``, which pin through DECIMAL(12,2) first — raw
+    double rendering is exactly what engines disagree on (the
+    ``euro_decimal_parse`` lesson). Timestamps should be pre-cast by
+    the caller to date or a fixed format for the same reason. NULLs
+    pin to the ``\\N`` sentinel — ``concat_ws`` would otherwise SKIP
+    them, making (NULL, x) and ('', x) rows collide undetectably. Each
+    ``decimal_cols`` entry additionally contributes an exact
+    ``sum_<col>`` DECIMAL(18,2) control total.
+    """
+    parts = [
+        F.coalesce(
+            (
+                F.col(c).cast("decimal(12,2)").cast("string")
+                if c in set(decimal_cols)
+                else F.col(c).cast("string")
+            ),
+            F.lit("\\N"),
+        )
+        for c in cols
+    ]
+    row_sig = F.conv(
+        F.substring(F.md5(F.concat_ws("|", *parts)), 1, 15), 16, 10
+    ).cast("long")
+    aggs = [F.count("*").alias("n_rows"), F.bit_xor(row_sig).alias("xor_sig")]
+    for c in decimal_cols:
+        aggs.append(
+            F.sum(F.col(c).cast("decimal(12,2)"))
+            .cast("decimal(18,2)")
+            .alias(f"sum_{c}")
+        )
+    return df.agg(*aggs)

@@ -1927,11 +1927,14 @@ def nation_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT count(*) AS n_rows,
            bit_xor(CAST(concat('0x', substr(md5(concat_ws('|',
-                     CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR),
-                     o_orderstatus,
-                     CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR),
-                     CAST(CAST(o_orderdate AS DATE) AS VARCHAR),
-                     o_orderpriority)), 1, 15)) AS BIGINT)) AS xor_sig,
+                     coalesce(CAST(o_orderkey AS VARCHAR), '\\N'),
+                     coalesce(CAST(o_custkey AS VARCHAR), '\\N'),
+                     coalesce(o_orderstatus, '\\N'),
+                     coalesce(CAST(CAST(o_totalprice AS DECIMAL(12,2))
+                                   AS VARCHAR), '\\N'),
+                     coalesce(CAST(CAST(o_orderdate AS DATE) AS VARCHAR), '\\N'),
+                     coalesce(o_orderpriority, '\\N'))), 1, 15)) AS BIGINT))
+             AS xor_sig,
            CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2))
              AS total_price
     FROM orders
@@ -1949,33 +1952,23 @@ def orders_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECIMAL(12,2) for the price, ISO date) — the same representation
     discipline as ``euro_decimal_parse``, because raw double/timestamp
     rendering is exactly what engines disagree on. 60 bits (15 hex
-    chars) keeps the XOR inside BIGINT range portably.
+    chars) keeps the XOR inside BIGINT range portably. The operator is
+    ``operators/merge.py::table_checksum`` (unit-tested for mutation
+    sensitivity and row-order/partitioning invariance).
     """
-    od = tbl(spark, sf_dir, "orders")
-    row_sig = F.conv(
-        F.substring(
-            F.md5(
-                F.concat_ws(
-                    "|",
-                    F.col("o_orderkey").cast("string"),
-                    F.col("o_custkey").cast("string"),
-                    F.col("o_orderstatus"),
-                    F.col("o_totalprice").cast("decimal(12,2)").cast("string"),
-                    F.col("o_orderdate").cast("date").cast("string"),
-                    F.col("o_orderpriority"),
-                )
-            ),
-            1, 15,
-        ),
-        16, 10,
-    ).cast("long")
-    return od.agg(
-        F.count("*").alias("n_rows"),
-        F.bit_xor(row_sig).alias("xor_sig"),
-        F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
-        .cast("decimal(18,2)")
-        .alias("total_price"),
+    from etl_process_spark.operators.merge import table_checksum
+
+    od = tbl(spark, sf_dir, "orders").withColumn(
+        "o_orderday", F.col("o_orderdate").cast("date")
     )
+    return table_checksum(
+        od,
+        cols=[
+            "o_orderkey", "o_custkey", "o_orderstatus",
+            "o_totalprice", "o_orderday", "o_orderpriority",
+        ],
+        decimal_cols=["o_totalprice"],
+    ).withColumnRenamed("sum_o_totalprice", "total_price")
 
 
 @query(
