@@ -153,3 +153,25 @@ def table_checksum(
             .alias(f"sum_{c}")
         )
     return df.agg(*aggs)
+
+
+def combine_checksums(parts: DataFrame) -> DataFrame:
+    """Fold per-batch ``table_checksum`` rows into the whole-table
+    fingerprint: counts and control totals ADD, signatures XOR — all
+    commutative, so checksumming a 100 TB table batch-by-batch as it
+    ingests (one tiny row stored per batch) yields EXACTLY the
+    signature a full recompute would, without ever re-reading history.
+    The incremental-maintenance pattern of ``operators/incremental.py``
+    applied to reconciliation: verify a replica against the running
+    fold at any time for the cost of one 1-row aggregate.
+
+    ``parts`` is a union of checksum rows (n_rows, xor_sig, sum_*...).
+    """
+    aggs = [
+        F.sum("n_rows").cast("long").alias("n_rows"),
+        F.bit_xor("xor_sig").alias("xor_sig"),
+    ]
+    for c in parts.columns:
+        if c.startswith("sum_"):
+            aggs.append(F.sum(c).cast("decimal(18,2)").alias(c))
+    return parts.agg(*aggs)

@@ -50,3 +50,26 @@ def test_checksum_distinguishes_null_from_empty_string(spark):
     a = _sig(spark, [(1, None, 1.0)])
     b = _sig(spark, [(1, "", 1.0)])
     assert a["xor_sig"] != b["xor_sig"]
+
+
+def test_batchwise_checksum_fold_equals_full_recompute(spark):
+    from etl_process_spark.operators.merge import combine_checksums
+
+    rows = [(i, f"name{i % 7}", float(i) * 1.25) for i in range(97)]
+    full_df = spark.createDataFrame(rows, "id long, name string, amount double")
+    full = table_checksum(
+        full_df, cols=["id", "name", "amount"], decimal_cols=["amount"]
+    ).collect()[0]
+    # three uneven batches, one empty
+    splits = [rows[:40], rows[40:41], [], rows[41:]]
+    parts = None
+    for batch in splits:
+        df = spark.createDataFrame(batch, "id long, name string, amount double")
+        ck = table_checksum(
+            df, cols=["id", "name", "amount"], decimal_cols=["amount"]
+        )
+        parts = ck if parts is None else parts.unionByName(ck)
+    folded = combine_checksums(parts).collect()[0]
+    assert folded["n_rows"] == full["n_rows"]
+    assert folded["xor_sig"] == full["xor_sig"]
+    assert folded["sum_amount"] == full["sum_amount"]
