@@ -100,3 +100,44 @@ def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding (hopping) 1h/30min event counts — each event fans out to
     its two covering windows before a single map-combined aggregate."""
     return sliding_counts(tbl(spark, sf_dir, "events"))
+
+
+@query(
+    "trending_types_per_window",
+    """
+    WITH counts AS (
+      SELECT time_bucket(INTERVAL 6 HOURS, ts) AS window_start,
+             time_bucket(INTERVAL 6 HOURS, ts) + INTERVAL 6 HOURS AS window_end,
+             event_type,
+             count(*) AS n_events,
+             round(sum(value), 2) AS total_value
+      FROM events GROUP BY 1, 2, 3)
+    SELECT window_start, window_end, event_type, n_events,
+           CAST(rnk AS INT) AS rnk
+    FROM (SELECT *, row_number() OVER (PARTITION BY window_start
+                        ORDER BY n_events DESC, event_type) AS rnk
+          FROM counts)
+    WHERE rnk <= 2
+    """,
+)
+def trending_types_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending top-2 event types per 6-hour tumbling window — the batch
+    twin of `streaming/windows.py::trending_stream` (rank OVER a
+    streaming aggregate is inexpressible in one streaming query; the
+    streaming path ranks finalized windows in foreachBatch with THIS
+    exact topk_per_window, proven stream==batch in
+    tests/test_streaming.py::test_trending_stream_matches_batch_topk).
+
+    The rank window partitions by window_start — the same key the
+    counts aggregate shuffled on, so the ranking adds no corpus-sized
+    exchange. (count desc, type asc) pins ties in both engines.
+    """
+    from etl_process_spark.streaming.windows import (
+        topk_per_window,
+        tumbling_counts,
+    )
+
+    ev = tbl(spark, sf_dir, "events")
+    return topk_per_window(
+        tumbling_counts(ev, window_duration="6 hours", watermark=None), k=2
+    )

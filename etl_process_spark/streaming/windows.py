@@ -101,3 +101,66 @@ def session_agg(
             "total_value",
         )
     )
+
+
+def topk_per_window(counts: DataFrame, k: int = 2) -> DataFrame:
+    """Rank groups inside each tumbling window and keep the top ``k`` —
+    the 'trending items' step over the ``tumbling_counts`` output.
+    Deterministic (count desc, group asc) tie order; the rank window
+    re-uses the window_start grouping so at scale it partitions by the
+    same key the counts already shuffled on."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("window_start").orderBy(
+        F.col("n_events").desc(), F.col("event_type")
+    )
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select(
+            "window_start", "window_end", "event_type", "n_events",
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
+
+
+def trending_stream(
+    stream_df: DataFrame,
+    sink_dir: str,
+    checkpoint_dir: str,
+    k: int = 2,
+    window_duration: str = "6 hours",
+    watermark: str = "0 seconds",
+):
+    """Streaming 'trending per window' top-k — the dashboard query that
+    pure streaming aggregation can't express (ranking is a window
+    function OVER an aggregate, and Spark forbids stacking them in one
+    streaming query).
+
+    The composition that does work: append-mode ``tumbling_counts``
+    emits each window's rows exactly ONCE, atomically, when the
+    watermark passes its end — so every micro-batch ``foreachBatch``
+    receives only whole, finalized windows, and ranking inside the
+    batch with the SAME ``topk_per_window`` the batch path uses is
+    exact (no partial-window re-ranking, no update-mode retractions).
+    State stays bounded by the watermark horizon; the sink is
+    append-only parquet.
+
+    Returns the started StreamingQuery; callers await and read
+    ``sink_dir``.
+    """
+    counts = tumbling_counts(
+        stream_df, window_duration=window_duration, watermark=watermark
+    )
+
+    def rank_and_append(batch_df: DataFrame, batch_id: int) -> None:
+        out = topk_per_window(batch_df, k=k)
+        out.write.mode("append").parquet(sink_dir)
+
+    return (
+        counts.writeStream.foreachBatch(rank_and_append)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -597,3 +597,35 @@ def test_funnel_stream_matches_batch(spark, event_inbox, tmp_path):
     cols = ["user_id", "t1", "t2", "t3", "t4"]
     assert _canon(got, cols) == _canon(batch, cols)
     assert got.count() > 0
+
+
+def test_trending_stream_matches_batch_topk(spark, event_inbox, tmp_path):
+    """Streaming trending top-k (rank OVER a streaming aggregate — only
+    expressible via the finalized-window foreachBatch composition) must
+    equal the batch topk_per_window over batch tumbling_counts, for
+    every window the final watermark passed."""
+    from etl_process_spark.streaming.sources import read_event_stream
+    from etl_process_spark.streaming.windows import (
+        topk_per_window,
+        trending_stream,
+        tumbling_counts,
+    )
+
+    stream = read_event_stream(spark, event_inbox, max_files_per_trigger=1)
+    sink = str(tmp_path / "trending_sink")
+    q = trending_stream(
+        stream, sink, str(tmp_path / "trending_ckpt"), k=2,
+        window_duration="6 hours", watermark="0 seconds",
+    )
+    q.awaitTermination(300)
+    got = spark.read.parquet(sink)
+
+    ev = tbl(spark, SF_DIR, "events")
+    batch = topk_per_window(
+        tumbling_counts(ev, window_duration="6 hours", watermark=None), k=2
+    )
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    expected = batch.filter(F.col("window_end") <= F.lit(max_ts))
+    cols = ["window_start", "window_end", "event_type", "n_events", "rnk"]
+    assert _canon(got, cols) == _canon(expected, cols)
+    assert got.count() > 0
