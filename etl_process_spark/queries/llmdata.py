@@ -2348,3 +2348,48 @@ def embedding_zscore_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.crossJoin(F.broadcast(packed)).select(
         "vec_id", "label", F.round(z2, 6).alias("z_norm2")
     )
+
+
+@query(
+    "allpairs_jaccard_dups",
+    f"""
+    WITH sh AS ({_SHINGLES}),
+    gr AS (SELECT doc_id, unnest(s) AS gram FROM sh),
+    dfq AS (SELECT gram, count(*) AS dfc FROM gr GROUP BY 1),
+    ordered AS (
+      SELECT gr.doc_id, list(gr.gram ORDER BY dfq.dfc, gr.gram) AS t
+      FROM gr JOIN dfq USING (gram) GROUP BY gr.doc_id),
+    pref AS (
+      SELECT doc_id,
+             unnest(t[1 : len(t) - (3 * len(t) + 4) // 5 + 1]) AS gram
+      FROM ordered),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+      FROM pref a JOIN pref b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+    v AS (
+      SELECT c.da, c.db, len(list_intersect(x.t, y.t)) AS i,
+             len(x.t) + len(y.t) - len(list_intersect(x.t, y.t)) AS u
+      FROM cand c JOIN ordered x ON x.doc_id = c.da
+                  JOIN ordered y ON y.doc_id = c.db)
+    SELECT da AS doc_a, db AS doc_b,
+           round(CAST(i AS DOUBLE) / u, 6) AS jaccard
+    FROM v WHERE 5 * i >= 3 * u
+    """,
+)
+def allpairs_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPLETE near-dup pairs at shingle-Jaccard >= 3/5 by prefix
+    filtering (`operators/dedup.py::allpairs_jaccard`, the
+    AllPairs/PPJoin family) — the exact-recall counterpart to the
+    probabilistic `lsh_candidate_pairs`→`ngram_jaccard_pairs` path:
+    banding can MISS a qualifying pair (tunable-probability recall),
+    prefix filtering provably cannot, at the cost of candidate volume
+    that depends on the df distribution instead of the band count. A
+    production pipeline runs LSH for the bulk and this operator where
+    completeness is contractual (eval-set decontamination, license
+    dedup). Integer-only threshold arithmetic; both engines replay the
+    identical (df, shingle) prefix order.
+    """
+    docs = tbl(spark, sf_dir, "documents")
+    return dd.allpairs_jaccard(docs, "text", "doc_id").select(
+        "doc_a", "doc_b", "jaccard"
+    )

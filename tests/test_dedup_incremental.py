@@ -80,3 +80,50 @@ def test_lsh_probe_equals_full_pairs_touching_batch(spark, docs):
     assert got == expected
     # the planted clones guarantee cross pairs exist — not vacuous
     assert any(a < split <= b for a, b in got)
+
+
+def _naive_jaccard_pairs(texts: dict[int, str], num=3, den=5):
+    """Trusted answer: exact Jaccard over ALL pairs of 3-shingle sets."""
+    import itertools
+
+    def sh(t):
+        w = t.lower().split()
+        return {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
+
+    sets = {k: sh(v) for k, v in texts.items() if len(sh(v)) > 0}
+    out = set()
+    for a, b in itertools.combinations(sorted(sets), 2):
+        i = len(sets[a] & sets[b])
+        u = len(sets[a] | sets[b])
+        if den * i >= num * u:
+            out.add((a, b, round(i / u, 6)))
+    return out
+
+
+def test_allpairs_jaccard_complete_vs_naive(spark):
+    """Prefix filtering must find EVERY pair at Jaccard >= 3/5 — the
+    completeness guarantee LSH banding cannot make. Docs include exact
+    dups, a one-word edit, a half-overlap pair (below threshold), and
+    unrelated text."""
+    from etl_process_spark.operators.dedup import allpairs_jaccard
+
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog today",
+        2: "the quick brown fox jumps over the lazy dog today",
+        3: "the quick brown fox jumps over the lazy cat today",
+        4: "the quick brown fox sleeps all day long in the sun",
+        5: "completely different words about spark shuffles and joins",
+        6: "completely different words about spark shuffles and joins",
+        7: "short text",
+    }
+    df = spark.createDataFrame(
+        [(k, v) for k, v in texts.items()], "doc_id long, text string"
+    )
+    got = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in allpairs_jaccard(df, "text", "doc_id").collect()
+    }
+    expected = _naive_jaccard_pairs(texts)
+    assert got == expected
+    assert (1, 2, 1.0) in got and (5, 6, 1.0) in got  # exact dups found
+    assert any(a == 1 and b == 3 for a, b, _ in got)  # near-dup found

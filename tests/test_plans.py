@@ -623,3 +623,17 @@ def test_zscore_apply_is_packed_broadcast_map_stage(spark):
     assert s.count("BroadcastNestedLoopJoin") >= 1, plan_summary(df)
     assert exchange_count(df) <= 3, plan_summary(df)
     assert not has_cartesian(df)
+
+
+def test_allpairs_and_trending_plan_budgets(spark):
+    """- allpairs_jaccard_dups: post-checkpoint plan stays within 4
+      exchanges (df count, ordering collect, candidate join + distinct);
+      no cartesian — candidates come from the prefix equi-join only.
+    - trending_types_per_window: the rank window reuses the counts
+      aggregate's window_start partitioning — 2 exchanges total."""
+    ap = _df(spark, "allpairs_jaccard_dups")
+    assert exchange_count(ap) <= 4, plan_summary(ap)
+    assert not has_cartesian(ap)
+
+    tr = _df(spark, "trending_types_per_window")
+    assert exchange_count(tr) <= 2, plan_summary(tr)
