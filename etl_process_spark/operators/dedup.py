@@ -548,7 +548,12 @@ def allpairs_jaccard(
     # `distinct` over the exploded rows costs more than every other
     # stage here; within-doc dedup needs no exchange at all. The result
     # feeds BOTH the df count and the ordering join, so materialize it
-    # once.
+    # once. Verification carries DICTIONARY-ENCODED sets (xxhash64 per
+    # shingle, see _allpairs_verify): the candidate-attach joins move
+    # 8-byte ints instead of ~30-byte shingle strings (measured 2x the
+    # whole operator when verifying on raw strings); a production
+    # deployment substitutes a rank dictionary from the df sort
+    # (collision odds here: ~|union|²/2⁶⁴ per pair, vanishing).
     toks = ensure_parallelism(df).select(
         F.col(id_col).alias("doc"),
         F.array_distinct(shingles(F.col(text_col))).alias("sharr"),
@@ -557,19 +562,8 @@ def allpairs_jaccard(
         "doc", F.explode("sharr").alias("sh")
     ).localCheckpoint(eager=False)
     dfq = sh.groupBy("sh").agg(F.count("*").alias("dfc"))
-    ordered = (
-        sh.join(dfq, "sh")
-        .groupBy("doc")
-        .agg(F.array_sort(F.collect_list(F.struct("dfc", "sh"))).alias("a"))
-        .select("doc", F.expr("transform(a, x -> x.sh)").alias("t"))
-        .localCheckpoint(eager=False)
-    )
-    plen = F.expr(
-        f"size(t) - CAST(({num} * size(t) + {den - 1}) DIV {den} AS INT) + 1"
-    )
-    pref = ordered.select(
-        "doc", F.explode(F.slice("t", F.lit(1), plen)).alias("sh")
-    )
+    ordered = _allpairs_ordered(sh, dfq)
+    pref = _allpairs_prefix(ordered, num, den)
     cand = (
         pref.alias("a")
         .join(pref.alias("b"), "sh")
@@ -577,21 +571,78 @@ def allpairs_jaccard(
         .select(F.col("a.doc").alias("da"), F.col("b.doc").alias("db"))
         .distinct()
     )
-    # verify carries DICTIONARY-ENCODED sets: xxhash64 per shingle, so
-    # the candidate-attach joins move 8-byte ints instead of ~30-byte
-    # shingle strings (4x less shuffle/copy volume — measured 2x the
-    # whole operator when verifying on raw strings). A production
-    # deployment substitutes a rank dictionary from the df sort for the
-    # hash (collision odds here: ~|union|²/2⁶⁴ per pair, vanishing).
     enc = ordered.select(
         "doc", F.expr("transform(t, s -> xxhash64(s))").alias("h")
     )
+    return _allpairs_verify(cand, enc, enc, num, den)
+
+
+def allpairs_index(
+    df: DataFrame, text_col: str, id_col: str, num: int = 3, den: int = 5
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The stored AllPairs index: ``(order, prefixes, sets)`` — what a
+    pipeline persists so new batches probe prefixes instead of
+    re-joining the corpus.
+
+    * ``order``: the frozen (shingle → df) table defining the global
+      prefix order at index-build time;
+    * ``prefixes``: (doc, sh) prefix rows of the corpus under it;
+    * ``sets``: (doc, h) dictionary-encoded shingle sets for exact
+      verification.
+    """
+    toks = ensure_parallelism(df).select(
+        F.col(id_col).alias("doc"),
+        F.array_distinct(shingles(F.col(text_col))).alias("sharr"),
+    )
+    sh = toks.select(
+        "doc", F.explode("sharr").alias("sh")
+    ).localCheckpoint(eager=False)
+    dfq = sh.groupBy("sh").agg(F.count("*").alias("dfc"))
+    ordered = _allpairs_ordered(sh, dfq)
+    pref = _allpairs_prefix(ordered, num, den)
+    enc = ordered.select(
+        "doc", F.expr("transform(t, s -> xxhash64(s))").alias("h")
+    )
+    return dfq, pref, enc
+
+
+def _allpairs_ordered(sh: DataFrame, dfq: DataFrame) -> DataFrame:
+    """Per-doc shingle arrays sorted by the (df, shingle) order; shingles
+    absent from ``dfq`` (unseen at index time) rank as df 0 — rarest
+    first, which is exactly where brand-new content belongs."""
+    return (
+        sh.join(dfq, "sh", "left")
+        .select(
+            "doc",
+            F.struct(
+                F.coalesce("dfc", F.lit(0)).alias("dfc"), F.col("sh")
+            ).alias("s"),
+        )
+        .groupBy("doc")
+        .agg(F.array_sort(F.collect_list("s")).alias("a"))
+        .select("doc", F.expr("transform(a, x -> x.sh)").alias("t"))
+        .localCheckpoint(eager=False)
+    )
+
+
+def _allpairs_prefix(ordered: DataFrame, num: int, den: int) -> DataFrame:
+    plen = F.expr(
+        f"size(t) - CAST(({num} * size(t) + {den - 1}) DIV {den} AS INT) + 1"
+    )
+    return ordered.select(
+        "doc", F.explode(F.slice("t", F.lit(1), plen)).alias("sh")
+    )
+
+
+def _allpairs_verify(
+    cand: DataFrame, enc_a: DataFrame, enc_b: DataFrame, num: int, den: int
+) -> DataFrame:
     inter = F.size(F.array_intersect("ha", "hb"))
-    verified = (
-        cand.join(enc.select(F.col("doc").alias("da"),
-                             F.col("h").alias("ha")), "da")
-        .join(enc.select(F.col("doc").alias("db"),
-                         F.col("h").alias("hb")), "db")
+    return (
+        cand.join(enc_a.select(F.col("doc").alias("da"),
+                               F.col("h").alias("ha")), "da")
+        .join(enc_b.select(F.col("doc").alias("db"),
+                           F.col("h").alias("hb")), "db")
         .select(
             F.col("da").alias("doc_a"),
             F.col("db").alias("doc_b"),
@@ -599,8 +650,61 @@ def allpairs_jaccard(
             (F.size("ha") + F.size("hb") - inter).alias("u"),
         )
         .where(F.lit(den) * F.col("i") >= F.lit(num) * F.col("u"))
+        .select(
+            "doc_a", "doc_b",
+            F.round(F.col("i").cast("double") / F.col("u"), 6).alias("jaccard"),
+        )
     )
-    return verified.select(
-        "doc_a", "doc_b",
-        F.round(F.col("i").cast("double") / F.col("u"), 6).alias("jaccard"),
+
+
+def allpairs_probe(
+    index: tuple[DataFrame, DataFrame, DataFrame],
+    batch: DataFrame,
+    text_col: str,
+    id_col: str,
+    num: int = 3,
+    den: int = 5,
+) -> DataFrame:
+    """All Jaccard >= num/den pairs TOUCHING a new batch — (new, old)
+    via the batch's prefixes against the stored index prefixes, plus
+    (new, new) within the batch — without re-joining the corpus.
+
+    Soundness under the FROZEN order: prefix-filtering completeness
+    needs only that both sides prefix under the SAME total order — df
+    accuracy is a bucket-size heuristic, not a correctness input — so
+    the index-time (df, shingle) order stays valid as the corpus grows
+    (unseen shingles order as df 0). And because verification is exact,
+    the probe's VERIFIED pairs equal the full-recompute pairs touching
+    the batch even though the two runs' candidate sets differ under
+    their different orders (differential-tested).
+    """
+    dfq, idx_pref, idx_enc = index
+    toks = ensure_parallelism(batch).select(
+        F.col(id_col).alias("doc"),
+        F.array_distinct(shingles(F.col(text_col))).alias("sharr"),
     )
+    sh = toks.select(
+        "doc", F.explode("sharr").alias("sh")
+    ).localCheckpoint(eager=False)
+    ordered = _allpairs_ordered(sh, dfq)
+    pref = _allpairs_prefix(ordered, num, den).localCheckpoint(eager=False)
+    enc = ordered.select(
+        "doc", F.expr("transform(t, s -> xxhash64(s))").alias("h")
+    )
+    cross = (
+        pref.alias("n")
+        .join(idx_pref.alias("o"),
+              (F.col("n.sh") == F.col("o.sh"))
+              & (F.col("n.doc") != F.col("o.doc")))
+        .select(F.least(F.col("n.doc"), F.col("o.doc")).alias("da"),
+                F.greatest(F.col("n.doc"), F.col("o.doc")).alias("db"))
+    )
+    within = (
+        pref.alias("a")
+        .join(pref.alias("b"), "sh")
+        .where(F.col("a.doc") < F.col("b.doc"))
+        .select(F.col("a.doc").alias("da"), F.col("b.doc").alias("db"))
+    )
+    cand = cross.unionByName(within).distinct()
+    both_enc = idx_enc.unionByName(enc).distinct()
+    return _allpairs_verify(cand, both_enc, both_enc, num, den)

@@ -127,3 +127,38 @@ def test_allpairs_jaccard_complete_vs_naive(spark):
     assert got == expected
     assert (1, 2, 1.0) in got and (5, 6, 1.0) in got  # exact dups found
     assert any(a == 1 and b == 3 for a, b, _ in got)  # near-dup found
+
+
+def test_allpairs_probe_equals_full_pairs_touching_batch(spark, docs):
+    """The AllPairs probe under the FROZEN index-time order must yield
+    EXACTLY the full-recompute verified pairs touching the batch: the
+    two runs' candidate sets differ (different df orders), but prefix
+    completeness holds under ANY shared total order and verification is
+    exact, so the verified pairs coincide."""
+    from etl_process_spark.operators.dedup import (
+        allpairs_index,
+        allpairs_jaccard,
+        allpairs_probe,
+    )
+
+    split = 250
+    corpus = docs.filter(F.col("doc_id") < split)
+    batch = docs.filter(F.col("doc_id") >= split)
+    batch_ids = {r["doc_id"] for r in batch.select("doc_id").collect()}
+
+    full = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in allpairs_jaccard(docs, "text", "doc_id").collect()
+    }
+    expected = {
+        p for p in full if p[0] in batch_ids or p[1] in batch_ids
+    }
+
+    idx = allpairs_index(corpus, "text", "doc_id")
+    got = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in allpairs_probe(idx, batch, "text", "doc_id").collect()
+    }
+    assert got == expected
+    # planted clones guarantee cross pairs — not vacuous
+    assert any(a < split <= b for a, b, _ in got)
