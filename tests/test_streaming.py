@@ -629,3 +629,70 @@ def test_trending_stream_matches_batch_topk(spark, event_inbox, tmp_path):
     cols = ["window_start", "window_end", "event_type", "n_events", "rnk"]
     assert _canon(got, cols) == _canon(expected, cols)
     assert got.count() > 0
+
+
+def test_streaming_neardup_matches_full_lsh(spark, tmp_path):
+    """Streaming near-dup detection (probe the stored LSH index per
+    micro-batch, extend it, append pairs) must surface EXACTLY the
+    full-corpus lsh_candidate_pairs — bucket collision is pairwise, so
+    batch-at-a-time probing loses nothing; the stream is just the batch
+    incremental theorem applied per trigger."""
+    import os
+    import time as _time
+
+    from pyspark.sql import types as T
+
+    from etl_process_spark.operators.dedup import lsh_candidate_pairs
+    from etl_process_spark.sources.tables import TableCatalog
+    from etl_process_spark.streaming.dedup_stream import (
+        PAIRS_TABLE,
+        run_neardup_stream,
+    )
+    from etl_process_spark.streaming.sources import read_event_stream
+
+    docs = tbl(spark, SF_DIR, "documents").select("doc_id", "text")
+    # plant cross-chunk clones so the probe path is exercised
+    clones = docs.filter(F.col("doc_id") < 4).select(
+        (F.col("doc_id") + 10_000).alias("doc_id"), "text"
+    )
+    all_docs = docs.unionByName(clones).cache()
+
+    inbox = tmp_path / "doc_inbox"
+    inbox.mkdir()
+    now = _time.time()
+    chunks = [
+        all_docs.filter(F.col("doc_id") % 3 == i).coalesce(1) for i in range(3)
+    ]
+    for i, ch in enumerate(chunks):
+        d = tmp_path / f"doc_chunk_{i}"
+        ch.write.parquet(str(d))
+        src = next(d.glob("part-*.parquet"))
+        dst = inbox / f"docs_{i}.parquet"
+        src.rename(dst)
+        os.utime(dst, (now + 10 * i,) * 2)
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    stream = read_event_stream(
+        spark, str(inbox), max_files_per_trigger=1, schema=schema
+    )
+    cat = TableCatalog(spark, str(tmp_path / "neardup_cat"))
+    q = run_neardup_stream(
+        stream, cat, "text", "doc_id", str(tmp_path / "neardup_ckpt")
+    )
+    q.awaitTermination(300)
+
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in cat.read(PAIRS_TABLE).collect()
+    }
+    expected = {
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_candidate_pairs(all_docs, "text", "doc_id").collect()
+    }
+    assert got == expected
+    assert any(b >= 10_000 for _, b in got)  # cross-chunk clones found
