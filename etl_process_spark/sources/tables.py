@@ -146,7 +146,12 @@ class TableCatalog:
             ),
         )
 
-    def compact(self, name: str, target_file_bytes: int = 128 * 1024 * 1024) -> int:
+    def compact(
+        self,
+        name: str,
+        target_file_bytes: int = 128 * 1024 * 1024,
+        cluster_by: list[str] | None = None,
+    ) -> int:
         """Rewrite a table into ~target-sized files; returns the new file
         count.
 
@@ -157,6 +162,13 @@ class TableCatalog:
         compression size), not row counts; the rewrite reuses the
         versioned-pointer swap, so readers see either the old or the new
         layout, never a mix.
+
+        ``cluster_by`` re-CLUSTERS while compacting (the OPTIMIZE ...
+        ZORDER BY maintenance verb): files get disjoint sort-key ranges
+        + in-file order, so the rewrite that was already being paid for
+        file-count hygiene also restores stats-based data skipping that
+        appends erode — pass a Z-order key (operators/zorder.py) to
+        cluster on two dimensions at once.
         """
         d = self._current_dir(name)
         if d is None:
@@ -168,7 +180,21 @@ class TableCatalog:
             if f.endswith(".parquet")
         )
         n_files = max(1, -(-total // int(target_file_bytes)))
-        self.overwrite(name, self.read(name).repartition(n_files))
+        cur = self.read(name)
+        if cluster_by:
+            self.overwrite(
+                name,
+                cur.repartitionByRange(n_files, *cluster_by)
+                .sortWithinPartitions(*cluster_by),
+            )
+            new_dir = self._current_dir(name)
+            return sum(
+                1
+                for dirpath, _, files in os.walk(new_dir)
+                for f in files
+                if f.endswith(".parquet")
+            )
+        self.overwrite(name, cur.repartition(n_files))
         new_dir = self._current_dir(name)
         return sum(
             1

@@ -498,3 +498,45 @@ def test_jdbc_incremental_options_pushdown_and_partitioning():
         jdbc_incremental_options(
             "jdbc:x", "t", "2024-01-01", partition_col="id"
         )
+
+
+def test_compaction_with_clustering_restores_skipping(spark, tmp_path):
+    """compact(cluster_by=...) is OPTIMIZE...ZORDER-style maintenance:
+    the same rewrite that fixes file-count hygiene re-sorts the data, so
+    per-file value ranges come out disjoint and stats-based skipping —
+    which random appends had destroyed — works again."""
+    import glob as g
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from etl_process_spark.sources.tables import TableCatalog
+
+    cat = TableCatalog(spark, str(tmp_path / "wh"))
+    # append value-interleaved batches: every file spans the whole id
+    # range, so min/max stats prune nothing
+    for batch in range(5):
+        cat.append(
+            "ev",
+            spark.range(0, 500).filter(F.col("id") % 5 == batch).repartition(4),
+        )
+    n_after = cat.compact("ev", target_file_bytes=2 * 1024, cluster_by=["id"])
+    assert n_after >= 2  # multiple files, so disjointness is non-vacuous
+
+    files = sorted(g.glob(str(cat._current_dir("ev")) + "/*.parquet"))
+    ranges = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        if md.num_rows == 0:
+            continue
+        idx = md.schema.names.index("id")
+        mins = [md.row_group(i).column(idx).statistics.min
+                for i in range(md.num_row_groups)]
+        maxs = [md.row_group(i).column(idx).statistics.max
+                for i in range(md.num_row_groups)]
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
+        assert hi <= lo, "clustered compaction must yield disjoint ranges"
+    # data intact
+    assert sorted(r["id"] for r in cat.read("ev").collect()) == list(range(500))
