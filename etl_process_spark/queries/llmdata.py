@@ -2393,3 +2393,89 @@ def allpairs_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.allpairs_jaccard(docs, "text", "doc_id").select(
         "doc_a", "doc_b", "jaccard"
     )
+
+
+@query(
+    "contrastive_negatives",
+    """
+    WITH b AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                  AS BIGINT) % 64 AS bucket
+      FROM documents),
+    anchors AS (
+      SELECT doc_id AS anchor_id, s.j,
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                                          || CAST(s.j AS VARCHAR)), 1, 4))
+                  AS BIGINT) % 64 AS probe
+      FROM documents, unnest([1, 2, 3, 4]) AS s(j)
+      WHERE doc_id % 25 = 0),
+    ranked AS (
+      SELECT a.anchor_id, a.j, b.doc_id AS neg_id,
+             row_number() OVER (
+               PARTITION BY a.anchor_id, a.j
+               ORDER BY md5(CAST(a.anchor_id AS VARCHAR) || ':'
+                            || CAST(a.j AS VARCHAR) || ':'
+                            || CAST(b.doc_id AS VARCHAR)), b.doc_id) AS rn
+      FROM anchors a JOIN b ON b.bucket = a.probe
+      WHERE b.doc_id <> a.anchor_id)
+    SELECT anchor_id, CAST(j AS INT) AS slot, neg_id
+    FROM ranked WHERE rn = 1
+    """,
+)
+def contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: each
+    anchor (every 25th doc) draws 4 pseudo-random negatives — the
+    in-batch-negatives alternative when pairs must be reproducible
+    across reruns, engines, and corpus appends (``df.sample`` is none
+    of those; same argument as ``operators/sampling.py``).
+
+    The scale mechanism is RANDOM ACCESS VIA HASH BUCKETS: every doc
+    sits in one of 64 md5 buckets, each (anchor, slot) probes ONE
+    pseudo-random bucket, and an md5-keyed argmin picks one member —
+    so the join touches |anchors|·slots·(corpus/64) rows, never
+    anchors x corpus (the bucket count grows with the corpus to keep
+    per-probe work constant; the bucketed-table layout makes a probe a
+    single bucket read). Production composes an anti-join against the
+    near-dup pair set so paraphrases of the anchor can't be drawn as
+    negatives. All integer/md5 arithmetic — both engines replay the
+    draw bit-for-bit.
+    """
+    docs = tbl(spark, sf_dir, "documents")
+    gate16 = lambda c: F.conv(F.substring(F.md5(c), 1, 4), 16, 10).cast("long")  # noqa: E731
+    b = docs.select(
+        "doc_id", (gate16(F.col("doc_id").cast("string")) % 64).alias("bucket")
+    )
+    anchors = (
+        docs.where(F.col("doc_id") % 25 == 0)
+        .select(F.col("doc_id").alias("anchor_id"))
+        .select(
+            "anchor_id", F.explode(F.array(*[F.lit(j) for j in (1, 2, 3, 4)])).alias("j")
+        )
+        .select(
+            "anchor_id", "j",
+            (
+                gate16(
+                    F.concat_ws(":", F.col("anchor_id").cast("string"),
+                                F.col("j").cast("string"))
+                ) % 64
+            ).alias("probe"),
+        )
+    )
+    draw = F.md5(
+        F.concat_ws(
+            ":",
+            F.col("anchor_id").cast("string"),
+            F.col("j").cast("string"),
+            F.col("doc_id").cast("string"),
+        )
+    )
+    ranked = (
+        anchors.join(b, b.bucket == anchors.probe)
+        .where(F.col("doc_id") != F.col("anchor_id"))
+        .groupBy("anchor_id", "j")
+        .agg(F.min(F.struct(draw.alias("d"), F.col("doc_id").alias("neg_id"))).alias("m"))
+    )
+    return ranked.select(
+        "anchor_id", F.col("j").cast("int").alias("slot"), F.col("m.neg_id").alias("neg_id")
+    )

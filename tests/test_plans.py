@@ -637,3 +637,14 @@ def test_allpairs_and_trending_plan_budgets(spark):
 
     tr = _df(spark, "trending_types_per_window")
     assert exchange_count(tr) <= 2, plan_summary(tr)
+
+
+def test_contrastive_negatives_plan_budget(spark):
+    """Negative sampling must be the bucket-probe shape: the anchor side
+    broadcasts onto the bucketed corpus (equi-join on bucket — never
+    anchors x corpus), and the only exchanges are the (anchor, slot)
+    argmin aggregate + input spread."""
+    df = _df(spark, "contrastive_negatives")
+    assert exchange_count(df) <= 2, plan_summary(df)
+    assert broadcast_join_count(df) >= 1, plan_summary(df)
+    assert not has_cartesian(df)
