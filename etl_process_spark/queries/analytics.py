@@ -2013,3 +2013,53 @@ def price_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("p").alias("hi"),
         )
     )
+
+
+@query(
+    "orders_checksum_batched",
+    """
+    SELECT count(*) AS n_rows,
+           bit_xor(CAST(concat('0x', substr(md5(concat_ws('|',
+                     coalesce(CAST(o_orderkey AS VARCHAR), '\\N'),
+                     coalesce(CAST(o_custkey AS VARCHAR), '\\N'),
+                     coalesce(o_orderstatus, '\\N'),
+                     coalesce(CAST(CAST(o_totalprice AS DECIMAL(12,2))
+                                   AS VARCHAR), '\\N'),
+                     coalesce(CAST(CAST(o_orderdate AS DATE) AS VARCHAR), '\\N'),
+                     coalesce(o_orderpriority, '\\N'))), 1, 15)) AS BIGINT))
+             AS xor_sig,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2))
+             AS total_price
+    FROM orders
+    """,
+)
+def orders_checksum_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental-reconciliation theorem as a driver-checkable
+    query: checksum the orders table in three hash-disjoint batches
+    (``o_orderkey % 3``), FOLD the three 1-row fingerprints with
+    `operators/merge.py::combine_checksums` — and the oracle computes
+    the whole-table checksum directly. Hash equality IS the proof that
+    batchwise folding (counts/totals add, signatures XOR) reproduces
+    the full recompute bit-for-bit across engines — the property that
+    lets a 100 TB ingest maintain a verifiable signature at O(batch)
+    cost per day, never re-reading history.
+    """
+    from etl_process_spark.operators.merge import combine_checksums, table_checksum
+
+    od = tbl(spark, sf_dir, "orders").withColumn(
+        "o_orderday", F.col("o_orderdate").cast("date")
+    )
+    cols = [
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderday", "o_orderpriority",
+    ]
+    parts = None
+    for i in range(3):
+        ck = table_checksum(
+            od.where(F.col("o_orderkey") % 3 == i),
+            cols=cols, decimal_cols=["o_totalprice"],
+        )
+        parts = ck if parts is None else parts.unionByName(ck)
+    return combine_checksums(parts).withColumnRenamed(
+        "sum_o_totalprice", "total_price"
+    )

@@ -814,3 +814,51 @@ def props_map_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id", F.explode(m).alias("prop_key", "prop_value")
     ).withColumn("prop_value", F.col("prop_value").cast("int"))
+
+
+@query(
+    "scd2_asof_snapshot",
+    f"""
+    WITH changes AS (
+      SELECT user_id, event_type AS state, ts, event_id
+      FROM (
+        SELECT user_id, event_type, ts, event_id,
+               lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        FROM events
+      )
+      WHERE prev IS NULL OR event_type <> prev
+    ),
+    versions AS (
+      SELECT user_id, state, ts AS effective_from,
+             coalesce(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                        - INTERVAL 1 SECOND,
+                      TIMESTAMP '{INF_TS}') AS effective_to
+      FROM changes)
+    SELECT user_id, state, effective_from, effective_to
+    FROM versions
+    WHERE effective_from <= TIMESTAMP '2024-01-15 00:00:00'
+      AND TIMESTAMP '2024-01-15 00:00:00' <= effective_to
+    """,
+)
+def scd2_asof_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension reconstruction as a driver-checkable
+    query: derive the SCD2 version timeline from events (the
+    ``scd2_versions_from_events`` semantics — P4/P5/F8,
+    cards.py:106-141) and filter it to the instant 2024-01-15 00:00:00
+    with `operators/scd2.py::scd2_asof` — one row per user whose
+    version interval covers the instant, inclusive on BOTH bounds per
+    the reference's ``-1 second`` close idiom.
+
+    The as-of is a pure pushed filter (no shuffle beyond the timeline's
+    own window); on a dimension stored range-partitioned by
+    effective_from, it also prunes files — "rerun yesterday's report
+    against yesterday's dimensions" at scan cost.
+    """
+    from etl_process_spark.operators.scd2 import scd2_asof
+
+    versions = scd2_versions_from_events(spark, sf_dir).withColumn(
+        "deleted_flg", F.lit("N")
+    )
+    return scd2_asof(versions, "2024-01-15 00:00:00").select(
+        "user_id", "state", "effective_from", "effective_to"
+    )
