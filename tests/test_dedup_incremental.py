@@ -162,3 +162,34 @@ def test_allpairs_probe_equals_full_pairs_touching_batch(spark, docs):
     assert got == expected
     # planted clones guarantee cross pairs — not vacuous
     assert any(a < split <= b for a, b, _ in got)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_allpairs_jaccard_random_corpora(spark, seed):
+    """Randomized completeness+exactness: word-soup corpora from a tiny
+    vocabulary (adversarially collision-heavy for prefix filtering —
+    every shingle is common) must still match the naive all-pairs
+    answer exactly."""
+    import random
+
+    from etl_process_spark.operators.dedup import allpairs_jaccard
+
+    rng = random.Random(seed)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    texts = {}
+    for i in range(24):
+        n = rng.randint(3, 12)
+        texts[i] = " ".join(rng.choice(vocab) for _ in range(n))
+    # planted exact duplicate + one-token edit
+    texts[100] = texts[0]
+    texts[101] = texts[1].replace(texts[1].split()[0], "omega", 1)
+
+    df = spark.createDataFrame(
+        [(k, v) for k, v in texts.items()], "doc_id long, text string"
+    )
+    got = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in allpairs_jaccard(df, "text", "doc_id").collect()
+    }
+    assert got == _naive_jaccard_pairs(texts)
+    assert any((a, b) == (0, 100) for a, b, _ in got)
