@@ -174,3 +174,27 @@ def test_kmeans_lloyd_recovers_separated_clusters(spark):
         cx, cy = centers[b]
         gx, gy = cent_rows[next(iter(label_set))]
         assert abs(gx - cx) < 0.5 and abs(gy - cy) < 0.5
+
+
+def test_hyperplane_code_matches_banded_first_band(spark):
+    """The single-band convenience must produce exactly the banded
+    pipeline's band-0 code (same signs, same MSB-first fold)."""
+    from pyspark.sql import functions as F
+
+    from etl_process_spark.operators.dedup import (
+        hyperplane_code,
+        hyperplane_projections,
+        hyperplane_signs,
+        _code_from_flags,
+    )
+
+    dim, nbits = 8, 4
+    vec = F.array(*[F.lit(float(x)) for x in [0.3, -1.2, 0.05, 2.0, -0.7, 0.0, 1.1, -0.01]])
+    signs = hyperplane_signs(0, nbits, dim)
+    single = hyperplane_code(vec, signs)
+    projs = hyperplane_projections(vec, signs)
+    flags = F.transform(projs, lambda p: F.when(p >= 0, F.lit(1)).otherwise(F.lit(0)))
+    banded = _code_from_flags(flags, 0, nbits)
+    row = spark.range(1).select(single.alias("a"), banded.alias("b")).first()
+    assert row["a"] == row["b"]
+    assert 0 <= row["a"] < 2 ** nbits
