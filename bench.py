@@ -100,7 +100,7 @@ def main() -> None:
             prev = {}
         suspects = [
             n for n, t in timings.items()
-            if n in prev and t > 0.3 and t > 2 * prev[n]
+            if n in prev and t > 0.3 and t > 1.5 * prev[n]
         ]
         for name in suspects:
             runs = [timings[name]]
