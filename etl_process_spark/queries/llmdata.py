@@ -231,9 +231,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Embedding similarity search
 # ---------------------------------------------------------------------------
 
-@query(
-    "embedding_topk_cosine",
-    """
+_COS_TOPK_SQL = """
     WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
     SELECT vec_id,
            round(
@@ -246,8 +244,10 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM embeddings, q
     ORDER BY cos_sim DESC, vec_id
     LIMIT 10
-    """,
-)
+    """
+
+
+@query("embedding_topk_cosine", _COS_TOPK_SQL)
 def embedding_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 against vec_id=0 (the ANN baseline).
 
@@ -1390,9 +1390,7 @@ def length_bucketed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BM25_TERMS = ("spark", "join", "window")
 
 
-@query(
-    "bm25_search_topk",
-    f"""
+_BM25_TOPK_SQL = f"""
     WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
     d AS (SELECT doc_id, len(toks) AS dl, toks FROM t),
     stats AS (SELECT count(*) AS n, avg(len(toks)) AS avgdl FROM t),
@@ -1410,8 +1408,10 @@ _BM25_TERMS = ("spark", "join", "window")
            GROUP BY 1)
     SELECT doc_id, round(score, 6) AS bm25
     FROM sc ORDER BY bm25 DESC, doc_id LIMIT 20
-    """,
-)
+    """
+
+
+@query("bm25_search_topk", _BM25_TOPK_SQL)
 def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 ranked retrieval (k1=1.2, b=0.75) for the query
     ['spark', 'join', 'window'], top-20 docs.
@@ -2479,3 +2479,193 @@ def contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.select(
         "anchor_id", F.col("j").cast("int").alias("slot"), F.col("m.neg_id").alias("neg_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-2 additions: duplicate-gram char mass, Bloom membership, hybrid search
+# ---------------------------------------------------------------------------
+
+@query(
+    "dup_ngram_char_fraction",
+    f"""
+    WITH words AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+    grams AS (
+      SELECT doc_id, w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS g
+      FROM words, unnest(range(0, len(w)-2)) AS t(i)
+      WHERE len(w) >= 3),
+    counts AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY doc_id, g),
+    agg AS (SELECT doc_id,
+                   sum(c * strlen(g)) AS total_chars,
+                   sum(CASE WHEN c > 1 THEN c * strlen(g) ELSE 0 END) AS dup_chars
+            FROM counts GROUP BY doc_id)
+    SELECT doc_id,
+           CAST(total_chars AS BIGINT) AS total_gram_chars,
+           CAST(dup_chars AS BIGINT) AS dup_gram_chars,
+           round(CAST(dup_chars AS DOUBLE) / total_chars, 6) AS dup_char_frac
+    FROM agg
+    """,
+)
+def dup_ngram_char_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter: the share of a document's 3-gram
+    CHARACTER MASS carried by 3-grams that occur more than once within
+    the document (Rae et al. 2021 drop docs where duplicated n-grams own
+    too many characters; ``doc_repetition_ratio`` is the companion
+    top-1-gram metric, this is the all-duplicates one).
+
+    Same shuffle shape as ``doc_repetition_ratio``: exploded grams
+    collapse into map-side-combined (doc_id, gram) counts, then one
+    doc-keyed regroup weighs each gram by ``count * strlen``. Integer
+    sums divided once at the end, rounded to 6 decimals in both engines.
+    """
+    docs = tbl(spark, sf_dir, "documents")
+    words = docs.select("doc_id", tx.tokens(F.col("text")).alias("w")).filter(
+        F.size("w") >= 3
+    )
+    grams = words.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(w)-3), i -> concat_ws(' ', slice(w, i+1, 3)))"
+            )
+        ).alias("g"),
+    )
+    counts = grams.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+    agg = counts.groupBy("doc_id").agg(
+        F.sum(F.col("c") * F.length("g")).alias("total_chars"),
+        F.sum(
+            F.when(F.col("c") > 1, F.col("c") * F.length("g")).otherwise(F.lit(0))
+        ).alias("dup_chars"),
+    )
+    return agg.select(
+        "doc_id",
+        F.col("total_chars").cast("long").alias("total_gram_chars"),
+        F.col("dup_chars").cast("long").alias("dup_gram_chars"),
+        F.round(
+            F.col("dup_chars").cast("double") / F.col("total_chars"), 6
+        ).alias("dup_char_frac"),
+    )
+
+
+_BLOOM_M = 1024  # bits; sized so the sf0.01 index half fills ~40% of them
+
+
+@query(
+    "bloom_dedup_probe",
+    f"""
+    WITH fp AS (SELECT doc_id, md5(array_to_string({_TOKS}, ' ')) AS fp
+                FROM documents),
+    pos AS (SELECT doc_id, fp,
+                   CAST(concat('0x', substr(fp, 1, 8)) AS BIGINT) % {_BLOOM_M} AS p1,
+                   CAST(concat('0x', substr(fp, 9, 8)) AS BIGINT) % {_BLOOM_M} AS p2
+            FROM fp),
+    idx AS (SELECT * FROM pos WHERE doc_id % 2 = 0),
+    bits AS (SELECT p1 AS p FROM idx UNION SELECT p2 FROM idx),
+    batch AS (SELECT * FROM pos WHERE doc_id % 2 = 1)
+    SELECT b.doc_id,
+           (b.p1 IN (SELECT p FROM bits))
+             AND (b.p2 IN (SELECT p FROM bits)) AS bloom_hit,
+           b.fp IN (SELECT fp FROM idx) AS exact_dup
+    FROM batch b
+    """,
+)
+def bloom_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership probe for incremental dedup: even doc_ids
+    are the already-ingested corpus (the index), odd doc_ids the incoming
+    batch. Each fingerprint sets k=2 bit positions (two md5 word slices
+    mod m=1024); a batch doc is a ``bloom_hit`` iff BOTH its positions
+    are set by the index. ``exact_dup`` is ground truth, so
+    ``bloom_hit AND NOT exact_dup`` rows exhibit the false-positive rate
+    the m/k sizing buys (~(fill_ratio)^k; no false negatives by
+    construction — the property the probe's user relies on).
+
+    Scale shape: the bit set is at most m DISTINCT rows however large
+    the index (here a broadcast join; on a 1000-executor cluster the
+    m-bit bitmap travels to every task like a real Bloom filter, while
+    the index itself is never re-read per batch). The batch side is one
+    map stage plus two broadcast lookups — no shuffle keyed on the
+    corpus, which is what makes probe-before-ingest viable at 100 TB:
+    only bloom_hit survivors proceed to the exact fingerprint anti-join
+    (``exact_dedup_incremental``).
+    """
+    docs = tbl(spark, sf_dir, "documents")
+    d = docs.select("doc_id", tx.fingerprint(F.col("text")).alias("fp"))
+    slot = lambda a, b: (  # noqa: E731
+        F.conv(F.substring("fp", a, b), 16, 10).cast("long") % _BLOOM_M
+    )
+    pos = d.select("doc_id", "fp", slot(1, 8).alias("p1"), slot(9, 8).alias("p2"))
+    idx = pos.where(F.col("doc_id") % 2 == 0)
+    batch = pos.where(F.col("doc_id") % 2 == 1)
+    bits = idx.select(F.col("p1").alias("p")).union(
+        idx.select(F.col("p2").alias("p"))
+    ).distinct()
+    b1 = bits.select(F.col("p").alias("p1"), F.lit(1).alias("hit1"))
+    b2 = bits.select(F.col("p").alias("p2"), F.lit(1).alias("hit2"))
+    fps = idx.select("fp").distinct().withColumn("seen", F.lit(1))
+    return (
+        batch.join(F.broadcast(b1), "p1", "left")
+        .join(F.broadcast(b2), "p2", "left")
+        .join(F.broadcast(fps), "fp", "left")
+        .select(
+            "doc_id",
+            (F.col("hit1").isNotNull() & F.col("hit2").isNotNull()).alias("bloom_hit"),
+            F.col("seen").isNotNull().alias("exact_dup"),
+        )
+    )
+
+
+@query(
+    "hybrid_search_rrf",
+    f"""
+    WITH bm AS ({_BM25_TOPK_SQL}),
+    co AS ({_COS_TOPK_SQL}),
+    rb AS (SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r
+           FROM bm),
+    rc AS (SELECT vec_id AS doc_id,
+                  row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS r
+           FROM co)
+    SELECT coalesce(rb.doc_id, rc.doc_id) AS doc_id,
+           round(coalesce(1.0 / (60 + rb.r), 0)
+                 + coalesce(1.0 / (60 + rc.r), 0), 6) AS rrf
+    FROM rb FULL OUTER JOIN rc ON rb.doc_id = rc.doc_id
+    ORDER BY rrf DESC, doc_id
+    LIMIT 10
+    """,
+)
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via Reciprocal Rank Fusion (Cormack et al. 2009):
+    fuse the BM25 keyword top-20 (``bm25_search_topk`` contract) with the
+    embedding cosine top-10 (``embedding_topk_cosine`` contract, vec_id
+    aligned with doc_id) as sum(1 / (60 + rank)), and return the fused
+    top-10 — the standard two-tower + lexical search blend.
+
+    Both input rankings arrive as k-row results (each produced by its own
+    scan + TakeOrdered, never a global sort), so the fusion itself — two
+    k-row window ranks and a full-outer join on doc_id — is driver-trivial
+    at ANY corpus size: cost lives entirely in the upstream retrievers.
+    Rank order is reproducible because both engines rank the same rounded
+    scores with id tie-breaks; the RRF sum of two exact rationals is
+    rounded to 6 decimals on both sides.
+    """
+    bm = bm25_search_topk(spark, sf_dir)
+    co = embedding_topk_cosine(spark, sf_dir)
+    rb = bm.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("bm25").desc(), "doc_id"))
+        .alias("r_bm"),
+    )
+    rc = co.select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number()
+        .over(Window.orderBy(F.col("cos_sim").desc(), "vec_id"))
+        .alias("r_cos"),
+    )
+    fused = rb.join(rc, "doc_id", "full_outer").select(
+        "doc_id",
+        F.round(
+            F.coalesce(1.0 / (60 + F.col("r_bm")), F.lit(0.0))
+            + F.coalesce(1.0 / (60 + F.col("r_cos")), F.lit(0.0)),
+            6,
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(10)
