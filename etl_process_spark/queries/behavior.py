@@ -371,3 +371,52 @@ def daily_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("avg_value") / F.lag("avg_value").over(w) - 1, 6)
         .alias("value_drift"),
     )
+
+
+@query(
+    "event_transition_probs",
+    """
+    WITH nxt AS (
+      SELECT event_type AS from_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS to_type
+      FROM events),
+    pairs AS (SELECT from_type, to_type, count(*) AS n
+              FROM nxt WHERE to_type IS NOT NULL GROUP BY 1, 2)
+    SELECT from_type, to_type, n,
+           round(CAST(n AS DOUBLE)
+                 / sum(n) OVER (PARTITION BY from_type), 6) AS p
+    FROM pairs
+    """,
+)
+def event_transition_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams:
+    P(next event type | current event type), the session-flow model behind
+    next-action prediction and anomaly scoring (a transition with tiny p
+    observed at volume = bot or integration break).
+
+    One ``partitionBy(user_id)`` exchange computes every lead pair (the
+    same single-shuffle contract as ``funnel_conversion``); the pair
+    counts are map-side-combined into a ≤|types|² table, and the row
+    normalization windows over THAT tiny table — the corpus is never
+    re-shuffled to normalize. Ties at equal ts are pinned by event_id so
+    both engines see the same successor.
+    """
+    ev = tbl(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    )
+    pairs = (
+        nxt.where(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wf = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(wf), 6).alias("p"),
+    )

@@ -2669,3 +2669,136 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rrf"),
     )
     return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(10)
+
+
+@query(
+    "curriculum_ordinals",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    d AS (SELECT doc_id,
+                 CAST(100 * list_sum([length(x) for x in toks]) // len(toks)
+                      AS BIGINT) AS difficulty_x100
+          FROM t)
+    SELECT doc_id, difficulty_x100,
+           CAST(row_number() OVER (ORDER BY difficulty_x100, doc_id)
+                AS BIGINT) AS ordinal
+    FROM d
+    """,
+)
+def curriculum_ordinals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering: number every document by a global easy→hard
+    order (average token length ×100 as an exact-BIGINT difficulty,
+    doc_id tie-break) so the training shard writer can emit the corpus
+    in difficulty order with a contiguous sequence id.
+
+    The oracle is the textbook ``row_number() OVER (ORDER BY ...)`` —
+    which Spark would plan as ONE window partition holding the whole
+    corpus. The engine instead uses
+    ``operators/ordinals.py::global_ordinals``: difficulty-range buckets
+    (width 50) get per-bucket counts (tiny agg), exclusive prefix-sum
+    offsets over the n_buckets-row table, and a parallel
+    ``partitionBy(bucket)`` row_number — bit-identical to the global
+    window (the bucket order refines the row order) with no
+    corpus-sized serial stage.
+    """
+    from etl_process_spark.operators.ordinals import global_ordinals
+
+    docs = tbl(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("t")
+    )
+    d = toks.select(
+        "doc_id",
+        F.expr(
+            "CAST((100 * aggregate(transform(t, x -> length(x)), 0L,"
+            " (a, x) -> a + x)) div size(t) AS BIGINT)"
+        ).alias("difficulty_x100"),
+    )
+    return global_ordinals(
+        d,
+        order_by=[F.col("difficulty_x100"), F.col("doc_id")],
+        bucket=F.expr("difficulty_x100 div 50"),
+    ).select("doc_id", "difficulty_x100", "ordinal")
+
+
+@query(
+    "chunk_dedup_rewrite",
+    f"""
+    WITH tok AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    c AS (SELECT doc_id, (s - 1) // 32 AS chunk_id,
+                 array_to_string(t[s:s+31], ' ') AS chunk_text,
+                 len(t[s:s+31]) AS n_tok
+          FROM tok, unnest(generate_series(1, len(t), 32)) AS u(s)),
+    shared AS (SELECT md5(chunk_text) AS fp FROM c WHERE n_tok = 32
+               GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+    marked AS (SELECT c.*, (c.n_tok = 32 AND s.fp IS NOT NULL) AS dropped
+               FROM c LEFT JOIN shared s ON md5(c.chunk_text) = s.fp)
+    SELECT doc_id,
+           count(*) AS n_chunks,
+           CAST(sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dropped,
+           md5(coalesce(string_agg(chunk_text, ' ' ORDER BY chunk_id)
+                          FILTER (WHERE NOT dropped), '')) AS clean_md5
+    FROM marked
+    GROUP BY doc_id
+    """,
+)
+def chunk_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized exact-substring scrub (the RefinedWeb/MassiveText
+    "remove duplicated spans" step): split each doc into NON-overlapping
+    32-token chunks, drop every full-width chunk whose fingerprint occurs
+    in ≥2 distinct documents, and reassemble the survivors in position
+    order — ``duplicate_chunk_docs`` measures the damage; this operator
+    performs the repair and md5-pins the rewritten text.
+
+    Scale shape: the corpus-wide duplicate set is an fp-keyed partial
+    aggregate over md5 DIGESTS (the shuffle never carries chunk text),
+    anti-joined back on the same fp-keyed exchange; reassembly is a
+    doc-keyed regroup of (chunk_id, text) pairs — each doc's chunks
+    collapse to one row via sort_array, no window needed. Tail chunks
+    (< 32 tokens) are never dropped, so every token position is
+    accounted for exactly once (stride = width).
+    """
+    docs = tbl(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("t")
+    )
+    chunks = toks.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.size("t"), F.lit(32))).alias("s"),
+        F.col("t"),
+    ).select(
+        "doc_id",
+        F.expr("CAST((s - 1) div 32 AS BIGINT)").alias("chunk_id"),
+        F.concat_ws(" ", F.expr("slice(t, s, 32)")).alias("chunk_text"),
+        F.expr("size(slice(t, s, 32))").alias("n_tok"),
+    ).withColumn("fp", F.md5("chunk_text"))
+    shared = (
+        chunks.where(F.col("n_tok") == 32)
+        .groupBy("fp")
+        .agg(F.count_distinct("doc_id").alias("ndocs"))
+        .where(F.col("ndocs") >= 2)
+        .select("fp")
+    )
+    marked = chunks.join(
+        shared.withColumn("hit", F.lit(1)), "fp", "left"
+    ).select(
+        "doc_id",
+        "chunk_id",
+        "chunk_text",
+        ((F.col("n_tok") == 32) & F.col("hit").isNotNull()).alias("dropped"),
+    )
+    return marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.col("dropped").cast("long")).alias("n_dropped"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.expr(
+                    "transform(filter(sort_array(collect_list("
+                    "struct(chunk_id, dropped, chunk_text))),"
+                    " x -> NOT x.dropped), x -> x.chunk_text)"
+                ),
+            )
+        ).alias("clean_md5"),
+    )
