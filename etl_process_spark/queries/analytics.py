@@ -2063,3 +2063,65 @@ def orders_checksum_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
     return combine_checksums(parts).withColumnRenamed(
         "sum_o_totalprice", "total_price"
     )
+
+
+@query(
+    "cms_user_event_counts",
+    """
+    WITH cells AS (
+      SELECT t.r,
+             CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)),
+                                      1 + 8 * t.r, 8)) AS BIGINT) % 256
+               AS bucket
+      FROM events CROSS JOIN (SELECT unnest([0, 1]) AS r) t),
+    sk AS (SELECT r, bucket, count(*) AS cnt FROM cells GROUP BY 1, 2),
+    exact AS (SELECT user_id, count(*) AS exact_n FROM events
+              GROUP BY 1 ORDER BY exact_n DESC, user_id LIMIT 10),
+    probe AS (
+      SELECT e.user_id, e.exact_n,
+             CAST(concat('0x', substr(md5(CAST(e.user_id AS VARCHAR)),
+                                      1, 8)) AS BIGINT) % 256 AS b0,
+             CAST(concat('0x', substr(md5(CAST(e.user_id AS VARCHAR)),
+                                      9, 8)) AS BIGINT) % 256 AS b1
+      FROM exact e)
+    SELECT p.user_id, p.exact_n,
+           least(coalesce(s0.cnt, 0), coalesce(s1.cnt, 0)) AS cms_n,
+           least(coalesce(s0.cnt, 0), coalesce(s1.cnt, 0)) - p.exact_n
+             AS overcount
+    FROM probe p
+    LEFT JOIN sk s0 ON s0.r = 0 AND s0.bucket = p.b0
+    LEFT JOIN sk s1 ON s1.r = 1 AND s1.bucket = p.b1
+    """,
+)
+def cms_user_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min Sketch point estimates for the 10 most active users —
+    the mergeable frequency sketch next to HLL (distinct) and
+    Misra-Gries (heavy hitters): a d=2 × w=256 counter grid whose
+    shuffle is ≤ d·w rows per partition REGARDLESS of key cardinality,
+    and whose per-day/per-shard instances roll up by cell-wise addition
+    (linearity is unit-tested as exact equality).
+
+    The md5-slice bucket hashing is engine-portable integer arithmetic,
+    so the oracle replays the ENTIRE sketch bit-for-bit — estimates are
+    hash-compared exactly, not bounded. ``overcount = cms_n - exact_n``
+    exhibits the one-sided error contract (≥ 0 always; ≤ N/w per
+    independent colliding key in expectation — the accuracy the d·w
+    sizing buys).
+    """
+    from etl_process_spark.operators.sketch import cms_build, cms_estimate
+
+    ev = tbl(spark, sf_dir, "events")
+    sk = cms_build(ev, F.col("user_id"), w=256, d=2)
+    exact = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), "user_id")
+        .limit(10)
+    )
+    est = cms_estimate(sk, exact, F.col("user_id"), w=256, d=2)
+    return est.select(
+        "user_id",
+        "exact_n",
+        "cms_n",
+        (F.col("cms_n") - F.col("exact_n")).alias("overcount"),
+    )

@@ -420,3 +420,61 @@ def event_transition_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n").cast("double") / F.sum("n").over(wf), 6).alias("p"),
     )
+
+
+@query(
+    "gdpr_forget_rollup",
+    """
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           count(*) AS n_events,
+           round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6)
+             AS sum_value
+    FROM events
+    WHERE user_id % 97 <> 0
+    GROUP BY 1
+    """,
+)
+def gdpr_forget_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten propagation into a derived rollup WITHOUT
+    recomputing it: subtract the forgotten users' partial aggregates
+    from the stored daily rollup (counts and DECIMAL sums are additive,
+    hence retractable), dropping days whose count hits zero.
+
+    The oracle recomputes the rollup from retained rows directly — hash
+    equality IS the retraction theorem: serving tables derived from a
+    100 TB fact can honor deletion requests at O(deleted-rows) cost
+    (one filtered scan + a rollup-sized join) instead of an O(corpus)
+    rebuild. Sums use DECIMAL partials (exact, order-independent), so
+    subtraction leaves no float residue for engines to disagree on;
+    both aggregates share one day-keyed exchange per side.
+    """
+    ev = tbl(spark, sf_dir, "events").select(
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+        "user_id",
+        F.col("value").cast("decimal(18,6)").alias("v"),
+    )
+    full = ev.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n0"), F.sum("v").alias("s0")
+    )
+    deleted = (
+        ev.where(F.col("user_id") % 97 == 0)
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("nd"), F.sum("v").alias("sd"))
+    )
+    corrected = (
+        full.join(deleted, "day", "left")
+        .select(
+            "day",
+            (F.col("n0") - F.coalesce("nd", F.lit(0))).alias("n_events"),
+            (
+                F.col("s0")
+                - F.coalesce(F.col("sd"), F.lit(0).cast("decimal(18,6)"))
+            ).alias("sv"),
+        )
+        .where(F.col("n_events") > 0)
+    )
+    return corrected.select(
+        "day",
+        "n_events",
+        F.round(F.col("sv").cast("double"), 6).alias("sum_value"),
+    )
