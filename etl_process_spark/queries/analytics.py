@@ -2125,3 +2125,79 @@ def cms_user_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cms_n",
         (F.col("cms_n") - F.col("exact_n")).alias("overcount"),
     )
+
+
+@query(
+    "ivm_join_delta",
+    """
+    SELECT date_trunc('month', CAST(o.o_orderdate AS DATE)) AS month,
+           count(*) AS n_rows,
+           round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                          * (1 - CAST(l.l_discount AS DECIMAL(18,4))))
+                      AS DOUBLE), 2) AS revenue
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY 1
+    """,
+)
+def ivm_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance for a JOIN view (the delta-join
+    algebra): with base tables split into old + appended-batch slices,
+    the view over the union is the old view PLUS the three delta terms
+
+        Δ(A ⋈ B) = ΔA ⋈ B_old  ∪  A_old ⋈ ΔB  ∪  ΔA ⋈ ΔB,
+
+    each aggregated and cell-wise added into the stored monthly rollup
+    (counts and DECIMAL revenue sums are additive). The oracle computes
+    the view over the full tables directly — hash equality is the IVM
+    theorem: a nightly append maintains a 100 TB join view at
+    O(Δ ⋈ …) cost, never re-joining history with history.
+
+    Slices here: ΔO = orders with o_orderkey % 5 = 0, ΔL = lineitem
+    with l_orderkey % 7 = 0 (overlapping, so every delta term is
+    non-empty — checked at sf0.01). All four joins share the orderkey
+    equi-join key, so at scale they reuse one co-partitioned layout
+    (bucketed base tables make the old-side joins zero-exchange).
+    """
+    od = tbl(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.date_trunc("month", F.col("o_orderdate").cast("date"))
+        .cast("date")
+        .alias("month"),
+    )
+    li = tbl(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        (
+            F.col("l_extendedprice").cast("decimal(18,4)")
+            * (F.lit(1) - F.col("l_discount").cast("decimal(18,4)"))
+        ).alias("rev"),
+    )
+    o_old, o_new = od.where(F.col("o_orderkey") % 5 != 0), od.where(
+        F.col("o_orderkey") % 5 == 0
+    )
+    l_old, l_new = li.where(F.col("o_orderkey") % 7 != 0), li.where(
+        F.col("o_orderkey") % 7 == 0
+    )
+
+    def agg(j: DataFrame) -> DataFrame:
+        return j.groupBy("month").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("rev").alias("r")
+        )
+
+    terms = [
+        agg(o_old.join(l_old, "o_orderkey")),
+        agg(o_new.join(l_old, "o_orderkey")),
+        agg(o_old.join(l_new, "o_orderkey")),
+        agg(o_new.join(l_new, "o_orderkey")),
+    ]
+    merged = terms[0]
+    for t in terms[1:]:
+        merged = merged.unionByName(t)
+    return (
+        merged.groupBy("month")
+        .agg(F.sum("n").alias("n_rows"), F.sum("r").alias("rv"))
+        .select(
+            "month",
+            "n_rows",
+            F.round(F.col("rv").cast("double"), 2).alias("revenue"),
+        )
+    )

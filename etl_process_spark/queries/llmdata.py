@@ -2802,3 +2802,50 @@ def chunk_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("clean_md5"),
     )
+
+
+@query(
+    "phrase_search_positional",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+    hits AS (
+      SELECT doc_id,
+             len([i FOR i IN range(0, len(w) - 1)
+                  IF w[i+1] = 'fast' AND w[i+2] = 'join']) AS n_occ
+      FROM t)
+    SELECT doc_id, CAST(n_occ AS BIGINT) AS n_occ
+    FROM hits WHERE n_occ > 0
+    """,
+)
+def phrase_search_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search ("fast join") via positional posting lists —
+    the inverted-index retrieval primitive BM25's bag-of-words scoring
+    cannot express: occurrence requires the terms ADJACENT in order, so
+    the engine intersects the two terms' (doc, position) postings on
+    ``pos₂ = pos₁ + 1``.
+
+    Scale shape: posexplode is map-side and the per-term filters drop
+    every non-phrase token BEFORE the exchange, so the shuffle carries
+    only the two query terms' postings (term-selectivity-sized, not
+    corpus-sized) — exactly what a search engine reads from its index;
+    the join key (doc, adjacent position) is the standard positional
+    intersection. In a served deployment the postings table is the
+    stored index (write once, bucket by term) and this query reads two
+    buckets of it.
+    """
+    docs = tbl(spark, sf_dir, "documents")
+    posts = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias(
+            "pos", "tok"
+        ),
+    )
+    p1 = posts.where(F.col("tok") == "fast").select("doc_id", "pos")
+    p2 = posts.where(F.col("tok") == "join").select(
+        "doc_id", (F.col("pos") - 1).alias("pos")
+    )
+    return (
+        p1.join(p2, ["doc_id", "pos"])
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occ"))
+    )
