@@ -2849,3 +2849,104 @@ def phrase_search_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).cast("long").alias("n_occ"))
     )
+
+
+@query(
+    "containment_dup_pairs",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+    sh AS (SELECT DISTINCT doc_id, w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS s
+           FROM t, unnest(range(0, len(w)-2)) AS u(i) WHERE len(w) >= 3),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    dfq AS (SELECT s, count(*) AS dfc FROM sh GROUP BY 1),
+    rare AS (SELECT s FROM dfq WHERE dfc BETWEEN 2 AND 5),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM sh a JOIN sh b USING (s) JOIN rare USING (s)
+             WHERE a.doc_id < b.doc_id),
+    inter AS (SELECT c.doc_a, c.doc_b, count(*) AS ni
+              FROM cand c JOIN sh a ON a.doc_id = c.doc_a
+                          JOIN sh b ON b.doc_id = c.doc_b AND a.s = b.s
+              GROUP BY 1, 2)
+    SELECT i.doc_a, i.doc_b,
+           round(ni * 1.0 / sa.n, 6) AS cont_a_in_b,
+           round(ni * 1.0 / sb.n, 6) AS cont_b_in_a
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE greatest(ni * 1.0 / sa.n, ni * 1.0 / sb.n) >= 0.5
+    """,
+)
+def containment_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC near-dup detection by Broder containment
+    C(A,B) = |A∩B| / |A| over trigram shingle SETS — the quote/inclusion
+    detector: a short doc pasted inside a long one scores high
+    containment while its symmetric Jaccard (what MinHash-LSH and
+    AllPairs threshold on) stays low, so this is the family those
+    operators structurally miss.
+
+    Blocking: candidate pairs must share a RARE shingle (document
+    frequency 2..5). Rarity caps every bucket's fan-out at C(5,2) — the
+    equi-join stays linear in corpus size — and a contained span of ≥3
+    tokens necessarily carries shared shingles, which are rare unless
+    the span is boilerplate (df > 5 ⇒ boilerplate, handled by
+    `boilerplate_trigram_coverage`, not quote detection). Verification
+    joins shingles only on candidate pairs (same restricted shape as
+    `ngram_jaccard_pairs`); sizes broadcast back. Heuristic-recall
+    blocker by design — documented, not silent.
+    """
+    docs = tbl(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("w")
+    ).where(F.size("w") >= 3)
+    sh = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "array_distinct(transform(sequence(0, size(w)-3),"
+                " i -> concat_ws(' ', slice(w, i+1, 3))))"
+            )
+        ).alias("s"),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    rare = (
+        sh.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("dfc"))
+        .where(F.col("dfc").between(2, 5))
+        .select("s")
+    )
+    rare_posts = sh.join(rare, "s")
+    cand = (
+        rare_posts.alias("a")
+        .join(rare_posts.alias("b"), "s")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    inter = (
+        cand.join(sh.alias("ia"), F.col("doc_a") == F.col("ia.doc_id"))
+        .join(
+            sh.alias("ib"),
+            (F.col("doc_b") == F.col("ib.doc_id"))
+            & (F.col("ia.s") == F.col("ib.s")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("ni"))
+    )
+    scored = (
+        inter.join(
+            F.broadcast(sizes.select(F.col("doc_id").alias("doc_a"),
+                                     F.col("n").alias("na"))), "doc_a")
+        .join(
+            F.broadcast(sizes.select(F.col("doc_id").alias("doc_b"),
+                                     F.col("n").alias("nb"))), "doc_b")
+    )
+    ca = F.col("ni") / F.col("na")
+    cb = F.col("ni") / F.col("nb")
+    return scored.where(F.greatest(ca, cb) >= 0.5).select(
+        "doc_a",
+        "doc_b",
+        F.round(ca, 6).alias("cont_a_in_b"),
+        F.round(cb, 6).alias("cont_b_in_a"),
+    )
