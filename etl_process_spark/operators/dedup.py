@@ -568,6 +568,7 @@ def allpairs_jaccard(
         pref.alias("a")
         .join(pref.alias("b"), "sh")
         .where(F.col("a.doc") < F.col("b.doc"))
+        .where(_allpairs_pair_filters(num, den, "a", "b"))
         .select(F.col("a.doc").alias("da"), F.col("b.doc").alias("db"))
         .distinct()
     )
@@ -586,7 +587,7 @@ def allpairs_index(
 
     * ``order``: the frozen (shingle → df) table defining the global
       prefix order at index-build time;
-    * ``prefixes``: (doc, sh) prefix rows of the corpus under it;
+    * ``prefixes``: (doc, sh, pos, n) prefix rows of the corpus under it;
     * ``sets``: (doc, h) dictionary-encoded shingle sets for exact
       verification.
     """
@@ -626,12 +627,41 @@ def _allpairs_ordered(sh: DataFrame, dfq: DataFrame) -> DataFrame:
 
 
 def _allpairs_prefix(ordered: DataFrame, num: int, den: int) -> DataFrame:
+    """Prefix rows (doc, sh, pos, n): position within the ordered set and
+    the set size ride along so the candidate join can apply the length
+    and positional filters (below) before the expensive distinct+verify."""
     plen = F.expr(
         f"size(t) - CAST(({num} * size(t) + {den - 1}) DIV {den} AS INT) + 1"
     )
     return ordered.select(
-        "doc", F.explode(F.slice("t", F.lit(1), plen)).alias("sh")
+        "doc",
+        F.size("t").alias("n"),
+        F.posexplode(F.slice("t", F.lit(1), plen)).alias("pos", "sh"),
+    ).select("doc", "sh", (F.col("pos") + 1).alias("pos"), "n")
+
+
+def _allpairs_pair_filters(
+    num: int, den: int, a: str, b: str
+):
+    """AllPairs length filter + PPJoin positional filter, integer-only.
+
+    Length: J ≥ num/den forces num·|A| ≤ den·|B| and num·|B| ≤ den·|A| —
+    prunes size-mismatched pairs without looking at elements.
+    Positional: J ≥ num/den ⟺ (num+den)·|∩| ≥ num·(|A|+|B|); a common
+    element at 1-based ordered positions (pa, pb) bounds
+    |∩| ≤ min(|A|−pa, |B|−pb) + 1 (everything shared beyond it, plus
+    itself — sound for the FIRST common element, which the prefix join
+    necessarily emits). A pair survives iff SOME emitted row passes, so
+    completeness is untouched (Xiao et al., WWW'08).
+    """
+    na, nb = F.col(f"{a}.n"), F.col(f"{b}.n")
+    pa, pb = F.col(f"{a}.pos"), F.col(f"{b}.pos")
+    length_ok = (F.lit(den) * na >= F.lit(num) * nb) & (
+        F.lit(den) * nb >= F.lit(num) * na
     )
+    ubound = F.least(na - pa, nb - pb) + F.lit(1)
+    pos_ok = F.lit(num + den) * ubound >= F.lit(num) * (na + nb)
+    return length_ok & pos_ok
 
 
 def _allpairs_verify(
@@ -696,6 +726,7 @@ def allpairs_probe(
         .join(idx_pref.alias("o"),
               (F.col("n.sh") == F.col("o.sh"))
               & (F.col("n.doc") != F.col("o.doc")))
+        .where(_allpairs_pair_filters(num, den, "n", "o"))
         .select(F.least(F.col("n.doc"), F.col("o.doc")).alias("da"),
                 F.greatest(F.col("n.doc"), F.col("o.doc")).alias("db"))
     )
@@ -703,6 +734,7 @@ def allpairs_probe(
         pref.alias("a")
         .join(pref.alias("b"), "sh")
         .where(F.col("a.doc") < F.col("b.doc"))
+        .where(_allpairs_pair_filters(num, den, "a", "b"))
         .select(F.col("a.doc").alias("da"), F.col("b.doc").alias("db"))
     )
     cand = cross.unionByName(within).distinct()

@@ -2201,3 +2201,56 @@ def ivm_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("rv").cast("double"), 2).alias("revenue"),
         )
     )
+
+
+@query(
+    "exact_value_median",
+    """
+    SELECT count(*) AS n_total,
+           round(quantile_disc(value, 0.5), 6) AS median
+    FROM events
+    """,
+)
+def exact_value_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT median of a 100 TB column by distributed selection — the
+    scale path where a global sort is unaffordable and
+    ``approx_percentile`` (`approx_price_quantiles`) is not exact
+    enough (SLA thresholds, billing boundaries).
+
+    Two passes, no global sort: (1) histogram the column into value-range
+    buckets (map-side partials; the histogram is tiny however large the
+    input) and prefix-sum it to locate the bucket holding the k-th
+    smallest (k = (N+1)//2, the lower median — `quantile_disc(0.5)`'s
+    contract); (2) rank ONLY that bucket's rows (a partition-local
+    window over ~N/buckets rows) and take rank k − cum_before. Classic
+    distributed selection: the only full-width stages are two scans;
+    sorting work is confined to one bucket. Skewed distributions recurse
+    on the bucket instead — one level suffices here.
+    """
+    ev = tbl(spark, sf_dir, "events").select("value")
+    tot = ev.agg(F.count(F.lit(1)).alias("n_total")).withColumn(
+        "k", F.expr("CAST((n_total + 1) div 2 AS BIGINT)")
+    )
+    hist = ev.groupBy(F.floor(F.col("value") * 10).alias("b")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    wcum = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    target = (
+        hist.withColumn("cum_before", F.coalesce(F.sum("cnt").over(wcum), F.lit(0)))
+        .crossJoin(F.broadcast(tot))
+        .where(
+            (F.col("cum_before") < F.col("k"))
+            & (F.col("k") <= F.col("cum_before") + F.col("cnt"))
+        )
+        .select("b", "cum_before", "k", "n_total")
+    )
+    in_bucket = ev.join(
+        F.broadcast(target), F.floor(F.col("value") * 10) == F.col("b")
+    )
+    wr = Window.partitionBy("b").orderBy("value")
+    picked = in_bucket.withColumn("rn", F.row_number().over(wr)).where(
+        F.col("rn") == F.col("k") - F.col("cum_before")
+    )
+    return picked.select(
+        "n_total", F.round(F.col("value"), 6).alias("median")
+    )

@@ -62,7 +62,7 @@ def test_catalog_views_expose_managed_tables(spark, tmp_path):
 # Oracles that are plain ANSI (no DuckDB list comprehensions /
 # string_split_regex / time_bucket) — each runs UNMODIFIED on spark.sql
 # and produces string-identical results to the DataFrame builder. Two
-# more (daily_quality_drift, funnel_conversion) agree numerically but
+# more (daily_quality_drift, funnel_conversion, ivm_join_delta) agree numerically but
 # render DECIMAL vs DOUBLE scales differently; the rest of the corpus
 # uses DuckDB-dialect constructs by design (the oracle is a DIFFERENT
 # engine on purpose).
@@ -73,7 +73,8 @@ PORTABLE_ORACLES = [
     "cumulative_revenue_per_customer", "customer_order_distribution",
     "customers_outside_regions", "customers_without_orders",
     "daily_from_hourly_rollup", "discount_revenue_forecast",
-    "distinct_users_per_type", "events_asof_join", "events_asof_join_merge",
+    "distinct_users_per_type", "event_transition_probs", "events_asof_join",
+    "events_asof_join_merge", "gdpr_forget_rollup",
     "filtered_projection", "fresh_part_shippers", "grouping_sets_mix",
     "heavy_hitter_order_groups", "hourly_rollup", "large_quantity_orders",
     "last_touch_attribution", "latest_event_per_user",
@@ -103,7 +104,7 @@ PORTABLE_ORACLES = [
 
 
 def test_portable_oracles_run_unmodified_on_spark_sql(spark):
-    """74 of the corpus' DuckDB oracle strings are plain ANSI: a SQL
+    """76 of the corpus' DuckDB oracle strings are plain ANSI: a SQL
     user pastes them into spark.sql and gets string-identical results
     to the engine's DataFrame path — the strongest form of the
     'reference users keep their SQL habit' claim."""
