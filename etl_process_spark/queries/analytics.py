@@ -2254,3 +2254,59 @@ def exact_value_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     return picked.select(
         "n_total", F.round(F.col("value"), 6).alias("median")
     )
+
+
+@query(
+    "exact_median_by_type",
+    """
+    SELECT event_type, count(*) AS n,
+           round(quantile_disc(value, 0.5), 6) AS median
+    FROM events GROUP BY event_type
+    """,
+)
+def exact_median_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED exact median by distributed selection — the per-group
+    generalization of `exact_value_median`: histogram buckets keyed by
+    (group, bucket), per-group prefix sums over the tiny histogram
+    locate each group's k-th-smallest bucket, and ranking runs only
+    inside each group's one median bucket. No group's values are ever
+    globally sorted, and a skewed group costs only its own bucket —
+    the shape that survives GROUP BY medians over 100 TB with hot keys.
+    """
+    ev = tbl(spark, sf_dir, "events").select("event_type", "value")
+    tot = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).withColumn(
+        "k", F.expr("CAST((n + 1) div 2 AS BIGINT)")
+    )
+    hist = ev.groupBy(
+        "event_type", F.floor(F.col("value") * 10).alias("b")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    target = (
+        hist.withColumn(
+            "cum_before", F.coalesce(F.sum("cnt").over(wcum), F.lit(0))
+        )
+        .join(F.broadcast(tot), "event_type")
+        .where(
+            (F.col("cum_before") < F.col("k"))
+            & (F.col("k") <= F.col("cum_before") + F.col("cnt"))
+        )
+        .select(
+            F.col("event_type").alias("et"), "b", "cum_before", "k", "n"
+        )
+    )
+    in_bucket = ev.join(
+        F.broadcast(target),
+        (F.col("event_type") == F.col("et"))
+        & (F.floor(F.col("value") * 10) == F.col("b")),
+    ).select("event_type", "value", "b", "cum_before", "k", "n")
+    wr = Window.partitionBy("event_type", "b").orderBy("value")
+    picked = in_bucket.withColumn("rn", F.row_number().over(wr)).where(
+        F.col("rn") == F.col("k") - F.col("cum_before")
+    )
+    return picked.select(
+        "event_type", "n", F.round(F.col("value"), 6).alias("median")
+    )

@@ -478,3 +478,39 @@ def gdpr_forget_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.round(F.col("sv").cast("double"), 6).alias("sum_value"),
     )
+
+
+@query(
+    "debounced_events",
+    """
+    WITH d AS (
+      SELECT event_id, user_id, event_type, ts,
+             lag(ts) OVER (PARTITION BY user_id, event_type
+                           ORDER BY ts, event_id) AS prev_ts
+      FROM events)
+    SELECT event_id, user_id, event_type, ts
+    FROM d
+    WHERE prev_ts IS NULL OR ts - prev_ts > INTERVAL 300 SECOND
+    """,
+)
+def debounced_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debounce: drop an event arriving within 300 s of the previous
+    SAME (user, type) event — the double-click / retry-storm suppressor
+    every clickstream ingest runs before counting anything (the batch
+    twin of `streaming/sources.py::dedup_stream`'s watermarked state).
+
+    One (user, type)-keyed exchange for the lag; the keep-predicate is
+    a per-row comparison — no self-join against a time band, which is
+    the naive O(events × window) formulation. Ties at equal ts are
+    ordered by event_id so both engines see the same predecessor.
+    """
+    ev = tbl(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    d = ev.select(
+        "event_id", "user_id", "event_type", "ts",
+        F.lag("ts").over(w).alias("prev_ts"),
+    )
+    return d.where(
+        F.col("prev_ts").isNull()
+        | (F.col("ts").cast("long") - F.col("prev_ts").cast("long") > 300)
+    ).select("event_id", "user_id", "event_type", "ts")

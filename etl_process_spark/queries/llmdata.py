@@ -2950,3 +2950,92 @@ def containment_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ca, 6).alias("cont_a_in_b"),
         F.round(cb, 6).alias("cont_b_in_a"),
     )
+
+
+@query(
+    "embedding_covariance",
+    """
+    WITH vals AS (
+      SELECT e.vec_id, CAST(t.i AS INTEGER) - 1 AS d,
+             CAST(round(CAST(e.embedding[t.i] AS DOUBLE), 6)
+                  AS DECIMAL(18,6)) AS x
+      FROM embeddings e, unnest(range(1, len(e.embedding) + 1)) AS t(i)),
+    prods AS (
+      SELECT a.d AS di, b.d AS dj,
+             sum(CAST(a.x * b.x AS DECIMAL(30,12))) AS sp
+      FROM vals a JOIN vals b ON a.vec_id = b.vec_id AND b.d >= a.d
+      GROUP BY 1, 2),
+    dims AS (SELECT d, count(*) AS n, sum(x) AS s FROM vals GROUP BY 1)
+    SELECT p.di, p.dj, da.n,
+           round(CAST(p.sp AS DOUBLE) / da.n
+                 - (CAST(da.s AS DOUBLE) / da.n)
+                   * (CAST(db.s AS DOUBLE) / db.n), 6) + 0.0 AS cov
+    FROM prods p
+    JOIN dims da ON da.d = p.di
+    JOIN dims db ON db.d = p.dj
+    """,
+)
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle covariance (Gram) matrix of the embedding corpus —
+    the input to PCA/whitening and the correlation screen for redundant
+    dimensions before indexing.
+
+    Scale shape: each vector emits its own dim-pair products IN-ROW
+    (nested `transform` over index pairs, one explode — the corpus is
+    never self-joined; the oracle's vec_id equi-join is the same sum by
+    DECIMAL associativity), and the shuffle is a (di, dj)-keyed partial
+    aggregate of at most dims²/2 groups — corpus-size-independent, like
+    the k-means centroid update. Products are exact DECIMAL(30,12) sums
+    of 6-decimal-quantized values, so both engines divide identical
+    numerators and the rounded doubles agree bit-for-bit.
+    """
+    emb = tbl(spark, sf_dir, "embeddings")
+    pairs = emb.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(0, size(embedding)-1), i ->"
+                " transform(sequence(i, size(embedding)-1), j ->"
+                " struct(i AS di, j AS dj,"
+                " CAST(CAST(round(CAST(embedding[i] AS DOUBLE), 6)"
+                "  AS DECIMAL(18,6))"
+                " * CAST(round(CAST(embedding[j] AS DOUBLE), 6)"
+                "  AS DECIMAL(18,6)) AS DECIMAL(30,12)) AS p))))"
+            )
+        ).alias("c")
+    ).select("c.di", "c.dj", "c.p")
+    prods = pairs.groupBy("di", "dj").agg(F.sum("p").alias("sp"))
+    dims = (
+        emb.select(F.posexplode("embedding").alias("d", "v"))
+        .select(
+            "d",
+            F.round(F.col("v").cast("double"), 6)
+            .cast("decimal(18,6)")
+            .alias("x"),
+        )
+        .groupBy("d")
+        .agg(F.count("*").alias("n"), F.sum("x").alias("s"))
+    )
+    da = dims.select(
+        F.col("d").alias("di"), F.col("n"), F.col("s").alias("sa")
+    )
+    db = dims.select(F.col("d").alias("dj"), F.col("s").alias("sb"))
+    return (
+        prods.join(F.broadcast(da), "di")
+        .join(F.broadcast(db), "dj")
+        .select(
+            "di",
+            "dj",
+            "n",
+            # + 0.0 canonicalizes IEEE negative zero (round can yield
+            # -0.0 on one engine and 0.0 on the other)
+            (
+                F.round(
+                    F.col("sp").cast("double") / F.col("n")
+                    - (F.col("sa").cast("double") / F.col("n"))
+                    * (F.col("sb").cast("double") / F.col("n")),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("cov"),
+        )
+    )
