@@ -72,7 +72,7 @@ PORTABLE_ORACLES = [
     "copurchase_communities", "copurchase_triangles", "cube_order_counts",
     "cumulative_revenue_per_customer", "customer_order_distribution",
     "customers_outside_regions", "customers_without_orders",
-    "daily_from_hourly_rollup", "discount_revenue_forecast",
+    "daily_from_hourly_rollup", "debounced_events", "discount_revenue_forecast",
     "distinct_users_per_type", "event_transition_probs", "events_asof_join",
     "events_asof_join_merge", "gdpr_forget_rollup",
     "filtered_projection", "fresh_part_shippers", "grouping_sets_mix",
@@ -104,7 +104,7 @@ PORTABLE_ORACLES = [
 
 
 def test_portable_oracles_run_unmodified_on_spark_sql(spark):
-    """76 of the corpus' DuckDB oracle strings are plain ANSI: a SQL
+    """77 of the corpus' DuckDB oracle strings are plain ANSI: a SQL
     user pastes them into spark.sql and gets string-identical results
     to the engine's DataFrame path — the strongest form of the
     'reference users keep their SQL habit' claim."""
