@@ -740,3 +740,69 @@ def allpairs_probe(
     cand = cross.unionByName(within).distinct()
     both_enc = idx_enc.unionByName(enc).distinct()
     return _allpairs_verify(cand, both_enc, both_enc, num, den)
+
+
+def lsh_collision_probability(jaccard: float, bands: int, rows: int) -> float:
+    """P(two docs share ≥1 LSH bucket | Jaccard similarity s): the
+    banding S-curve 1 − (1 − s^r)^b — each of r minhashes in a band
+    matches with probability s, a band collides iff all r match, and
+    any of the b bands colliding makes the pair a candidate."""
+    if not 0.0 <= jaccard <= 1.0:
+        raise ValueError("jaccard must be in [0, 1]")
+    return 1.0 - (1.0 - jaccard**rows) ** bands
+
+
+def lsh_tune(
+    threshold: float,
+    min_recall: float = 0.9,
+    max_hashes: int = 64,
+    background: float | None = None,
+) -> tuple[int, int]:
+    """Choose (bands, rows_per_band) for a target Jaccard ``threshold``
+    under a signature budget: among all bandings with b·r ≤
+    ``max_hashes`` whose S-curve catches a pair AT the threshold with
+    probability ≥ ``min_recall``, pick the one with the LOWEST collision
+    probability at the ``background`` similarity (default threshold/2) —
+    ties broken by fewer total hashes, then fewer bands.
+
+    That objective is the one that matters at 100 TB: sub-threshold
+    collisions are the bucket-join explosion (every false candidate is
+    a verify-stage row), so recall is the constraint and background
+    false-candidate rate is the cost. Maximal r under the budget wins
+    (sharpest S-curve), which is why the folk default r=2 beats r=1 and
+    a tuned r beats both. Pure deterministic arithmetic (the S-curve is
+    Leskovec/Rajaraman/Ullman, Mining of Massive Datasets §3.4), so
+    planning-side and engine-side agree.
+    """
+    import math
+
+    if not 0.0 < threshold < 1.0:
+        raise ValueError("threshold must be in (0, 1)")
+    if not 0.0 < min_recall < 1.0:
+        raise ValueError("min_recall must be in (0, 1)")
+    if background is None:
+        background = threshold / 2.0
+    best: tuple[float, int, int, int, int] | None = None  # (p_bg, total, b, r)
+    for rows in range(1, max_hashes + 1):
+        p_band = threshold**rows
+        if p_band < 1e-12:
+            break  # no affordable band count reaches the recall
+        # smallest b with 1-(1-p)^b >= recall  ⇒  b >= log(1-recall)/log(1-p)
+        if p_band >= 1.0:
+            bands = 1
+        else:
+            bands = math.ceil(
+                math.log(1.0 - min_recall) / math.log(1.0 - p_band)
+            )
+        if bands < 1 or bands * rows > max_hashes:
+            continue
+        p_bg = lsh_collision_probability(background, bands, rows)
+        key = (p_bg, bands * rows, bands, rows, 0)
+        if best is None or key < best:
+            best = key
+    if best is None:
+        raise ValueError(
+            f"no (bands, rows) within {max_hashes} hashes reaches "
+            f"recall {min_recall} at threshold {threshold}"
+        )
+    return best[2], best[3]

@@ -2957,19 +2957,21 @@ def containment_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH vals AS (
       SELECT e.vec_id, CAST(t.i AS INTEGER) - 1 AS d,
-             CAST(round(CAST(e.embedding[t.i] AS DOUBLE), 6)
-                  AS DECIMAL(18,6)) AS x
+             CAST(round(CAST(e.embedding[t.i] AS DOUBLE) * 1000000, 0)
+                  AS BIGINT) AS x
       FROM embeddings e, unnest(range(1, len(e.embedding) + 1)) AS t(i)),
     prods AS (
       SELECT a.d AS di, b.d AS dj,
-             sum(CAST(a.x * b.x AS DECIMAL(30,12))) AS sp
+             sum(CAST(a.x * b.x AS DECIMAL(38,0))) AS sp
       FROM vals a JOIN vals b ON a.vec_id = b.vec_id AND b.d >= a.d
       GROUP BY 1, 2),
-    dims AS (SELECT d, count(*) AS n, sum(x) AS s FROM vals GROUP BY 1)
+    dims AS (SELECT d, count(*) AS n,
+                    sum(CAST(x AS DECIMAL(20,0))) AS s
+             FROM vals GROUP BY 1)
     SELECT p.di, p.dj, da.n,
-           round(CAST(p.sp AS DOUBLE) / da.n
-                 - (CAST(da.s AS DOUBLE) / da.n)
-                   * (CAST(db.s AS DOUBLE) / db.n), 6) + 0.0 AS cov
+           round(CAST(p.sp AS DOUBLE) / 1e12 / da.n
+                 - (CAST(da.s AS DOUBLE) / 1e6 / da.n)
+                   * (CAST(db.s AS DOUBLE) / 1e6 / db.n), 6) + 0.0 AS cov
     FROM prods p
     JOIN dims da ON da.d = p.di
     JOIN dims db ON db.d = p.dj
@@ -2980,40 +2982,45 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     the input to PCA/whitening and the correlation screen for redundant
     dimensions before indexing.
 
-    Scale shape: each vector emits its own dim-pair products IN-ROW
-    (nested `transform` over index pairs, one explode — the corpus is
-    never self-joined; the oracle's vec_id equi-join is the same sum by
-    DECIMAL associativity), and the shuffle is a (di, dj)-keyed partial
-    aggregate of at most dims²/2 groups — corpus-size-independent, like
-    the k-means centroid update. Products are exact DECIMAL(30,12) sums
-    of 6-decimal-quantized values, so both engines divide identical
-    numerators and the rounded doubles agree bit-for-bit.
+    Scale shape: each vector quantizes ONCE to a scaled-integer array
+    (round(v·10⁶) as BIGINT — the same fixed-point device as
+    `quantize_int8` and the PageRank units) and emits its dim-pair
+    products IN-ROW (nested `transform` + one explode; the corpus is
+    never self-joined — the oracle's vec_id equi-join is the same sum by
+    associativity). Products are BIGINT multiplies summed exactly as
+    DECIMAL(38,0) — integer arithmetic end-to-end until one final
+    double division, which both engines perform on identical numerators
+    (a first cut multiplied DECIMAL(18,6)s pairwise: 5× slower from
+    BigDecimal scaling — fixed-point beats decimal in the hot loop).
+    The shuffle is a (di, dj)-keyed partial aggregate of ≤ dims²/2
+    groups — corpus-size-independent, like the k-means centroid update.
     """
     emb = tbl(spark, sf_dir, "embeddings")
-    pairs = emb.select(
+    ints = emb.select(
+        F.expr(
+            "transform(embedding, v ->"
+            " CAST(round(CAST(v AS DOUBLE) * 1000000, 0) AS BIGINT))"
+        ).alias("x")
+    )
+    pairs = ints.select(
         F.explode(
             F.expr(
-                "flatten(transform(sequence(0, size(embedding)-1), i ->"
-                " transform(sequence(i, size(embedding)-1), j ->"
-                " struct(i AS di, j AS dj,"
-                " CAST(CAST(round(CAST(embedding[i] AS DOUBLE), 6)"
-                "  AS DECIMAL(18,6))"
-                " * CAST(round(CAST(embedding[j] AS DOUBLE), 6)"
-                "  AS DECIMAL(18,6)) AS DECIMAL(30,12)) AS p))))"
+                "flatten(transform(sequence(0, size(x)-1), i ->"
+                " transform(sequence(i, size(x)-1), j ->"
+                " struct(i AS di, j AS dj, x[i] * x[j] AS p))))"
             )
         ).alias("c")
     ).select("c.di", "c.dj", "c.p")
-    prods = pairs.groupBy("di", "dj").agg(F.sum("p").alias("sp"))
+    prods = pairs.groupBy("di", "dj").agg(
+        F.sum(F.col("p").cast("decimal(38,0)")).alias("sp")
+    )
     dims = (
-        emb.select(F.posexplode("embedding").alias("d", "v"))
-        .select(
-            "d",
-            F.round(F.col("v").cast("double"), 6)
-            .cast("decimal(18,6)")
-            .alias("x"),
-        )
+        ints.select(F.posexplode("x").alias("d", "xi"))
         .groupBy("d")
-        .agg(F.count("*").alias("n"), F.sum("x").alias("s"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("xi").cast("decimal(20,0)")).alias("s"),
+        )
     )
     da = dims.select(
         F.col("d").alias("di"), F.col("n"), F.col("s").alias("sa")
@@ -3030,9 +3037,9 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
             # -0.0 on one engine and 0.0 on the other)
             (
                 F.round(
-                    F.col("sp").cast("double") / F.col("n")
-                    - (F.col("sa").cast("double") / F.col("n"))
-                    * (F.col("sb").cast("double") / F.col("n")),
+                    F.col("sp").cast("double") / F.lit(1e12) / F.col("n")
+                    - (F.col("sa").cast("double") / F.lit(1e6) / F.col("n"))
+                    * (F.col("sb").cast("double") / F.lit(1e6) / F.col("n")),
                     6,
                 )
                 + F.lit(0.0)

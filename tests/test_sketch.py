@@ -37,3 +37,33 @@ def test_wide_sketch_is_exact_for_sparse_keys(spark):
     sk = cms_build(df, F.col("k"), w=4096, d=4)
     est = cms_estimate(sk, _exact(df), F.col("k"), w=4096, d=4)
     assert est.where(F.col("cms_n") != F.col("exact_n")).count() == 0
+
+
+def test_lsh_tune_meets_recall_and_minimizes_background_collisions():
+    from etl_process_spark.operators.dedup import (
+        lsh_collision_probability,
+        lsh_tune,
+    )
+
+    for threshold, recall in [(0.6, 0.9), (0.8, 0.95), (0.3, 0.9)]:
+        b, r = lsh_tune(threshold, recall, max_hashes=64)
+        assert b * r <= 64
+        assert lsh_collision_probability(threshold, b, r) >= recall
+        # optimality: nothing within budget that meets recall has a
+        # lower false-candidate probability at the background similarity
+        bg = threshold / 2.0
+        p_best = lsh_collision_probability(bg, b, r)
+        for rr in range(1, 65):
+            for bb in range(1, 64 // rr + 1):
+                if lsh_collision_probability(threshold, bb, rr) >= recall:
+                    assert (
+                        lsh_collision_probability(bg, bb, rr) >= p_best - 1e-12
+                    )
+
+
+def test_lsh_tune_sharper_rows_for_higher_thresholds():
+    from etl_process_spark.operators.dedup import lsh_tune
+
+    _, r_low = lsh_tune(0.3, 0.9)
+    _, r_high = lsh_tune(0.9, 0.9)
+    assert r_high > r_low  # high-threshold dedup affords a sharper curve
