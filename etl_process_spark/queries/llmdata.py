@@ -3046,3 +3046,54 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cov"),
         )
     )
+
+
+@query(
+    "corpus_datasheet",
+    f"""
+    WITH t AS (SELECT doc_id, lang, source, n_chars,
+                      md5(array_to_string({_TOKS}, ' ')) AS fp,
+                      len({_TOKS}) AS n_toks
+               FROM documents)
+    SELECT count(*) AS n_docs,
+           CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+           count(DISTINCT lang) AS n_langs,
+           count(DISTINCT source) AS n_sources,
+           count(*) - count(DISTINCT fp) AS n_exact_dup_docs,
+           CAST(100 * sum(n_toks) // count(*) AS BIGINT)
+             AS mean_tokens_x100,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars_total
+    FROM t
+    """,
+)
+def corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-row dataset card ("Datasheets for Datasets", Gebru et al.
+    2021): corpus size in docs/tokens/chars, language and source
+    diversity, exact-duplicate mass, mean doc length — the summary a
+    training run records next to its data snapshot.
+
+    Everything folds into ONE full-width aggregation (count-distincts
+    expand to partial aggs over the small lang/source/fp key spaces);
+    integer metrics only — mean length ships as a ×100 BIGINT
+    (integer division, both engines) so the card is hash-exact with no
+    float boundary anywhere.
+    """
+    docs = tbl(spark, sf_dir, "documents")
+    t = docs.select(
+        "lang",
+        "source",
+        "n_chars",
+        tx.fingerprint(F.col("text")).alias("fp"),
+        F.size(tx.tokens(F.col("text"))).alias("n_toks"),
+    )
+    return t.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("n_tokens"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.count_distinct("source").alias("n_sources"),
+        (F.count(F.lit(1)) - F.count_distinct("fp")).alias("n_exact_dup_docs"),
+        F.expr("CAST((100 * sum(n_toks)) div count(*) AS BIGINT)").alias(
+            "mean_tokens_x100"
+        ),
+        F.sum("n_chars").cast("long").alias("n_chars_total"),
+    )

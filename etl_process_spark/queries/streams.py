@@ -9,6 +9,7 @@ stream-vs-batch equivalence itself is covered in tests/test_streaming.py.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from etl_process_spark.queries.registry import query, tbl
 from etl_process_spark.streaming.stateful import sessionize_batch
@@ -141,3 +142,59 @@ def trending_types_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_per_window(
         tumbling_counts(ev, window_duration="6 hours", watermark=None), k=2
     )
+
+
+@query(
+    "late_window_rebuild",
+    """
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def late_window_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-data backfill for a stored windowed rollup — IVM for
+    tumbling windows: events with event_id % 13 = 0 play the late
+    arrivals (below the watermark when `hourly_rollup` was last
+    committed), and the repair recomputes ONLY the hours the late batch
+    touches, splicing them over the stored rows:
+
+        new = stored ▷ touched_hours  ∪  recompute(all events ⋉ touched)
+
+    The oracle recomputes the whole rollup — hash equality is the
+    windowed-IVM theorem: a late batch costs O(late ∪ touched-window
+    events), never a full-history rescan. This is exactly what
+    `streaming/windows.py`'s watermarked aggregates do inside Spark's
+    state store; here it is the BATCH repair path for data arriving
+    after watermark expiry (the case streaming must drop). Touched
+    hours broadcast (≤ window count); both aggregates share the
+    (hour, type) exchange shape; DECIMAL sums splice exactly.
+    """
+    ev = tbl(spark, sf_dir, "events")
+    late = ev.where(F.col("event_id") % 13 == 0)
+    early = ev.where(F.col("event_id") % 13 != 0)
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.date_trunc("hour", "ts").alias("window_start"), "event_type"
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,4)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+
+    stored = rollup(early)
+    touched = late.select(
+        F.date_trunc("hour", "ts").alias("window_start")
+    ).distinct()
+    untouched = stored.join(F.broadcast(touched), "window_start", "left_anti")
+    rebuilt = rollup(
+        ev.join(
+            F.broadcast(touched),
+            F.date_trunc("hour", "ts") == F.col("window_start"),
+        ).drop("window_start")
+    )
+    return untouched.unionByName(rebuilt)
