@@ -2310,3 +2310,71 @@ def exact_median_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return picked.select(
         "event_type", "n", F.round(F.col("value"), 6).alias("median")
     )
+
+
+@query(
+    "part_entity_clusters",
+    """
+    WITH RECURSIVE names AS (SELECT DISTINCT p_name FROM part),
+    pairs AS (
+      SELECT a.p_name AS pa, b.p_name AS pb
+      FROM names a JOIN names b
+        ON substr(a.p_name, 1, 1) = substr(b.p_name, 1, 1)
+       AND abs(length(a.p_name) - length(b.p_name)) <= 1
+       AND a.p_name < b.p_name
+      WHERE levenshtein(a.p_name, b.p_name) <= 2),
+    edges AS (SELECT pa AS ea, pb AS eb FROM pairs
+              UNION SELECT pb, pa FROM pairs),
+    reach(n, m) AS (
+      SELECT ea, eb FROM edges
+      UNION
+      SELECT r.n, e.eb FROM reach r JOIN edges e ON r.m = e.ea),
+    comp AS (SELECT n, least(n, min(m)) AS c FROM reach GROUP BY n)
+    SELECT nm.p_name,
+           coalesce(c.c, nm.p_name) AS entity_id,
+           count(*) OVER (PARTITION BY coalesce(c.c, nm.p_name))
+             AS n_members
+    FROM names nm LEFT JOIN comp c ON c.n = nm.p_name
+    """,
+)
+def part_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution end-to-end: blocking (`similar_part_names`'s
+    first-char + length-band block) → edit-distance≤2 match edges →
+    connected components → every name labeled with its entity's
+    canonical (smallest) name plus entity size; names matching nothing
+    stay singleton entities of themselves.
+
+    The composition that makes pairwise fuzzy matching USABLE: pairs
+    alone can't deduplicate (A~B, B~C but A≁C), the transitive closure
+    can. All three stages are the audited scale shapes — block-local
+    quadratic work, digest-sized CC iterations (`operators/graph.py`),
+    and the singleton pass-through is one anti join. Oracle replays
+    blocking + closure with a recursive CTE.
+    """
+    from etl_process_spark.operators.graph import connected_components
+
+    part = tbl(spark, sf_dir, "part")
+    names = part.select("p_name").distinct()
+    a = names.select(F.col("p_name").alias("pa"))
+    b = names.select(F.col("p_name").alias("pb"))
+    edges = (
+        a.join(
+            b,
+            (F.substring("pa", 1, 1) == F.substring("pb", 1, 1))
+            & (
+                F.abs(F.length("pa") - F.length("pb")) <= 1
+            )
+            & (F.col("pa") < F.col("pb")),
+        )
+        .where(F.levenshtein("pa", "pb") <= 2)
+    )
+    cc = connected_components(edges, "pa", "pb").select(
+        F.col("node").alias("p_name"), F.col("component").alias("c")
+    )
+    labeled = names.join(cc, "p_name", "left").select(
+        "p_name", F.coalesce("c", F.col("p_name")).alias("entity_id")
+    )
+    w = Window.partitionBy("entity_id")
+    return labeled.select(
+        "p_name", "entity_id", F.count(F.lit(1)).over(w).alias("n_members")
+    )
