@@ -1542,8 +1542,8 @@ def snapshot_diff_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(date_trunc('day', h) AS DATE) AS day, event_type,
            sum(n_events) AS n_events,
            CAST(sum(sum_value) AS DOUBLE) AS total_value,
-           round(CAST(sum(sum_value) AS DOUBLE) / sum(n_events), 6)
-             AS avg_value,
+           CAST(CAST(sum(sum_value) * 10000 AS BIGINT) * 100 // sum(n_events)
+                AS BIGINT) AS avg_micro,
            min(min_value) AS min_value, max(max_value) AS max_value
     FROM hourly
     GROUP BY 1, 2
@@ -1561,6 +1561,11 @@ def daily_from_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (hours × types) rows. Sums ride DECIMAL so the hour→day
     re-aggregation is exactly associative — double partial sums would
     make the lattice path and the direct path disagree in low bits.
+    The recomposed average is emitted as exact integer MICRO-units
+    (the scale-4 DECIMAL sum shifted to an exact BIGINT, then integer
+    division — Spark ``div`` ≡ DuckDB ``//``): round(DOUBLE, 6) at this
+    boundary hash-failed in round 2 because engines round to different
+    ulps; integer arithmetic cannot.
     """
     ev = tbl(spark, sf_dir, "events")
     hourly = ev.groupBy(
@@ -1577,12 +1582,20 @@ def daily_from_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.sum("n_events").alias("n_events"),
-            F.sum("sum_value").cast("double").alias("total_value"),
-            F.round(
-                F.sum("sum_value").cast("double") / F.sum("n_events"), 6
-            ).alias("avg_value"),
+            F.sum("sum_value").alias("sv"),
             F.min("min_value").alias("min_value"),
             F.max("max_value").alias("max_value"),
+        )
+        .select(
+            "day",
+            "event_type",
+            "n_events",
+            F.col("sv").cast("double").alias("total_value"),
+            F.expr("CAST(sv * 10000 AS BIGINT) * 100 div n_events").alias(
+                "avg_micro"
+            ),
+            "min_value",
+            "max_value",
         )
     )
 

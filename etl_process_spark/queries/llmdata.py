@@ -644,7 +644,7 @@ def eval_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot AS (SELECT doc_id, max(c) AS top_c, sum(c) AS n_grams
             FROM counts GROUP BY doc_id)
     SELECT doc_id, top_c, n_grams,
-           round(CAST(top_c AS DOUBLE) / n_grams, 6) AS top_gram_ratio
+           CAST((1000000 * top_c) // n_grams AS BIGINT) AS top_gram_ppm
     FROM tot
     """,
 )
@@ -657,8 +657,10 @@ def doc_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     Two key shuffles, both doc_id-prefixed: the (doc_id, gram) count
     shuffle carries map-side-combined partials (far smaller than the raw
     exploded grams), and the per-doc max/sum regroups those counts. The
-    ratio divides two exact integers in IEEE doubles — deterministic
-    across engines.
+    ratio is emitted as exact parts-per-million via INTEGER division
+    (Spark ``div`` ≡ DuckDB ``//``, both truncating) — no double ever
+    reaches the output boundary, so no engine's ``round(DOUBLE, n)``
+    ulp behavior can diverge the hash (the round-2 driver failure mode).
     """
     docs = tbl(spark, sf_dir, "documents")
     words = docs.select("doc_id", F.split("text", " ").alias("w")).filter(
@@ -680,9 +682,7 @@ def doc_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "top_c",
         "n_grams",
-        F.round(F.col("top_c").cast("double") / F.col("n_grams"), 6).alias(
-            "top_gram_ratio"
-        ),
+        F.expr("(1000000 * top_c) div n_grams").alias("top_gram_ppm"),
     )
 
 
@@ -1025,7 +1025,7 @@ def packed_sequence_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM tok LEFT JOIN vocab ON tok.t = vocab.t
       GROUP BY tok.doc_id)
     SELECT doc_id, n_tokens, n_oov,
-           round(CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS oov_rate
+           CAST((1000000 * n_oov) // n_tokens AS BIGINT) AS oov_ppm
     FROM scored
     """,
 )
@@ -1040,7 +1040,8 @@ def doc_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary is engine-exact; (2) the tiny vocab broadcasts back onto the
     exploded tokens (a map-side hash probe — the corpus is never
     re-shuffled for membership), and the per-doc aggregate groups on
-    doc_id. OOV fraction divides two exact longs in IEEE doubles.
+    doc_id. The OOV fraction is exact integer parts-per-million
+    (``div`` ≡ ``//``) — no round(DOUBLE) at the output boundary.
     """
     docs = tbl(spark, sf_dir, "documents")
     tok = docs.select(
@@ -1063,9 +1064,7 @@ def doc_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "doc_id", "n_tokens", "n_oov",
-            F.round(
-                F.col("n_oov").cast("double") / F.col("n_tokens").cast("double"), 6
-            ).alias("oov_rate"),
+            F.expr("(1000000 * n_oov) div n_tokens").alias("oov_ppm"),
         )
     )
 
