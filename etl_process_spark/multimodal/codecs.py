@@ -93,14 +93,21 @@ def decode_audio(content: bytes) -> dict:
     """
     import numpy as np
 
-    samples = np.frombuffer(content, dtype=np.uint8).astype("float64")
+    import math
+
+    samples = np.frombuffer(content, dtype=np.uint8).astype("int64")
     if samples.size == 0:
-        return {"n_samples": 0, "mean_amp": 0.0, "rms": 0.0}
-    centered = samples - 128.0
+        return {"n_samples": 0, "mean_amp_ppm": 0, "rms_e6": 0}
+    centered = samples - 128
+    n = int(samples.size)
+    # exact integer sums (|x| <= 128), so the boundary values are pure
+    # integer ppm / floor(x*1e6) — no engine round() can diverge them
+    abs_sum = int(np.abs(centered).sum())
+    sq_sum = int((centered * centered).sum())
     return {
-        "n_samples": int(samples.size),
-        "mean_amp": _round6_half_up(float(np.abs(centered).mean())),
-        "rms": _round6_half_up(float(np.sqrt((centered**2).mean()))),
+        "n_samples": n,
+        "mean_amp_ppm": (1000000 * abs_sum) // n,
+        "rms_e6": math.floor(math.sqrt(sq_sum / n) * 1000000.0),
     }
 
 

@@ -25,7 +25,9 @@ from etl_process_spark.multimodal import codecs
 IMAGE_STATS_SCHEMA = (
     "asset_id long, width int, height int, channels int, mean_luma double"
 )
-AUDIO_FEATURES_SCHEMA = "asset_id long, n_samples int, mean_amp double, rms double"
+AUDIO_FEATURES_SCHEMA = (
+    "asset_id long, n_samples int, mean_amp_ppm long, rms_e6 long"
+)
 FRAME_SCHEMA = "asset_id long, frame_idx int, frame_len int, frame_bytes binary"
 
 

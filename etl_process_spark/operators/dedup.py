@@ -360,9 +360,14 @@ def embedding_neardup_pairs(
         cand.select(F.col("doc_a").alias("vec_a"), F.col("doc_b").alias("vec_b"))
         .join(va, "vec_a")
         .join(vb, "vec_b")
-        .withColumn("cos_sim", F.round(cosine(F.col("va"), F.col("vb")), 6))
-        .filter(F.col("cos_sim") >= threshold)
-        .select("vec_a", "vec_b", "cos_sim")
+        .withColumn(
+            "cos_sim_e6",
+            F.floor(cosine(F.col("va"), F.col("vb")) * F.lit(1000000.0)).cast(
+                "long"
+            ),
+        )
+        .filter(F.col("cos_sim_e6") >= int(threshold * 1000000))
+        .select("vec_a", "vec_b", "cos_sim_e6")
     )
 
 
@@ -410,15 +415,11 @@ def ngram_jaccard_pairs(
     return (
         inter.join(sa, "doc_a").join(sb, "doc_b")
         .withColumn(
-            "jaccard",
-            F.round(
-                F.col("n_common").cast("double")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
-                6,
-            ),
+            "jaccard_ppm",
+            F.expr("(1000000 * n_common) div (n_a + n_b - n_common)"),
         )
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
+        .filter(F.col("jaccard_ppm") >= int(threshold * 1000000))
+        .select("doc_a", "doc_b", "jaccard_ppm")
     )
 
 
@@ -682,7 +683,7 @@ def _allpairs_verify(
         .where(F.lit(den) * F.col("i") >= F.lit(num) * F.col("u"))
         .select(
             "doc_a", "doc_b",
-            F.round(F.col("i").cast("double") / F.col("u"), 6).alias("jaccard"),
+            F.expr("(1000000 * i) div u").alias("jaccard_ppm"),
         )
     )
 

@@ -48,6 +48,12 @@ def global_ordinals(
     leading keys share a bucket). Violations are a contract bug; the
     unit test cross-checks against the one-partition window.
     """
+    clash = {"__bucket", "__offset"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"global_ordinals: input columns {sorted(clash)} collide with "
+            "internal scratch names; rename them before calling"
+        )
     bucketed = df.withColumn("__bucket", bucket)
     counts = bucketed.groupBy("__bucket").agg(F.count(F.lit(1)).alias("__n"))
     # n_buckets rows: the one intentionally-serial window in the plan.

@@ -12,10 +12,12 @@ Scale design:
   into cells (here: the `label` column as the cell assignment; in
   production, k-means centroids), compute cell centroids, and search only
   the best cell(s) per query — candidate count drops by the cell factor.
-* Cosine values are rounded to 6 decimals before ranking with a
-  deterministic (score, id) tie-break, so results are reproducible across
-  engines and partitionings (double summation order differs; 1e-15 noise
-  must not reorder top-k).
+* Scores cross the output boundary as exact fixed-point BIGINTs
+  (``floor(x * 1e6)``) ranked with a deterministic (score, id) tie-break,
+  so results are reproducible across engines and partitionings. floor of
+  one IEEE multiply is engine-exact given identical inputs, unlike
+  ``round(DOUBLE, 6)`` whose internal scaling differs per engine build
+  (the round-2 driver hash failures).
 """
 
 from __future__ import annotations
@@ -26,6 +28,14 @@ from pyspark.sql import functions as F
 
 def _dbl(arr: Column) -> Column:
     return F.transform(arr, lambda x: x.cast("double"))
+
+
+def fixed_e6(x: Column) -> Column:
+    """Exact fixed-point boundary: floor(x·10⁶) as BIGINT — one IEEE
+    multiply (by an exactly-representable constant) and one floor, both
+    bit-identical across engines given identical ``x``. DuckDB mirror:
+    ``CAST(floor(x * 1000000) AS BIGINT)``."""
+    return F.floor(x * F.lit(1000000.0)).cast("long")
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -58,9 +68,9 @@ def cosine_topk(
     j = df.crossJoin(F.broadcast(query_vec))
     scored = j.select(
         F.col(id_col),
-        F.round(cosine(F.col(vec_col), F.col("q")), 6).alias("cos_sim"),
+        fixed_e6(cosine(F.col(vec_col), F.col("q"))).alias("cos_sim_e6"),
     )
-    return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
+    return scored.orderBy(F.col("cos_sim_e6").desc(), F.col(id_col)).limit(k)
 
 
 def ivf_centroids(
@@ -105,13 +115,15 @@ def ivf_topk_per_cell(
     scored = j.select(
         F.col("cell"),
         F.col(id_col),
-        F.round(d2, 6).alias("dist2"),
+        fixed_e6(d2).alias("dist2_e6"),
     )
-    w = Window.partitionBy("cell").orderBy(F.col("dist2").asc(), F.col(id_col).asc())
+    w = Window.partitionBy("cell").orderBy(
+        F.col("dist2_e6").asc(), F.col(id_col).asc()
+    )
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
-        .select("cell", F.col(id_col), "dist2", "rn")
+        .select("cell", F.col(id_col), "dist2_e6", "rn")
     )
 
 
@@ -137,7 +149,9 @@ def ivf_search(
     cents = ivf_centroids(df, cell_col, vec_col)
     ranked = (
         cents.crossJoin(F.broadcast(query_vec))
-        .select("cell", F.round(cosine(F.col("centroid"), F.col("q")), 6).alias("csim"))
+        .select(
+            "cell", fixed_e6(cosine(F.col("centroid"), F.col("q"))).alias("csim")
+        )
         .orderBy(F.col("csim").desc(), F.col("cell"))
         .limit(nprobe)
         .select("cell")
@@ -180,7 +194,7 @@ def knn_join(
             q.crossJoin(F.broadcast(cents))
             .select(
                 "qid", "qvec", "cell",
-                F.round(cosine(F.col("centroid"), F.col("qvec")), 6).alias("csim"),
+                fixed_e6(cosine(F.col("centroid"), F.col("qvec"))).alias("csim"),
             )
             .withColumn("crn", F.row_number().over(cell_w))
             .filter(F.col("crn") <= nprobe)
@@ -191,15 +205,20 @@ def knn_join(
         )
     else:
         cand = corpus.crossJoin(F.broadcast(q))
-    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cos_sim_e6").desc(), F.col(id_col).asc()
+    )
     return (
         cand.select(
             "qid", F.col(id_col),
-            F.round(cosine(F.col(vec_col), F.col("qvec")), 6).alias("cos_sim"),
+            fixed_e6(cosine(F.col(vec_col), F.col("qvec"))).alias("cos_sim_e6"),
         )
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
-        .select("qid", F.col(id_col), "cos_sim", F.col("rn").cast("int").alias("rn"))
+        .select(
+            "qid", F.col(id_col), "cos_sim_e6",
+            F.col("rn").cast("int").alias("rn"),
+        )
     )
 
 

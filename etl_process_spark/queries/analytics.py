@@ -239,9 +239,12 @@ def parts_never_returned_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     "brand_price_quantiles",
     """
     SELECT p_brand,
-           round(quantile_cont(p_retailprice, 0.25), 6) AS q1,
-           round(quantile_cont(p_retailprice, 0.50), 6) AS median,
-           round(quantile_cont(p_retailprice, 0.75), 6) AS q3
+           CAST(floor(quantile_cont(p_retailprice, 0.25) * 1000000) AS BIGINT)
+             AS q1_e6,
+           CAST(floor(quantile_cont(p_retailprice, 0.50) * 1000000) AS BIGINT)
+             AS median_e6,
+           CAST(floor(quantile_cont(p_retailprice, 0.75) * 1000000) AS BIGINT)
+             AS q3_e6
     FROM part
     GROUP BY p_brand
     """,
@@ -252,9 +255,12 @@ def brand_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx_percentile computes a mergeable KLL-style sketch map-side
     instead, same call shape)."""
     pt = tbl(spark, sf_dir, "part")
-    q = lambda f: F.round(F.percentile("p_retailprice", F.lit(f)), 6)  # noqa: E731
+    q = lambda f: F.floor(  # noqa: E731
+        F.percentile("p_retailprice", F.lit(f)) * F.lit(1000000.0)
+    ).cast("long")
     return pt.groupBy("p_brand").agg(
-        q(0.25).alias("q1"), q(0.50).alias("median"), q(0.75).alias("q3")
+        q(0.25).alias("q1_e6"), q(0.50).alias("median_e6"),
+        q(0.75).alias("q3_e6"),
     )
 
 
@@ -262,8 +268,10 @@ def brand_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "approx_price_quantiles",
     """
     SELECT p_brand,
-           round(quantile_cont(p_retailprice, 0.25), 6) AS q1,
-           round(quantile_cont(p_retailprice, 0.75), 6) AS q3,
+           CAST(floor(quantile_cont(p_retailprice, 0.25) * 1000000) AS BIGINT)
+             AS q1_e6,
+           CAST(floor(quantile_cont(p_retailprice, 0.75) * 1000000) AS BIGINT)
+             AS q3_e6,
            TRUE AS estimate_ok
     FROM part
     GROUP BY p_brand
@@ -282,16 +290,20 @@ def approx_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     per group alongside the exact quartiles.
     """
     pt = tbl(spark, sf_dir, "part")
+    qf = lambda f: F.floor(  # noqa: E731
+        F.percentile("p_retailprice", F.lit(f)) * F.lit(1000000.0)
+    ).cast("long")
     agg = pt.groupBy("p_brand").agg(
-        F.round(F.percentile("p_retailprice", F.lit(0.25)), 6).alias("q1"),
-        F.round(F.percentile("p_retailprice", F.lit(0.75)), 6).alias("q3"),
+        qf(0.25).alias("q1_e6"),
+        qf(0.75).alias("q3_e6"),
         F.approx_percentile("p_retailprice", F.lit(0.5), F.lit(10000)).alias("am"),
     )
     return agg.select(
-        "p_brand", "q1", "q3",
-        ((F.col("q1") <= F.col("am")) & (F.col("am") <= F.col("q3"))).alias(
-            "estimate_ok"
-        ),
+        "p_brand", "q1_e6", "q3_e6",
+        (
+            (F.col("q1_e6") <= F.col("am") * 1000000)
+            & (F.col("am") * 1000000 <= F.col("q3_e6") + 1)
+        ).alias("estimate_ok"),
     )
 
 
@@ -1423,7 +1435,8 @@ def zorder_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY 1),
     wed AS (SELECT sum(d * (d - 1) / 2) AS wedges FROM deg)
     SELECT triangles, CAST(wedges AS BIGINT) AS wedges,
-           round(3.0 * triangles / wedges, 6) AS global_cc
+           CAST((3000000 * triangles) // CAST(wedges AS BIGINT) AS BIGINT)
+             AS global_cc_ppm
     FROM tri CROSS JOIN wed
     """,
 )
@@ -1466,7 +1479,7 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return tri.crossJoin(F.broadcast(wed)).select(
         "triangles", "wedges",
-        F.round(3.0 * F.col("triangles") / F.col("wedges"), 6).alias("global_cc"),
+        F.expr("(3000000 * triangles) div wedges").alias("global_cc_ppm"),
     )
 
 

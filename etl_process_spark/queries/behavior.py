@@ -108,7 +108,8 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT f.cohort_week,
            CAST(date_diff('day', f.cohort_week, a.w) / 7 AS INT) AS week_offset,
            count(*) AS active_users,
-           round(count(*) * 1.0 / any_value(s.cohort_size), 6) AS retention_pct
+           CAST((1000000 * count(*)) // any_value(s.cohort_size) AS BIGINT)
+             AS retention_ppm
     FROM first_seen f
     JOIN active a ON f.user_id = a.user_id
     JOIN cohort_sizes s ON f.cohort_week = s.cohort_week
@@ -141,8 +142,8 @@ def cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .cast("int").alias("week_offset"))
         .agg(
             F.count("*").alias("active_users"),
-            F.round(F.count("*") / F.any_value("cohort_size"), 6)
-            .alias("retention_pct"),
+            F.expr("(1000000 * count(*)) div any_value(cohort_size)")
+            .alias("retention_ppm"),
         )
     )
 
@@ -327,14 +328,16 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
              count(*) AS n_events,
              count(DISTINCT user_id) AS n_users,
-             round(CAST(sum(CAST(value AS DECIMAL(12,4))) AS DOUBLE)
-                   / count(*), 6) AS avg_value
+             CAST(CAST(sum(CAST(value AS DECIMAL(12,4))) * 10000 AS BIGINT)
+                  * 100 // count(*) AS BIGINT) AS avg_micro
       FROM events GROUP BY 1)
-    SELECT day, n_events, n_users, avg_value,
-           round(n_events * 1.0 / lag(n_events) OVER (ORDER BY day) - 1, 6)
-             AS volume_drift,
-           round(avg_value / lag(avg_value) OVER (ORDER BY day) - 1, 6)
-             AS value_drift
+    SELECT day, n_events, n_users, avg_micro,
+           CAST((1000000 * (n_events - lag(n_events) OVER (ORDER BY day)))
+                // nullif(lag(n_events) OVER (ORDER BY day), 0) AS BIGINT)
+             AS volume_drift_ppm,
+           CAST((1000000 * (avg_micro - lag(avg_micro) OVER (ORDER BY day)))
+                // nullif(lag(avg_micro) OVER (ORDER BY day), 0) AS BIGINT)
+             AS value_drift_ppm
     FROM daily
     """,
 )
@@ -356,20 +359,24 @@ def daily_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.count_distinct("user_id").alias("n_users"),
         # DECIMAL sum, not avg(double): float partial sums are
-        # partition-order-dependent and flip 6-decimal rounding
-        # boundaries (seen at local[4] vs local[32])
-        F.round(
-            F.sum(F.col("value").cast("decimal(12,4)")).cast("double")
-            / F.count("*"), 6,
-        ).alias("avg_value"),
+        # partition-order-dependent. The mean crosses the boundary as
+        # exact integer micro-units (scale-4 sum shifted to BIGINT, then
+        # integer division) — no engine round() at the edge.
+        F.expr(
+            "CAST(sum(CAST(value AS DECIMAL(12,4))) * 10000 AS BIGINT)"
+            " * 100 div count(*)"
+        ).alias("avg_micro"),
     )
-    w = Window.orderBy("day")
     return daily.select(
-        "day", "n_events", "n_users", "avg_value",
-        F.round(F.col("n_events") / F.lag("n_events").over(w) - 1, 6)
-        .alias("volume_drift"),
-        F.round(F.col("avg_value") / F.lag("avg_value").over(w) - 1, 6)
-        .alias("value_drift"),
+        "day", "n_events", "n_users", "avg_micro",
+        F.expr(
+            "(1000000 * (n_events - lag(n_events) OVER (ORDER BY day)))"
+            " div nullif(lag(n_events) OVER (ORDER BY day), 0)"
+        ).alias("volume_drift_ppm"),
+        F.expr(
+            "(1000000 * (avg_micro - lag(avg_micro) OVER (ORDER BY day)))"
+            " div nullif(lag(avg_micro) OVER (ORDER BY day), 0)"
+        ).alias("value_drift_ppm"),
     )
 
 
@@ -503,6 +510,11 @@ def debounced_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     a per-row comparison — no self-join against a time band, which is
     the naive O(events × window) formulation. Ties at equal ts are
     ordered by event_id so both engines see the same predecessor.
+
+    The gap compares at FULL microsecond precision (unix_micros diff >
+    300_000_000), matching the oracle's exact interval comparison —
+    casting to whole seconds would silently keep/drop events whose true
+    gap falls in (300 s, 301 s) on data less quantized than the fixture.
     """
     ev = tbl(spark, sf_dir, "events")
     w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
@@ -512,5 +524,5 @@ def debounced_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return d.where(
         F.col("prev_ts").isNull()
-        | (F.col("ts").cast("long") - F.col("prev_ts").cast("long") > 300)
+        | (F.unix_micros("ts") - F.unix_micros("prev_ts") > 300_000_000)
     ).select("event_id", "user_id", "event_type", "ts")

@@ -123,12 +123,13 @@ def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
          ),
          sizes AS (SELECT doc_id, len(s) AS n FROM sh)
     SELECT i.doc_a, i.doc_b,
-           round(CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common), 6) AS jaccard
+           CAST((1000000 * i.n_common) // (sa.n + sb.n - i.n_common) AS BIGINT)
+             AS jaccard_ppm
     FROM inter i
     JOIN cand c ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
     JOIN sizes sa ON i.doc_a = sa.doc_id
     JOIN sizes sb ON i.doc_b = sb.doc_id
-    WHERE round(CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common), 6) >= 0.2
+    WHERE (1000000 * i.n_common) // (sa.n + sb.n - i.n_common) >= 200000
     """,
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -234,15 +235,16 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 _COS_TOPK_SQL = """
     WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
     SELECT vec_id,
-           round(
+           CAST(floor(
              list_sum([embedding[i]::DOUBLE * qe[i]::DOUBLE
                        for i in range(1, len(embedding)+1)])
              / (sqrt(list_sum([embedding[i]::DOUBLE * embedding[i]::DOUBLE
                                for i in range(1, len(embedding)+1)]))
                 * sqrt(list_sum([qe[i]::DOUBLE * qe[i]::DOUBLE
-                                 for i in range(1, len(qe)+1)]))), 6) AS cos_sim
+                                 for i in range(1, len(qe)+1)])))
+             * 1000000) AS BIGINT) AS cos_sim_e6
     FROM embeddings, q
-    ORDER BY cos_sim DESC, vec_id
+    ORDER BY cos_sim_e6 DESC, vec_id
     LIMIT 10
     """
 
@@ -269,13 +271,15 @@ def embedding_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     dist AS (
       SELECT e.label AS cell, e.vec_id,
-             round(sum((e.embedding[c.i]::DOUBLE - c.c) * (e.embedding[c.i]::DOUBLE - c.c)), 6) AS dist2
+             CAST(floor(sum((e.embedding[c.i]::DOUBLE - c.c)
+                            * (e.embedding[c.i]::DOUBLE - c.c)) * 1000000)
+                  AS BIGINT) AS dist2_e6
       FROM embeddings e JOIN cent c ON e.label = c.cell
       GROUP BY e.label, e.vec_id
     )
-    SELECT cell, vec_id, dist2, CAST(rn AS INT) AS rn FROM (
-      SELECT cell, vec_id, dist2,
-             row_number() OVER (PARTITION BY cell ORDER BY dist2, vec_id) AS rn
+    SELECT cell, vec_id, dist2_e6, CAST(rn AS INT) AS rn FROM (
+      SELECT cell, vec_id, dist2_e6,
+             row_number() OVER (PARTITION BY cell ORDER BY dist2_e6, vec_id) AS rn
       FROM dist
     ) WHERE rn <= 3
     """,
@@ -317,13 +321,15 @@ def _neardup_codes_sql(nbits: int = 8, nbands: int = 4, dim: int = 64) -> str:
                       sqrt(list_sum([x::DOUBLE * x::DOUBLE for x in embedding])) AS nrm
                FROM embeddings)
     SELECT c.vec_a, c.vec_b,
-           round(list_sum([a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE
-                           for i in range(1, 65)]) / (a.nrm * b.nrm), 6) AS cos_sim
+           CAST(floor(list_sum([a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE
+                                for i in range(1, 65)]) / (a.nrm * b.nrm)
+                      * 1000000) AS BIGINT) AS cos_sim_e6
     FROM cand c
     JOIN n a ON c.vec_a = a.vec_id
     JOIN n b ON c.vec_b = b.vec_id
-    WHERE round(list_sum([a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE
-                          for i in range(1, 65)]) / (a.nrm * b.nrm), 6) >= 0.4
+    WHERE floor(list_sum([a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE
+                          for i in range(1, 65)]) / (a.nrm * b.nrm)
+                * 1000000) >= 400000
     """,
 )
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1082,22 +1088,23 @@ def doc_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     cellsim AS (
       SELECT cell,
-             round(sum(c * qe[i]::DOUBLE) / (sqrt(sum(c * c)) * any_value(qnorm)), 6)
-               AS csim
+             CAST(floor(sum(c * qe[i]::DOUBLE)
+                        / (sqrt(sum(c * c)) * any_value(qnorm))
+                        * 1000000) AS BIGINT) AS csim
       FROM cent, q, qn
       GROUP BY cell
     ),
     probe AS (SELECT cell FROM cellsim ORDER BY csim DESC, cell LIMIT 6)
     SELECT vec_id,
-           round(
+           CAST(floor(
              list_sum([embedding[i]::DOUBLE * qe[i]::DOUBLE
                        for i in range(1, len(embedding)+1)])
              / (sqrt(list_sum([embedding[i]::DOUBLE * embedding[i]::DOUBLE
                                for i in range(1, len(embedding)+1)]))
-                * any_value(qnorm)), 6) AS cos_sim
+                * any_value(qnorm)) * 1000000) AS BIGINT) AS cos_sim_e6
     FROM embeddings e JOIN probe p ON e.label = p.cell, q, qn
     GROUP BY vec_id, embedding, qe
-    ORDER BY cos_sim DESC, vec_id
+    ORDER BY cos_sim_e6 DESC, vec_id
     LIMIT 10
     """,
 )
@@ -1126,8 +1133,9 @@ def ivf_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     cellsim AS (
       SELECT qs.qid, cent.cell,
-             round(sum(cent.c * qs.qe[cent.i]::DOUBLE)
-                   / (sqrt(sum(cent.c * cent.c)) * any_value(qn.qnorm)), 6) AS csim
+             CAST(floor(sum(cent.c * qs.qe[cent.i]::DOUBLE)
+                        / (sqrt(sum(cent.c * cent.c)) * any_value(qn.qnorm))
+                        * 1000000) AS BIGINT) AS csim
       FROM cent CROSS JOIN qs JOIN qn ON qn.qid = qs.qid
       GROUP BY qs.qid, cent.cell
     ),
@@ -1139,18 +1147,19 @@ def ivf_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     scored AS (
       SELECT p.qid, e.vec_id,
-             round(
+             CAST(floor(
                list_sum([e.embedding[i]::DOUBLE * qs.qe[i]::DOUBLE
                          for i in range(1, len(e.embedding)+1)])
                / (sqrt(list_sum([e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE
                                  for i in range(1, len(e.embedding)+1)]))
-                  * qn.qnorm), 6) AS cos_sim
+                  * qn.qnorm) * 1000000) AS BIGINT) AS cos_sim_e6
       FROM embeddings e JOIN probe p ON e.label = p.cell
            JOIN qs ON qs.qid = p.qid JOIN qn ON qn.qid = p.qid
     )
-    SELECT qid, vec_id, cos_sim, CAST(rn AS INT) AS rn FROM (
-      SELECT qid, vec_id, cos_sim,
-             row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rn
+    SELECT qid, vec_id, cos_sim_e6, CAST(rn AS INT) AS rn FROM (
+      SELECT qid, vec_id, cos_sim_e6,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY cos_sim_e6 DESC, vec_id) AS rn
       FROM scored) WHERE rn <= 5
     """,
 )
@@ -1180,13 +1189,14 @@ def knn_join_probed(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM embeddings)),
     qv AS (SELECT q AS query_q FROM qz WHERE vec_id = 0)
     SELECT vec_id,
-           round(
+           CAST(floor(
              list_sum([ (q[i] * query_q[i])::DOUBLE for i in range(1, len(q)+1) ])
              / (sqrt(list_sum([ (q[i] * q[i])::DOUBLE for i in range(1, len(q)+1) ]))
                 * sqrt(list_sum([ (query_q[i] * query_q[i])::DOUBLE
-                                  for i in range(1, len(query_q)+1) ]))), 6) AS cos_sim_q
+                                  for i in range(1, len(query_q)+1) ])))
+             * 1000000) AS BIGINT) AS cos_sim_q_e6
     FROM qz, qv
-    ORDER BY cos_sim_q DESC, vec_id
+    ORDER BY cos_sim_q_e6 DESC, vec_id
     LIMIT 10
     """,
 )
@@ -1212,14 +1222,13 @@ def embedding_topk_cosine_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         qdf.crossJoin(F.broadcast(qv))
         .select(
             "vec_id",
-            F.round(
+            sim.fixed_e6(
                 sim.cosine_quantized(
                     F.col("qvec"), F.col("query_q"), b_norm=F.col("qnorm")
-                ),
-                6,
-            ).alias("cos_sim_q"),
+                )
+            ).alias("cos_sim_q_e6"),
         )
-        .orderBy(F.col("cos_sim_q").desc(), F.col("vec_id"))
+        .orderBy(F.col("cos_sim_q_e6").desc(), F.col("vec_id"))
         .limit(10)
     )
 
@@ -1300,8 +1309,8 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT g.doc_id,
            count(*) AS n_grams,
            count(b.gram) AS n_boiler,
-           round(count(b.gram) * 1.0 / count(*), 6) AS boiler_pct,
-           count(b.gram) * 1.0 / count(*) <= 0.25 AS keep
+           CAST((1000000 * count(b.gram)) // count(*) AS BIGINT) AS boiler_ppm,
+           4 * count(b.gram) <= count(*) AS keep
     FROM g LEFT JOIN b ON g.gram = b.gram
     GROUP BY 1
     """,
@@ -1335,8 +1344,8 @@ def boilerplate_trigram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_grams"),
             F.count("is_b").alias("n_boiler"),
-            F.round(F.count("is_b") / F.count("*"), 6).alias("boiler_pct"),
-            (F.count("is_b") / F.count("*") <= 0.25).alias("keep"),
+            F.expr("(1000000 * count(is_b)) div count(*)").alias("boiler_ppm"),
+            (4 * F.count("is_b") <= F.count("*")).alias("keep"),
         )
     )
 
@@ -1399,14 +1408,15 @@ _BM25_TOPK_SQL = f"""
            GROUP BY doc_id, token),
     dfreq AS (SELECT token, count(*) AS dfr FROM tf GROUP BY 1),
     sc AS (SELECT tf.doc_id,
-                  sum(ln(1 + (s.n - df.dfr + 0.5) / (df.dfr + 0.5))
+                  sum(CAST(floor(ln(1 + (s.n - df.dfr + 0.5) / (df.dfr + 0.5))
                       * tf.tf * 2.2
-                      / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / s.avgdl)))
-                    AS score
+                      / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / s.avgdl))
+                      * 1000000000) AS BIGINT))
+                    AS score_e9
            FROM tf JOIN dfreq df ON tf.token = df.token CROSS JOIN stats s
            GROUP BY 1)
-    SELECT doc_id, round(score, 6) AS bm25
-    FROM sc ORDER BY bm25 DESC, doc_id LIMIT 20
+    SELECT doc_id, CAST(score_e9 // 1000 AS BIGINT) AS bm25_e6
+    FROM sc ORDER BY bm25_e6 DESC, doc_id LIMIT 20
     """
 
 
@@ -1444,12 +1454,17 @@ def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = idf * F.col("tf") * 2.2 / (
         F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl"))
     )
+    # per-term weights quantize to exact 1e-9 BIGINTs BEFORE the per-doc
+    # sum: integer addition is order-independent, so neither engine's
+    # aggregation order (nor Spark's partitioning) can move the score
+    w_e9 = F.floor(w * F.lit(1e9)).cast("long")
     return (
         tf.join(F.broadcast(dfreq), "token")
         .crossJoin(F.broadcast(stats))
+        .select("doc_id", w_e9.alias("w_e9"))
         .groupBy("doc_id")
-        .agg(F.round(F.sum(w), 6).alias("bm25"))
-        .orderBy(F.col("bm25").desc(), "doc_id")
+        .agg(F.expr("sum(w_e9) div 1000").alias("bm25_e6"))
+        .orderBy(F.col("bm25_e6").desc(), "doc_id")
         .limit(20)
     )
 
@@ -1466,7 +1481,7 @@ def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c.doc_id,
            count(*) AS n_chunks,
            count(s.fp) AS n_dup_chunks,
-           round(count(s.fp) * 1.0 / count(*), 6) AS dup_frac
+           CAST((1000000 * count(s.fp)) // count(*) AS BIGINT) AS dup_ppm
     FROM c LEFT JOIN shared s ON c.fp = s.fp
     GROUP BY 1
     """,
@@ -1514,7 +1529,7 @@ def duplicate_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_chunks"),
             F.count("is_shared").alias("n_dup_chunks"),
-            F.round(F.count("is_shared") / F.count("*"), 6).alias("dup_frac"),
+            F.expr("(1000000 * count(is_shared)) div count(*)").alias("dup_ppm"),
         )
     )
 
@@ -1553,8 +1568,8 @@ _KMEANS_CTES = _kmeans_ctes()
     f"""
     WITH {_KMEANS_CTES}
     SELECT a2.cluster, count(*) AS n_vecs,
-           round(sqrt(list_inner_product(any_value(c1.c), any_value(c1.c))), 6)
-             AS centroid_norm
+           CAST(floor(sqrt(list_inner_product(any_value(c1.c), any_value(c1.c)))
+                      * 1000000) AS BIGINT) AS centroid_norm_e6
     FROM a2 JOIN c1 ON a2.cluster = c1.cluster
     GROUP BY 1
     """,
@@ -1578,16 +1593,15 @@ def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = assigned.groupBy("cluster").agg(F.count("*").alias("n_vecs"))
     norms = cents.select(
         "cluster",
-        F.round(
+        sim.fixed_e6(
             F.sqrt(
                 F.aggregate(
                     F.zip_with(F.col("c"), F.col("c"), lambda x, y: x * y),
                     F.lit(0.0),
                     lambda a, x: a + x,
                 )
-            ),
-            6,
-        ).alias("centroid_norm"),
+            )
+        ).alias("centroid_norm_e6"),
     )
     return counts.join(F.broadcast(norms), "cluster")
 
@@ -1602,7 +1616,8 @@ def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     drops AS (
       SELECT DISTINCT b.vec_id
       FROM n a JOIN n b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
-      WHERE round(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.4)
+      WHERE floor(list_inner_product(a.v, b.v) / (a.nrm * b.nrm) * 1000000)
+              >= 400000)
     SELECT n.vec_id, n.cluster, d.vec_id IS NULL AS keep
     FROM n LEFT JOIN drops d ON n.vec_id = d.vec_id
     """,
@@ -1637,7 +1652,7 @@ def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .where(
-            F.round(sim.cosine(F.col("a.v"), F.col("b.v")), 6) >= 0.4
+            sim.fixed_e6(sim.cosine(F.col("a.v"), F.col("b.v"))) >= 400000
         )
         .select(F.col("b.vec_id").alias("vec_id"))
         .distinct()
@@ -2008,12 +2023,13 @@ def kmeans_incremental_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     n AS (SELECT count(*) AS n FROM documents),
     scored AS (
       SELECT tf.doc_id, tf.token,
-             round(tf.tf * ln(n.n * 1.0 / dfq.df), 6) AS tfidf
+             CAST(floor(tf.tf * ln(n.n * 1.0 / dfq.df) * 1000000) AS BIGINT)
+               AS tfidf_e6
       FROM tf JOIN dfq ON tf.token = dfq.token CROSS JOIN n)
-    SELECT doc_id, token, tfidf, rnk FROM (
-      SELECT doc_id, token, tfidf,
+    SELECT doc_id, token, tfidf_e6, rnk FROM (
+      SELECT doc_id, token, tfidf_e6,
              row_number() OVER (PARTITION BY doc_id
-                 ORDER BY tfidf DESC, token) AS rnk
+                 ORDER BY tfidf_e6 DESC, token) AS rnk
       FROM scored) WHERE rnk <= 3
     """,
 )
@@ -2024,8 +2040,8 @@ def doc_top_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     snippets. TF is a (doc, token) aggregate, IDF a token-keyed
     aggregate broadcast back, the top-3 a WindowGroupLimit (rank
     filter pushes the limit map-side — no doc's full term list survives
-    the sort). Scores round to 6 decimals BEFORE ranking with a token
-    tie-break, so the cut is engine-stable.
+    the sort). Scores cross into ranking as floor(x·10⁶) BIGINTs with a
+    token tie-break, so the cut is engine-stable.
     """
     docs = tbl(spark, sf_dir, "documents")
     tok = docs.select(
@@ -2039,11 +2055,11 @@ def doc_top_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id", "token",
-            F.round(F.col("tf") * F.log(F.col("n") / F.col("df")), 6)
-            .alias("tfidf"),
+            sim.fixed_e6(F.col("tf") * F.log(F.col("n") / F.col("df")))
+            .alias("tfidf_e6"),
         )
     )
-    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "token")
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf_e6").desc(), "token")
     return (
         scored.withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= 3)
@@ -2117,8 +2133,9 @@ _DSIR_B = 256
                     (SELECT sum(cr) FROM raw) AS nr),
     ratio AS (
       SELECT b.bucket,
-             ln((coalesce(ct, 0) + 1.0) / (nt + {_DSIR_B}))
-               - ln((coalesce(cr, 0) + 1.0) / (nr + {_DSIR_B})) AS lr
+             CAST(floor((ln((coalesce(ct, 0) + 1.0) / (nt + {_DSIR_B}))
+                         - ln((coalesce(cr, 0) + 1.0) / (nr + {_DSIR_B})))
+                        * 1000000000) AS BIGINT) AS lr_e9
       FROM (SELECT DISTINCT bucket FROM grams) b
       LEFT JOIN tgt USING (bucket) LEFT JOIN raw USING (bucket)
       CROSS JOIN tots),
@@ -2126,7 +2143,8 @@ _DSIR_B = 256
       SELECT g.doc_id, g.bucket, count(*) AS c
       FROM grams g WHERE g.doc_id % 50 <> 0 GROUP BY 1, 2)
     SELECT p.doc_id, CAST(sum(p.c) AS BIGINT) AS n_grams,
-           round(sum(p.c * r.lr) / sum(p.c), 6) AS avg_log_ratio
+           CAST(sum(p.c * r.lr_e9) // (1000 * sum(p.c)) AS BIGINT)
+             AS avg_log_ratio_e6
     FROM perdoc p JOIN ratio r USING (bucket)
     GROUP BY p.doc_id
     """,
@@ -2145,8 +2163,9 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     16 md5 bits mod 256) are tiny re-aggregations of it, and scoring
     BROADCASTS the 256-row log-ratio table back onto the same (doc,
     bucket) rows — per-doc sums run over <=256 addends. md5 bucketing
-    keeps the feature space engine-portable; the final average rounds
-    to 6 decimals like every ranked double in this corpus.
+    keeps the feature space engine-portable; log-ratios quantize to
+    exact 1e-9 integers before summing, so the per-doc average is pure
+    integer arithmetic at the boundary.
     """
     docs = tbl(spark, sf_dir, "documents")
     words = docs.select("doc_id", F.split("text", " ").alias("w")).filter(
@@ -2177,12 +2196,19 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(~is_tgt, F.col("c")).otherwise(0)).alias("cr"),
     )
     tots = sides.agg(F.sum("ct").alias("nt"), F.sum("cr").alias("nr"))
+    # log-ratios quantize to exact 1e-9 BIGINTs before the per-doc
+    # weighted sum: integer addition is aggregation-order-independent,
+    # and the final average is one integer division — no double (and no
+    # engine round()) ever reaches the output boundary
     ratio = sides.crossJoin(F.broadcast(tots)).select(
         "bucket",
-        (
-            F.log((F.col("ct") + 1.0) / (F.col("nt") + _DSIR_B))
-            - F.log((F.col("cr") + 1.0) / (F.col("nr") + _DSIR_B))
-        ).alias("lr"),
+        F.floor(
+            (
+                F.log((F.col("ct") + 1.0) / (F.col("nt") + _DSIR_B))
+                - F.log((F.col("cr") + 1.0) / (F.col("nr") + _DSIR_B))
+            )
+            * F.lit(1e9)
+        ).cast("long").alias("lr_e9"),
     )
     perdoc = perdoc_all.where(~is_tgt)
     return (
@@ -2190,8 +2216,8 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.sum("c").cast("bigint").alias("n_grams"),
-            F.round(F.sum(F.col("c") * F.col("lr")) / F.sum("c"), 6).alias(
-                "avg_log_ratio"
+            F.expr("sum(c * lr_e9) div (1000 * sum(c))").alias(
+                "avg_log_ratio_e6"
             ),
         )
     )
@@ -2210,9 +2236,9 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
              sum(CAST(x * x AS DECIMAL(30,12))) AS ss
       FROM vals GROUP BY dim)
     SELECT dim, n,
-           round(CAST(s AS DOUBLE) / n, 6) AS mean,
-           round(sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / n), 6)
-             AS std
+           CAST(CAST(s * 1000000 AS BIGINT) // n AS BIGINT) AS mean_micro,
+           CAST(floor(sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / n)
+                      * 1000000) AS BIGINT) AS std_e6
     FROM agg
     """,
 )
@@ -2245,17 +2271,16 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         F.col("dim").cast("int").alias("dim"),
         "n",
-        F.round(F.col("s").cast("double") / F.col("n"), 6).alias("mean"),
-        F.round(
+        F.expr("CAST(s * 1000000 AS BIGINT) div n").alias("mean_micro"),
+        sim.fixed_e6(
             F.sqrt(
                 (
                     F.col("ss").cast("double")
                     - F.col("s").cast("double") * F.col("s") / F.col("n")
                 )
                 / F.col("n")
-            ),
-            6,
-        ).alias("std"),
+            )
+        ).alias("std_e6"),
     )
 
 
@@ -2273,18 +2298,19 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM vals GROUP BY dim),
     stats AS (
       SELECT dim,
-             round(CAST(s AS DOUBLE) / n, 6) AS mu,
-             round(sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / n), 6)
-               AS sd
+             (CAST(s * 1000000 AS BIGINT) // n) / 1000000.0 AS mu,
+             CAST(floor(sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n)
+                             / n) * 1000000) AS BIGINT) / 1000000.0 AS sd
       FROM agg),
     packed AS (
       SELECT list(mu ORDER BY dim) AS mus, list(sd ORDER BY dim) AS sds
       FROM stats)
     SELECT e.vec_id, e.label,
-           round(list_sum([
+           CAST(floor(list_sum([
              ((round(CAST(e.embedding[i] AS DOUBLE), 6) - p.mus[i]) / p.sds[i])
              * ((round(CAST(e.embedding[i] AS DOUBLE), 6) - p.mus[i]) / p.sds[i])
-             for i in range(1, len(e.embedding) + 1)]), 6) AS z_norm2
+             for i in range(1, len(e.embedding) + 1)]) * 1000000) AS BIGINT)
+             AS z_norm2_e6
     FROM embeddings e CROSS JOIN packed p
     """,
 )
@@ -2319,16 +2345,19 @@ def embedding_zscore_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "d",
-            F.round(F.col("s").cast("double") / F.col("n"), 6).alias("mu"),
-            F.round(
-                F.sqrt(
-                    (
-                        F.col("ss").cast("double")
-                        - F.col("s").cast("double") * F.col("s") / F.col("n")
+            (F.expr("CAST(s * 1000000 AS BIGINT) div n") / F.lit(1000000.0))
+            .alias("mu"),
+            (
+                sim.fixed_e6(
+                    F.sqrt(
+                        (
+                            F.col("ss").cast("double")
+                            - F.col("s").cast("double") * F.col("s") / F.col("n")
+                        )
+                        / F.col("n")
                     )
-                    / F.col("n")
-                ),
-                6,
+                )
+                / F.lit(1000000.0)
             ).alias("sd"),
         )
     )
@@ -2345,7 +2374,7 @@ def embedding_zscore_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         "  * ((round(CAST(embedding[i] AS DOUBLE), 6) - mus[i]) / sds[i]))"
     )
     return emb.crossJoin(F.broadcast(packed)).select(
-        "vec_id", "label", F.round(z2, 6).alias("z_norm2")
+        "vec_id", "label", sim.fixed_e6(z2).alias("z_norm2_e6")
     )
 
 
@@ -2371,7 +2400,7 @@ def embedding_zscore_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM cand c JOIN ordered x ON x.doc_id = c.da
                   JOIN ordered y ON y.doc_id = c.db)
     SELECT da AS doc_a, db AS doc_b,
-           round(CAST(i AS DOUBLE) / u, 6) AS jaccard
+           CAST((1000000 * i) // u AS BIGINT) AS jaccard_ppm
     FROM v WHERE 5 * i >= 3 * u
     """,
 )
@@ -2390,7 +2419,7 @@ def allpairs_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = tbl(spark, sf_dir, "documents")
     return dd.allpairs_jaccard(docs, "text", "doc_id").select(
-        "doc_a", "doc_b", "jaccard"
+        "doc_a", "doc_b", "jaccard_ppm"
     )
 
 
@@ -2494,13 +2523,13 @@ def contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE len(w) >= 3),
     counts AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY doc_id, g),
     agg AS (SELECT doc_id,
-                   sum(c * strlen(g)) AS total_chars,
-                   sum(CASE WHEN c > 1 THEN c * strlen(g) ELSE 0 END) AS dup_chars
+                   sum(c * length(g)) AS total_chars,
+                   sum(CASE WHEN c > 1 THEN c * length(g) ELSE 0 END) AS dup_chars
             FROM counts GROUP BY doc_id)
     SELECT doc_id,
            CAST(total_chars AS BIGINT) AS total_gram_chars,
            CAST(dup_chars AS BIGINT) AS dup_gram_chars,
-           round(CAST(dup_chars AS DOUBLE) / total_chars, 6) AS dup_char_frac
+           CAST((1000000 * dup_chars) // total_chars AS BIGINT) AS dup_char_ppm
     FROM agg
     """,
 )
@@ -2513,8 +2542,10 @@ def dup_ngram_char_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Same shuffle shape as ``doc_repetition_ratio``: exploded grams
     collapse into map-side-combined (doc_id, gram) counts, then one
-    doc-keyed regroup weighs each gram by ``count * strlen``. Integer
-    sums divided once at the end, rounded to 6 decimals in both engines.
+    doc-keyed regroup weighs each gram by ``count * length`` (CHARACTER
+    length on both sides — DuckDB ``length``, not byte-counting
+    ``strlen``, so the contract holds on non-ASCII corpora too). The
+    fraction is exact integer parts-per-million — no double boundary.
     """
     docs = tbl(spark, sf_dir, "documents")
     words = docs.select("doc_id", tx.tokens(F.col("text")).alias("w")).filter(
@@ -2539,9 +2570,7 @@ def dup_ngram_char_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("total_chars").cast("long").alias("total_gram_chars"),
         F.col("dup_chars").cast("long").alias("dup_gram_chars"),
-        F.round(
-            F.col("dup_chars").cast("double") / F.col("total_chars"), 6
-        ).alias("dup_char_frac"),
+        F.expr("(1000000 * dup_chars) div total_chars").alias("dup_char_ppm"),
     )
 
 
@@ -2617,16 +2646,17 @@ def bloom_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH bm AS ({_BM25_TOPK_SQL}),
     co AS ({_COS_TOPK_SQL}),
-    rb AS (SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r
+    rb AS (SELECT doc_id, row_number() OVER (ORDER BY bm25_e6 DESC, doc_id) AS r
            FROM bm),
     rc AS (SELECT vec_id AS doc_id,
-                  row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS r
+                  row_number() OVER (ORDER BY cos_sim_e6 DESC, vec_id) AS r
            FROM co)
     SELECT coalesce(rb.doc_id, rc.doc_id) AS doc_id,
-           round(coalesce(1.0 / (60 + rb.r), 0)
-                 + coalesce(1.0 / (60 + rc.r), 0), 6) AS rrf
+           CAST(floor((coalesce(1.0 / (60 + rb.r), 0)
+                       + coalesce(1.0 / (60 + rc.r), 0)) * 1000000) AS BIGINT)
+             AS rrf_e6
     FROM rb FULL OUTER JOIN rc ON rb.doc_id = rc.doc_id
-    ORDER BY rrf DESC, doc_id
+    ORDER BY rrf_e6 DESC, doc_id
     LIMIT 10
     """,
 )
@@ -2641,33 +2671,32 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan + TakeOrdered, never a global sort), so the fusion itself — two
     k-row window ranks and a full-outer join on doc_id — is driver-trivial
     at ANY corpus size: cost lives entirely in the upstream retrievers.
-    Rank order is reproducible because both engines rank the same rounded
-    scores with id tie-breaks; the RRF sum of two exact rationals is
-    rounded to 6 decimals on both sides.
+    Rank order is reproducible because both engines rank the same
+    fixed-point integer scores with id tie-breaks; the RRF sum of two
+    exact rationals crosses the boundary as floor(x·10⁶) BIGINT.
     """
     bm = bm25_search_topk(spark, sf_dir)
     co = embedding_topk_cosine(spark, sf_dir)
     rb = bm.select(
         "doc_id",
         F.row_number()
-        .over(Window.orderBy(F.col("bm25").desc(), "doc_id"))
+        .over(Window.orderBy(F.col("bm25_e6").desc(), "doc_id"))
         .alias("r_bm"),
     )
     rc = co.select(
         F.col("vec_id").alias("doc_id"),
         F.row_number()
-        .over(Window.orderBy(F.col("cos_sim").desc(), "vec_id"))
+        .over(Window.orderBy(F.col("cos_sim_e6").desc(), "vec_id"))
         .alias("r_cos"),
     )
     fused = rb.join(rc, "doc_id", "full_outer").select(
         "doc_id",
-        F.round(
+        sim.fixed_e6(
             F.coalesce(1.0 / (60 + F.col("r_bm")), F.lit(0.0))
-            + F.coalesce(1.0 / (60 + F.col("r_cos")), F.lit(0.0)),
-            6,
-        ).alias("rrf"),
+            + F.coalesce(1.0 / (60 + F.col("r_cos")), F.lit(0.0))
+        ).alias("rrf_e6"),
     )
-    return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(10)
+    return fused.orderBy(F.col("rrf_e6").desc(), "doc_id").limit(10)
 
 
 @query(
@@ -2867,12 +2896,12 @@ def phrase_search_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
                           JOIN sh b ON b.doc_id = c.doc_b AND a.s = b.s
               GROUP BY 1, 2)
     SELECT i.doc_a, i.doc_b,
-           round(ni * 1.0 / sa.n, 6) AS cont_a_in_b,
-           round(ni * 1.0 / sb.n, 6) AS cont_b_in_a
+           CAST((1000000 * ni) // sa.n AS BIGINT) AS cont_a_in_b_ppm,
+           CAST((1000000 * ni) // sb.n AS BIGINT) AS cont_b_in_a_ppm
     FROM inter i
     JOIN sizes sa ON sa.doc_id = i.doc_a
     JOIN sizes sb ON sb.doc_id = i.doc_b
-    WHERE greatest(ni * 1.0 / sa.n, ni * 1.0 / sb.n) >= 0.5
+    WHERE 2 * ni >= sa.n OR 2 * ni >= sb.n
     """,
 )
 def containment_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2941,13 +2970,12 @@ def containment_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.broadcast(sizes.select(F.col("doc_id").alias("doc_b"),
                                      F.col("n").alias("nb"))), "doc_b")
     )
-    ca = F.col("ni") / F.col("na")
-    cb = F.col("ni") / F.col("nb")
-    return scored.where(F.greatest(ca, cb) >= 0.5).select(
+    keep = (2 * F.col("ni") >= F.col("na")) | (2 * F.col("ni") >= F.col("nb"))
+    return scored.where(keep).select(
         "doc_a",
         "doc_b",
-        F.round(ca, 6).alias("cont_a_in_b"),
-        F.round(cb, 6).alias("cont_b_in_a"),
+        F.expr("(1000000 * ni) div na").alias("cont_a_in_b_ppm"),
+        F.expr("(1000000 * ni) div nb").alias("cont_b_in_a_ppm"),
     )
 
 
@@ -2968,9 +2996,10 @@ def containment_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                     sum(CAST(x AS DECIMAL(20,0))) AS s
              FROM vals GROUP BY 1)
     SELECT p.di, p.dj, da.n,
-           round(CAST(p.sp AS DOUBLE) / 1e12 / da.n
-                 - (CAST(da.s AS DOUBLE) / 1e6 / da.n)
-                   * (CAST(db.s AS DOUBLE) / 1e6 / db.n), 6) + 0.0 AS cov
+           CAST(floor((CAST(p.sp AS DOUBLE) / 1e12 / da.n
+                       - (CAST(da.s AS DOUBLE) / 1e6 / da.n)
+                         * (CAST(db.s AS DOUBLE) / 1e6 / db.n)) * 1000000)
+                AS BIGINT) AS cov_e6
     FROM prods p
     JOIN dims da ON da.d = p.di
     JOIN dims db ON db.d = p.dj
@@ -3032,17 +3061,13 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "di",
             "dj",
             "n",
-            # + 0.0 canonicalizes IEEE negative zero (round can yield
-            # -0.0 on one engine and 0.0 on the other)
-            (
-                F.round(
-                    F.col("sp").cast("double") / F.lit(1e12) / F.col("n")
-                    - (F.col("sa").cast("double") / F.lit(1e6) / F.col("n"))
-                    * (F.col("sb").cast("double") / F.lit(1e6) / F.col("n")),
-                    6,
-                )
-                + F.lit(0.0)
-            ).alias("cov"),
+            # fixed-point boundary: floor(x·10⁶) BIGINT — integer output,
+            # so no round()-ulp or negative-zero cross-engine hazards
+            sim.fixed_e6(
+                F.col("sp").cast("double") / F.lit(1e12) / F.col("n")
+                - (F.col("sa").cast("double") / F.lit(1e6) / F.col("n"))
+                * (F.col("sb").cast("double") / F.lit(1e6) / F.col("n"))
+            ).alias("cov_e6"),
         )
     )
 

@@ -78,10 +78,11 @@ def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id AS asset_id,
            CAST(len(cs) AS INTEGER) AS n_samples,
-           round(list_sum([CAST(abs(x) AS DOUBLE) for x in cs]) / len(cs), 6)
-               AS mean_amp,
-           round(sqrt(list_sum([CAST(x AS DOUBLE) * x for x in cs]) / len(cs)), 6)
-               AS rms
+           CAST((1000000 * list_sum([abs(x) for x in cs])) // len(cs) AS BIGINT)
+               AS mean_amp_ppm,
+           CAST(floor(sqrt(list_sum([CAST(x AS DOUBLE) * x for x in cs])
+                           / len(cs)) * 1000000) AS BIGINT)
+               AS rms_e6
     FROM b
     """,
 )

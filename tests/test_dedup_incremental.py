@@ -96,7 +96,7 @@ def _naive_jaccard_pairs(texts: dict[int, str], num=3, den=5):
         i = len(sets[a] & sets[b])
         u = len(sets[a] | sets[b])
         if den * i >= num * u:
-            out.add((a, b, round(i / u, 6)))
+            out.add((a, b, (1000000 * i) // u))
     return out
 
 
@@ -120,12 +120,12 @@ def test_allpairs_jaccard_complete_vs_naive(spark):
         [(k, v) for k, v in texts.items()], "doc_id long, text string"
     )
     got = {
-        (r["doc_a"], r["doc_b"], r["jaccard"])
+        (r["doc_a"], r["doc_b"], r["jaccard_ppm"])
         for r in allpairs_jaccard(df, "text", "doc_id").collect()
     }
     expected = _naive_jaccard_pairs(texts)
     assert got == expected
-    assert (1, 2, 1.0) in got and (5, 6, 1.0) in got  # exact dups found
+    assert (1, 2, 1000000) in got and (5, 6, 1000000) in got  # exact dups found
     assert any(a == 1 and b == 3 for a, b, _ in got)  # near-dup found
 
 
@@ -147,7 +147,7 @@ def test_allpairs_probe_equals_full_pairs_touching_batch(spark, docs):
     batch_ids = {r["doc_id"] for r in batch.select("doc_id").collect()}
 
     full = {
-        (r["doc_a"], r["doc_b"], r["jaccard"])
+        (r["doc_a"], r["doc_b"], r["jaccard_ppm"])
         for r in allpairs_jaccard(docs, "text", "doc_id").collect()
     }
     expected = {
@@ -156,7 +156,7 @@ def test_allpairs_probe_equals_full_pairs_touching_batch(spark, docs):
 
     idx = allpairs_index(corpus, "text", "doc_id")
     got = {
-        (r["doc_a"], r["doc_b"], r["jaccard"])
+        (r["doc_a"], r["doc_b"], r["jaccard_ppm"])
         for r in allpairs_probe(idx, batch, "text", "doc_id").collect()
     }
     assert got == expected
@@ -188,7 +188,7 @@ def test_allpairs_jaccard_random_corpora(spark, seed):
         [(k, v) for k, v in texts.items()], "doc_id long, text string"
     )
     got = {
-        (r["doc_a"], r["doc_b"], r["jaccard"])
+        (r["doc_a"], r["doc_b"], r["jaccard_ppm"])
         for r in allpairs_jaccard(df, "text", "doc_id").collect()
     }
     assert got == _naive_jaccard_pairs(texts)

@@ -88,7 +88,14 @@ def test_audio_features_match_numpy(assets):
         arr = np.frombuffer(content, dtype=np.uint8).astype("float64") - 128.0
         g = got[row["asset_id"]]
         assert g["n_samples"] == len(content)
-        assert g["rms"] == pytest.approx(float(np.sqrt((arr**2).mean())), abs=1e-6)
+        import math
+
+        assert g["rms_e6"] == math.floor(
+            float(np.sqrt((arr**2).mean())) * 1000000.0
+        )
+        assert g["mean_amp_ppm"] == (
+            1000000 * int(np.abs(arr).sum())
+        ) // len(content)
 
 
 def test_frame_sampling_fanout(assets):

@@ -73,13 +73,13 @@ def test_knn_join_exact_matches_per_query_topk(emb, spark):
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
     got = {
-        (r["qid"], r["rn"]): (r["vec_id"], r["cos_sim"])
+        (r["qid"], r["rn"]): (r["vec_id"], r["cos_sim_e6"])
         for r in knn_join(emb, queries, k=K, nprobe=None).collect()
     }
     for qid in qids:
         q = _query_vec(emb, qid)
         for rn, row in enumerate(cosine_topk(emb, q, k=K).collect(), start=1):
-            assert got[(qid, rn)] == (row["vec_id"], row["cos_sim"]), (qid, rn)
+            assert got[(qid, rn)] == (row["vec_id"], row["cos_sim_e6"]), (qid, rn)
 
 
 def test_int8_quantization_roundtrip_and_cosine_fidelity(emb, spark):
