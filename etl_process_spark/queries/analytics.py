@@ -14,6 +14,40 @@ from pyspark.sql import functions as F
 
 from etl_process_spark.queries.registry import query, tbl
 
+# Heavy-basket guard for the co-purchase graph family: per order, only
+# the cap smallest partkeys generate pairs (deterministic truncation —
+# documented sampling, not silent). The in-array pair explosion is
+# quadratic in BASKET size; TPC-H baskets hold ≤ 7 lineitems so the cap
+# never binds at any test SF (hashes unchanged), but a marketplace
+# basket with 10k items would otherwise emit 10⁸ pairs from one row.
+COPURCHASE_BASKET_CAP = 256
+
+
+def copurchase_pairs(
+    li: DataFrame, cap: int = COPURCHASE_BASKET_CAP, oriented: bool = False
+) -> DataFrame:
+    """Per-order co-purchase part pairs with bounded fan-out.
+
+    ``oriented=True`` emits each unordered pair once (u < v) — half the
+    explode fan-out; callers needing both directions either pass
+    ``oriented=False`` (reverse appended with a narrow unionAll — the
+    exact multiset the old dual-explode produced) or let the consuming
+    graph operator symmetrize. Per-order pair count ≤ cap·(cap−1)/2
+    oriented (cap·(cap−1) symmetric).
+    """
+    per_order = li.groupBy("l_orderkey").agg(
+        F.slice(F.sort_array(F.collect_set("l_partkey")), 1, cap).alias("ps")
+    )
+    orient = per_order.select(F.explode("ps").alias("u"), "ps").select(
+        "u",
+        F.explode(F.filter("ps", lambda x: x > F.col("u"))).alias("v"),
+    )
+    if oriented:
+        return orient
+    return orient.unionAll(
+        orient.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+
 
 @query(
     "rollup_revenue",
@@ -1151,16 +1185,13 @@ def part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_process_spark.operators.graph import pagerank_fixed_point
 
     li = tbl(spark, sf_dir, "lineitem")
-    per_order = li.groupBy("l_orderkey").agg(
-        F.collect_set("l_partkey").alias("ps")
-    )
-    pairs = per_order.select(F.explode("ps").alias("u"), "ps").select(
-        "u", F.explode(F.array_remove("ps", F.col("u"))).alias("v")
-    )
+    # both directions, same multiset the old dual-explode emitted, at
+    # half the explode fan-out and basket-capped (copurchase_pairs)
+    pairs = copurchase_pairs(li, oriented=False)
     return pagerank_fixed_point(
         pairs, iterations=3, src="u", dst="v",
         broadcast_ranks=True,
-        # (u,v) and (v,u) both emitted by the pair explosion
+        # (u,v) and (v,u) both emitted by copurchase_pairs
         symmetric_input=True,
         adjacency=True,
         # 3 lazy rounds nest only 3 broadcast layers — no mid-run
@@ -1234,32 +1265,21 @@ def similar_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     2 WITHOUT an all-pairs comparison.
 
     Candidates must share a blocking key (first character + length
-    within 1 — both necessary conditions for small edit distance), so
-    the join is an equi join on the block with the length band and the
-    edit distance as residual filters. The quadratic work happens only
-    inside blocks: at 100 TB you block on (first char, length) exactly
-    like this and the per-block pair count, not the corpus size, bounds
-    the cost. Dedup to distinct names first — repeated strings would
-    multiply every pair through the join.
+    within 1 — both necessary conditions for small edit distance), and
+    length is part of the SHUFFLE key (lane emission under meeting keys
+    (char, greatest-length)), so one hot first letter does not become
+    one hot partition. Blocks whose population exceeds the cap switch
+    to the exact PassJoin chunk-signature join instead of in-block
+    quadratic scoring (`operators/fuzzy.py`) — on a corpus where every
+    name starts with "S" the cost is O(n·k²) candidates, never O(n²).
+    Dedup to distinct names first — repeated strings would multiply
+    every pair through the join.
     """
+    from etl_process_spark.operators.fuzzy import blocked_levenshtein_pairs
+
     part = tbl(spark, sf_dir, "part")
-    names = part.select("p_name").distinct()
-    a = names.select(F.col("p_name").alias("name_a"))
-    b = names.select(F.col("p_name").alias("name_b"))
-    return (
-        a.join(
-            b,
-            (F.substring("name_a", 1, 1) == F.substring("name_b", 1, 1))
-            & (
-                F.abs(F.length("name_a") - F.length("name_b")) <= 1
-            )
-            & (F.col("name_a") < F.col("name_b")),
-        )
-        .filter(F.levenshtein("name_a", "name_b") <= 2)
-        .select(
-            "name_a", "name_b",
-            F.levenshtein("name_a", "name_b").cast("int").alias("dist"),
-        )
+    return blocked_levenshtein_pairs(
+        part, "p_name", max_dist=2, len_band=1, block_cap=4096
     )
 
 
@@ -1435,8 +1455,9 @@ def zorder_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY 1),
     wed AS (SELECT sum(d * (d - 1) / 2) AS wedges FROM deg)
     SELECT triangles, CAST(wedges AS BIGINT) AS wedges,
-           CAST((3000000 * triangles) // CAST(wedges AS BIGINT) AS BIGINT)
-             AS global_cc_ppm
+           CAST((3000000 * triangles - (3000000 * triangles)
+                                 % CAST(wedges AS BIGINT))
+         / CAST(wedges AS BIGINT) AS BIGINT) AS global_cc_ppm
     FROM tri CROSS JOIN wed
     """,
 )
@@ -1457,16 +1478,13 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_process_spark.operators.graph import triangle_count
 
     li = tbl(spark, sf_dir, "lineitem")
-    per_order = li.groupBy("l_orderkey").agg(
-        F.collect_set("l_partkey").alias("ps")
-    )
-    pairs = per_order.select(F.explode("ps").alias("u"), "ps").select(
-        "u", F.explode(F.array_remove("ps", F.col("u"))).alias("v")
-    )
+    # oriented (u < v) pairs straight from the basket-capped explode —
+    # half the fan-out of the old dual explode + where(u < v)
+    pairs = copurchase_pairs(li, oriented=True)
     # lazy local checkpoint: the deduped edge set feeds four plan
     # references (orientation, two degree attaches, wedge close + the
     # degree/wedge aggregates below); materialize it once, at first use
-    e = pairs.where(F.col("u") < F.col("v")).distinct().localCheckpoint(eager=False)
+    e = pairs.distinct().localCheckpoint(eager=False)
     tri = triangle_count(e)
     deg = (
         e.select(F.col("u").alias("node"))
@@ -1555,8 +1573,10 @@ def snapshot_diff_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(date_trunc('day', h) AS DATE) AS day, event_type,
            sum(n_events) AS n_events,
            CAST(sum(sum_value) AS DOUBLE) AS total_value,
-           CAST(CAST(sum(sum_value) * 10000 AS BIGINT) * 100 // sum(n_events)
-                AS BIGINT) AS avg_micro,
+           CAST((CAST(sum(sum_value) * 10000 AS BIGINT) * 100
+                 - CAST(sum(sum_value) * 10000 AS BIGINT) * 100
+                   % sum(n_events))
+                / sum(n_events) AS BIGINT) AS avg_micro,
            min(min_value) AS min_value, max(max_value) AS max_value
     FROM hourly
     GROUP BY 1, 2
@@ -1694,13 +1714,7 @@ def copurchase_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_process_spark.operators.graph import label_propagation
 
     li = tbl(spark, sf_dir, "lineitem")
-    per_order = li.groupBy("l_orderkey").agg(
-        F.collect_set("l_partkey").alias("ps")
-    )
-    pairs = per_order.select(F.explode("ps").alias("u"), "ps").select(
-        "u", F.explode(F.array_remove("ps", F.col("u"))).alias("v")
-    )
-    e = pairs.where(F.col("u") < F.col("v")).distinct()
+    e = copurchase_pairs(li, oriented=True).distinct()
     # 20k part labels broadcast; the 2x|E| sym list is never
     # reshuffled per round
     labels = label_propagation(e, "u", "v", rounds=2, broadcast_labels=True)
@@ -1811,24 +1825,26 @@ def part_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     report dist 0: distance-from-seed-set is defined on the seed table,
     not the edge list — both formulations agree on that by
     construction.
+
+    Edge generation fan-out is bounded: per-order pair count ≤
+    COPURCHASE_BASKET_CAP²/2 regardless of basket size (see
+    ``copurchase_pairs``; the cap never binds on TPC-H's ≤7-item
+    baskets, so the oracle — which pairs the FULL basket — stays
+    hash-equal at every test SF).
     """
     from etl_process_spark.operators.graph import bfs_distances
 
     li = tbl(spark, sf_dir, "lineitem")
     pt = tbl(spark, sf_dir, "part")
-    per_order = li.groupBy("l_orderkey").agg(
-        F.collect_set("l_partkey").alias("ps")
-    )
-    # the explosion already emits BOTH directions, and BFS tolerates
-    # duplicate edges — no canonicalizing distinct (that shuffle alone
-    # costs more than all three BFS rounds on this graph)
-    pairs = per_order.select(F.explode("ps").alias("u"), "ps").select(
-        "u", F.explode(F.array_remove("ps", F.col("u"))).alias("v")
-    )
+    # oriented explode halves the fan-out; bfs_distances appends the
+    # reverse direction with a narrow unionAll (symmetric=False). BFS
+    # tolerates duplicate edges — no canonicalizing distinct (that
+    # shuffle alone costs more than all three BFS rounds on this graph)
+    pairs = copurchase_pairs(li, oriented=True)
     seeds = pt.where(F.col("p_size") == 1).select(
         F.col("p_partkey").alias("node")
     )
-    return bfs_distances(pairs, seeds, max_hops=3, symmetric=True).select(
+    return bfs_distances(pairs, seeds, max_hops=3, symmetric=False).select(
         F.col("node").alias("part_key"), F.col("dist").cast("int").alias("dist")
     )
 
@@ -2372,28 +2388,21 @@ def part_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The composition that makes pairwise fuzzy matching USABLE: pairs
     alone can't deduplicate (A~B, B~C but A≁C), the transitive closure
-    can. All three stages are the audited scale shapes — block-local
-    quadratic work, digest-sized CC iterations (`operators/graph.py`),
-    and the singleton pass-through is one anti join. Oracle replays
-    blocking + closure with a recursive CTE.
+    can. All three stages are the audited scale shapes — skew-capped
+    block-local matching (`operators/fuzzy.py`: oversized blocks take
+    the exact PassJoin chunk-signature path), digest-sized CC
+    iterations (`operators/graph.py`), and the singleton pass-through
+    is one anti join. Oracle replays blocking + closure with a
+    recursive CTE.
     """
+    from etl_process_spark.operators.fuzzy import blocked_levenshtein_pairs
     from etl_process_spark.operators.graph import connected_components
 
     part = tbl(spark, sf_dir, "part")
     names = part.select("p_name").distinct()
-    a = names.select(F.col("p_name").alias("pa"))
-    b = names.select(F.col("p_name").alias("pb"))
-    edges = (
-        a.join(
-            b,
-            (F.substring("pa", 1, 1) == F.substring("pb", 1, 1))
-            & (
-                F.abs(F.length("pa") - F.length("pb")) <= 1
-            )
-            & (F.col("pa") < F.col("pb")),
-        )
-        .where(F.levenshtein("pa", "pb") <= 2)
-    )
+    edges = blocked_levenshtein_pairs(
+        part, "p_name", max_dist=2, len_band=1, block_cap=4096
+    ).select(F.col("name_a").alias("pa"), F.col("name_b").alias("pb"))
     cc = connected_components(edges, "pa", "pb").select(
         F.col("node").alias("p_name"), F.col("component").alias("c")
     )
