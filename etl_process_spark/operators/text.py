@@ -52,17 +52,42 @@ def token_count_bpe(text: Column | str) -> Column:
 
 
 def avg_token_len(text: Column | str) -> Column:
-    """Mean token length in characters (quality-scoring feature)."""
+    """Mean token length in characters (quality-scoring feature) as a
+    RAW double — one IEEE division, engine-exact given identical
+    inputs. Use for threshold filters; for emitted columns use
+    :func:`avg_token_len_ppm` (integer at the output boundary)."""
     t = tokens(text)
     total = F.aggregate(t, F.lit(0), lambda acc, x: acc + F.length(x))
-    return F.round(total.cast("double") / F.size(t), 6)
+    return total.cast("double") / F.size(t)
+
+
+def avg_token_len_ppm(text: Column | str) -> Column:
+    """Mean token length in exact integer ppm (chars·10⁶ per token,
+    truncating division — identical in every engine)."""
+    t = tokens(text)
+    total = F.aggregate(t, F.lit(0), lambda acc, x: acc + F.length(x))
+    return _ppm(total, F.size(t))
+
+
+def _ppm(num: Column, den: Column) -> Column:
+    x = F.lit(1000000).cast("bigint") * num.cast("bigint")
+    d = den.cast("bigint")
+    return ((x - x % d) / d).cast("bigint")
 
 
 def stopword_ratio(text: Column | str, stopwords: tuple[str, ...] = LANG_MARKERS["en"]) -> Column:
-    """Fraction of tokens that are stopwords (quality-scoring feature)."""
+    """Fraction of tokens that are stopwords, as a RAW double (see
+    :func:`avg_token_len` for the raw-vs-ppm contract)."""
     t = tokens(text)
     hits = F.size(F.filter(t, lambda x: x.isin(*stopwords)))
-    return F.round(hits.cast("double") / F.size(t), 6)
+    return hits.cast("double") / F.size(t)
+
+
+def stopword_ppm(text: Column | str, stopwords: tuple[str, ...] = LANG_MARKERS["en"]) -> Column:
+    """Stopword fraction in exact integer ppm (truncating division)."""
+    t = tokens(text)
+    hits = F.size(F.filter(t, lambda x: x.isin(*stopwords)))
+    return _ppm(hits, F.size(t))
 
 
 def lang_scores(text: Column | str) -> dict[str, Column]:

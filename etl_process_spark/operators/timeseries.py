@@ -94,5 +94,7 @@ def resample_interpolate(
     return filled.select(
         key,
         F.col(ts_col).alias("grid_ts"),
-        F.round(interp, 6).alias("value_interp"),
+        # fixed-point boundary: floor of one multiply on the identical
+        # double both engines derive — exact, unlike round(DOUBLE, 6)
+        F.floor(interp * F.lit(1000000.0)).cast("long").alias("value_interp_e6"),
     )

@@ -15,3 +15,4 @@ from etl_process_spark.queries import media  # noqa: F401  (registers)
 from etl_process_spark.queries import analytics  # noqa: F401  (registers)
 from etl_process_spark.queries import tpch_shapes  # noqa: F401  (registers)
 from etl_process_spark.queries import behavior  # noqa: F401  (registers)
+from etl_process_spark.queries import curation  # noqa: F401  (registers)

@@ -713,8 +713,8 @@ def returned_surplus_parts_exceptall(spark: SparkSession, sf_dir: str) -> DataFr
     "order_price_rank_features",
     """
     SELECT o_orderkey,
-           round(percent_rank() OVER w, 6) AS pr,
-           round(cume_dist() OVER w, 6) AS cd
+           CAST(floor(percent_rank() OVER w * 1000000) AS BIGINT) AS pr_e6,
+           CAST(floor(cume_dist() OVER w * 1000000) AS BIGINT) AS cd_e6
     FROM orders
     WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
     """,
@@ -724,13 +724,14 @@ def order_price_rank_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     each order priority — the feature-engineering normalization path.
     Partitioned by priority so no single task owns a global sort; the
     (o_totalprice, o_orderkey) order is a unique total order, making
-    both engines' ranks identical. 6-decimal rounding pins the float
-    division."""
+    both engines' ranks identical. The single rank division crosses the
+    boundary as floor(x·10⁶) BIGINT — engine-exact on identical
+    doubles, unlike round(DOUBLE, 6)."""
     w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
     return tbl(spark, sf_dir, "orders").select(
         "o_orderkey",
-        F.round(F.percent_rank().over(w), 6).alias("pr"),
-        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.floor(F.percent_rank().over(w) * 1000000.0).cast("long").alias("pr_e6"),
+        F.floor(F.cume_dist().over(w) * 1000000.0).cast("long").alias("cd_e6"),
     )
 
 
@@ -801,14 +802,14 @@ def priciest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM u
     )
     SELECT user_id, ts AS grid_ts,
-           round(CASE
+           CAST(floor(CASE
                    WHEN prev IS NOT NULL AND prev.t = epoch_us(ts) THEN prev.v
                    WHEN prev IS NULL OR nxt IS NULL THEN NULL
                    WHEN nxt.t = prev.t THEN prev.v
                    ELSE prev.v + (nxt.v - prev.v)
                         * (CAST(epoch_us(ts) - prev.t AS DOUBLE)
                            / (nxt.t - prev.t))
-                 END, 6) AS value_interp
+                 END * 1000000) AS BIGINT) AS value_interp_e6
     FROM w WHERE is_obs = 0
     """,
 )
@@ -913,28 +914,31 @@ def sole_failing_supplier_per_order(spark: SparkSession, sf_dir: str) -> DataFra
 @query(
     "price_moments_exact",
     """
-    WITH s AS (
+    WITH u AS (
+      SELECT l_returnflag,
+             CAST(CAST(l_extendedprice AS DECIMAL(12,4)) * 100 AS BIGINT)
+               AS xc,
+             CAST(CAST(l_discount AS DECIMAL(6,4)) * 10000 AS BIGINT) AS yc
+      FROM lineitem),
+    s AS (
       SELECT l_returnflag,
              count(*) AS n,
-             sum(CAST(l_extendedprice AS DECIMAL(19,4))) AS sx,
-             sum(CAST(l_extendedprice AS DECIMAL(19,4))
-                 * CAST(l_extendedprice AS DECIMAL(19,4))) AS sxx,
-             sum(CAST(l_discount AS DECIMAL(8,4))) AS sy,
-             sum(CAST(l_discount AS DECIMAL(8,4))
-                 * CAST(l_discount AS DECIMAL(8,4))) AS syy,
-             sum(CAST(l_extendedprice AS DECIMAL(19,4))
-                 * CAST(l_discount AS DECIMAL(8,4))) AS sxy
-      FROM lineitem
-      GROUP BY l_returnflag
+             sum(CAST(xc AS DECIMAL(38,0))) AS sx,
+             sum(CAST(xc * xc AS DECIMAL(38,0))) AS sxx,
+             sum(CAST(yc AS DECIMAL(38,0))) AS sy,
+             sum(CAST(yc * yc AS DECIMAL(38,0))) AS syy,
+             sum(CAST(xc * yc AS DECIMAL(38,0))) AS sxy
+      FROM u GROUP BY l_returnflag
     )
     SELECT l_returnflag, n,
-           round(CAST(sx AS DOUBLE) / n, 6) AS price_mean,
-           round((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
-                 / (n - 1), 6) AS price_var,
-           round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-                 / (sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-                    * sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
-                 6) AS price_discount_corr
+           CAST(floor(CAST(sx AS DOUBLE) / n / 100 * 1000000) AS BIGINT)
+             AS price_mean_e6,
+           CAST(floor((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+                      / (n - 1) / 10000 * 1000000) AS BIGINT) AS price_var_e6,
+           CAST(floor((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                      / (sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                         * sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                      * 1000000) AS BIGINT) AS corr_e6
     FROM s
     """,
 )
@@ -951,15 +955,27 @@ def price_moments_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     which overflows; pushing precision past 18 forces int128. Spark's
     (12,4) product is DECIMAL(25,8), exact either way.)"""
     li = tbl(spark, sf_dir, "lineitem")
-    x = F.col("l_extendedprice").cast("decimal(12,4)")
-    y = F.col("l_discount").cast("decimal(8,4)")
-    s = li.groupBy("l_returnflag").agg(
+    # quantize rows to exact integer units (cents / basis points): the
+    # power sums are then scale-0 DECIMAL(38,0) integers whose DOUBLE
+    # casts are a SINGLE correctly-rounded conversion — bit-identical in
+    # every engine (a scale-8 decimal cast double-rounds through the
+    # 10^-8 divide and differed by 1 ulp between DuckDB and the JVM,
+    # flipping floor at e6: the round-3 price_var_e6 off-by-one)
+    u = li.select(
+        "l_returnflag",
+        (F.col("l_extendedprice").cast("decimal(12,4)") * 100)
+        .cast("bigint").alias("xc"),
+        (F.col("l_discount").cast("decimal(6,4)") * 10000)
+        .cast("bigint").alias("yc"),
+    )
+    d38 = "decimal(38,0)"
+    s = u.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(x).alias("sx"),
-        F.sum(x * x).alias("sxx"),
-        F.sum(y).alias("sy"),
-        F.sum(y * y).alias("syy"),
-        F.sum(x * y).alias("sxy"),
+        F.sum(F.col("xc").cast(d38)).alias("sx"),
+        F.sum((F.col("xc") * F.col("xc")).cast(d38)).alias("sxx"),
+        F.sum(F.col("yc").cast(d38)).alias("sy"),
+        F.sum((F.col("yc") * F.col("yc")).cast(d38)).alias("syy"),
+        F.sum((F.col("xc") * F.col("yc")).cast(d38)).alias("sxy"),
     )
     n = F.col("n")
     sx = F.col("sx").cast("double")
@@ -967,16 +983,17 @@ def price_moments_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     sy = F.col("sy").cast("double")
     syy = F.col("syy").cast("double")
     sxy = F.col("sxy").cast("double")
+    e6 = lambda c: F.floor(c * F.lit(1000000.0)).cast("long")  # noqa: E731
     return s.select(
         "l_returnflag",
         "n",
-        F.round(sx / n, 6).alias("price_mean"),
-        F.round((sxx - sx * sx / n) / (n - 1), 6).alias("price_var"),
-        F.round(
+        e6(sx / n / 100).alias("price_mean_e6"),
+        # cents² → dollars²: /10⁴ (units cancel exactly in corr)
+        e6((sxx - sx * sx / n) / (n - 1) / 10000).alias("price_var_e6"),
+        e6(
             (n * sxy - sx * sy)
-            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)),
-            6,
-        ).alias("price_discount_corr"),
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
+        ).alias("corr_e6"),
     )
 
 
@@ -1912,8 +1929,10 @@ def weekly_distinct_rollup_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
              sum(y) AS sy, sum(CAST(x AS DECIMAL(6,0)) * y) AS sxy
       FROM yearly GROUP BY nation)
     SELECT nation, CAST(n AS BIGINT) AS n_years,
-           round(CAST(n * sxy - sx * sy AS DOUBLE)
-                 / (n * sxx - sx * sx), 2) AS slope_per_year
+           CAST((CAST((n * sxy - sx * sy) * 100 AS BIGINT)
+                 - CAST((n * sxy - sx * sy) * 100 AS BIGINT)
+                   % (n * sxx - sx * sx))
+                / (n * sxx - sx * sx) AS BIGINT) AS slope_e2
     FROM m WHERE n * sxx - sx * sx <> 0
     """,
 )
@@ -1956,11 +1975,12 @@ def nation_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.where(denom != 0).select(
         "nation",
         F.col("n").cast("bigint").alias("n_years"),
-        F.round(
-            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-            / denom,
-            2,
-        ).alias("slope_per_year"),
+        # exact: scale-2 DECIMAL numerator shifted to BIGINT cents, then
+        # integer division (both engines truncate toward zero)
+        F.expr(
+            "CAST((n * sxy - sx * sy) * 100 AS BIGINT)"
+            " div (n * sxx - sx * sx)"
+        ).alias("slope_e2"),
     )
 
 
@@ -2174,9 +2194,9 @@ def cms_user_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT date_trunc('month', CAST(o.o_orderdate AS DATE)) AS month,
            count(*) AS n_rows,
-           round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))
+           CAST(floor(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))
                           * (1 - CAST(l.l_discount AS DECIMAL(18,4))))
-                      AS DOUBLE), 2) AS revenue
+                      * 100) AS BIGINT) AS revenue_cents
     FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
     GROUP BY 1
     """,
@@ -2240,7 +2260,8 @@ def ivm_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "month",
             "n_rows",
-            F.round(F.col("rv").cast("double"), 2).alias("revenue"),
+            # DECIMAL floor — integer arithmetic, no double at the edge
+            F.floor(F.col("rv") * 100).cast("bigint").alias("revenue_cents"),
         )
     )
 
@@ -2249,7 +2270,7 @@ def ivm_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     "exact_value_median",
     """
     SELECT count(*) AS n_total,
-           round(quantile_disc(value, 0.5), 6) AS median
+           quantile_disc(value, 0.5) AS median
     FROM events
     """,
 )
@@ -2293,16 +2314,16 @@ def exact_value_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     picked = in_bucket.withColumn("rn", F.row_number().over(wr)).where(
         F.col("rn") == F.col("k") - F.col("cum_before")
     )
-    return picked.select(
-        "n_total", F.round(F.col("value"), 6).alias("median")
-    )
+    # the median is a SOURCE value (quantile_disc semantics) — emit it
+    # verbatim; a pass-through double is engine-exact, rounding is not
+    return picked.select("n_total", F.col("value").alias("median"))
 
 
 @query(
     "exact_median_by_type",
     """
     SELECT event_type, count(*) AS n,
-           round(quantile_disc(value, 0.5), 6) AS median
+           quantile_disc(value, 0.5) AS median
     FROM events GROUP BY event_type
     """,
 )
@@ -2349,9 +2370,8 @@ def exact_median_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     picked = in_bucket.withColumn("rn", F.row_number().over(wr)).where(
         F.col("rn") == F.col("k") - F.col("cum_before")
     )
-    return picked.select(
-        "event_type", "n", F.round(F.col("value"), 6).alias("median")
-    )
+    # source-value pass-through, same contract as exact_value_median
+    return picked.select("event_type", "n", F.col("value").alias("median"))
 
 
 @query(

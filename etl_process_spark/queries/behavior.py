@@ -51,7 +51,7 @@ _FUNNEL = ("signup", "view", "click", "purchase")
            UNION ALL
            SELECT 4, 'purchase', count(*) FROM u4)
     SELECT step_no, step, users,
-           round(users * 1.0 / max(users) OVER (), 6) AS conv_pct
+           CAST((1000000 * users) // max(users) OVER () AS BIGINT) AS conv_ppm
     FROM steps
     """,
 )
@@ -90,7 +90,7 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"stack(4, {stack_args}) AS (step_no, step, users)"), "c1"
     ).select(
         "step_no", "step", "users",
-        F.round(F.col("users") / F.col("c1"), 6).alias("conv_pct"),
+        F.expr("(1000000 * users) div c1").alias("conv_ppm"),
     )
 
 
@@ -159,15 +159,18 @@ def cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
              median(abs(e.value - m.med)) AS mad
       FROM events e JOIN med m ON e.event_type = m.event_type
       GROUP BY 1)
-    SELECT e.event_type,
-           round(any_value(m.med), 6) AS med,
-           round(any_value(m.mad), 6) AS mad,
-           count(*) FILTER (WHERE abs(e.value - m.med) > 3 * m.mad)
-             AS n_outliers,
-           round(count(*) FILTER (WHERE abs(e.value - m.med) > 3 * m.mad)
-                 * 1.0 / count(*), 6) AS outlier_pct
-    FROM events e JOIN mad m ON e.event_type = m.event_type
-    GROUP BY 1
+    SELECT event_type, med_e6, mad_e6, n_outliers,
+           CAST((1000000 * n_outliers - (1000000 * n_outliers) % n) / n
+                AS BIGINT) AS outlier_ppm
+    FROM (
+      SELECT e.event_type,
+             CAST(floor(any_value(m.med) * 1000000) AS BIGINT) AS med_e6,
+             CAST(floor(any_value(m.mad) * 1000000) AS BIGINT) AS mad_e6,
+             count(*) FILTER (WHERE abs(e.value - m.med) > 3 * m.mad)
+               AS n_outliers,
+             count(*) AS n
+      FROM events e JOIN mad m ON e.event_type = m.event_type
+      GROUP BY 1)
     """,
 )
 def value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -196,11 +199,14 @@ def value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.join(F.broadcast(mad), "event_type")
         .groupBy("event_type")
         .agg(
-            F.round(F.any_value("med"), 6).alias("med"),
-            F.round(F.any_value("mad"), 6).alias("mad"),
+            F.floor(F.any_value("med") * 1000000.0).cast("long").alias("med_e6"),
+            F.floor(F.any_value("mad") * 1000000.0).cast("long").alias("mad_e6"),
             F.count(F.when(is_out, 1)).alias("n_outliers"),
-            F.round(F.count(F.when(is_out, 1)) / F.count("*"), 6)
-            .alias("outlier_pct"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+        .select(
+            "event_type", "med_e6", "mad_e6", "n_outliers",
+            F.expr("(1000000 * n_outliers) div __n").alias("outlier_ppm"),
         )
     )
 
@@ -283,8 +289,10 @@ def last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
                       date_diff('second', u1.t, u4.t) AS sec
                FROM u4 JOIN u1 ON u4.user_id = u1.user_id)
     SELECT count(*) AS n_completers,
-           round(quantile_cont(sec, 0.5), 6) AS median_seconds,
-           round(quantile_cont(sec, 0.9), 6) AS p90_seconds
+           CAST(floor(quantile_cont(sec, 0.5) * 1000000) AS BIGINT)
+             AS median_sec_e6,
+           CAST(floor(quantile_cont(sec, 0.9) * 1000000) AS BIGINT)
+             AS p90_sec_e6
     FROM d
     """,
 )
@@ -316,8 +324,10 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return per_user.agg(
         F.count("*").alias("n_completers"),
-        F.round(F.expr("percentile(sec, 0.5)"), 6).alias("median_seconds"),
-        F.round(F.expr("percentile(sec, 0.9)"), 6).alias("p90_seconds"),
+        F.floor(F.expr("percentile(sec, 0.5)") * 1000000.0)
+        .cast("long").alias("median_sec_e6"),
+        F.floor(F.expr("percentile(sec, 0.9)") * 1000000.0)
+        .cast("long").alias("p90_sec_e6"),
     )
 
 
@@ -389,11 +399,13 @@ def daily_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     ORDER BY ts, event_id) AS to_type
       FROM events),
     pairs AS (SELECT from_type, to_type, count(*) AS n
-              FROM nxt WHERE to_type IS NOT NULL GROUP BY 1, 2)
+              FROM nxt WHERE to_type IS NOT NULL GROUP BY 1, 2),
+    tot AS (SELECT from_type, to_type, n,
+                   sum(n) OVER (PARTITION BY from_type) AS t
+            FROM pairs)
     SELECT from_type, to_type, n,
-           round(CAST(n AS DOUBLE)
-                 / sum(n) OVER (PARTITION BY from_type), 6) AS p
-    FROM pairs
+           CAST((1000000 * n - (1000000 * n) % t) / t AS BIGINT) AS p_ppm
+    FROM tot
     """,
 )
 def event_transition_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -425,7 +437,9 @@ def event_transition_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "from_type",
         "to_type",
         "n",
-        F.round(F.col("n").cast("double") / F.sum("n").over(wf), 6).alias("p"),
+        F.expr(
+            "(1000000 * n) div sum(n) OVER (PARTITION BY from_type)"
+        ).alias("p_ppm"),
     )
 
 
@@ -434,8 +448,8 @@ def event_transition_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
            count(*) AS n_events,
-           round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6)
-             AS sum_value
+           CAST(sum(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT)
+             AS sum_value_micro
     FROM events
     WHERE user_id % 97 <> 0
     GROUP BY 1
@@ -483,7 +497,7 @@ def gdpr_forget_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corrected.select(
         "day",
         "n_events",
-        F.round(F.col("sv").cast("double"), 6).alias("sum_value"),
+        F.expr("CAST(sv * 1000000 AS BIGINT)").alias("sum_value_micro"),
     )
 
 

@@ -170,9 +170,11 @@ def simhash_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            len(toks) AS n_tokens,
            len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_tokens_bpe,
-           round(CAST(list_sum([length(t) for t in toks]) AS DOUBLE) / len(toks), 6) AS avg_token_len,
-           round(CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','is'))) AS DOUBLE)
-                 / len(toks), 6) AS stopword_ratio
+           CAST((1000000 * list_sum([length(t) for t in toks]))
+                // len(toks) AS BIGINT) AS avg_len_ppm,
+           CAST((1000000 * len(list_filter(toks,
+                    t -> t IN ('the','a','of','and','is'))))
+                // len(toks) AS BIGINT) AS stopword_ppm
     FROM (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
     """,
 )
@@ -184,8 +186,8 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         tx.token_count_ws(F.col("text")).alias("n_tokens"),
         tx.token_count_bpe(F.col("text")).alias("n_tokens_bpe"),
-        tx.avg_token_len(F.col("text")).alias("avg_token_len"),
-        tx.stopword_ratio(F.col("text")).alias("stopword_ratio"),
+        tx.avg_token_len_ppm(F.col("text")).alias("avg_len_ppm"),
+        tx.stopword_ppm(F.col("text")).alias("stopword_ppm"),
     )
 
 
@@ -574,9 +576,12 @@ def training_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         tx.fingerprint(F.col("text")).alias("f"),
         tx.lang_id(F.col("text")).alias("lang_pred"),
     ).filter(
+        # raw-double thresholds, mirroring the oracle's unrounded
+        # comparisons exactly (identical doubles compare identically;
+        # quantizing only the FILTER side would shift the boundary)
         F.col("n_tokens").between(8, 100000)
-        & (F.col("avg_len").cast("double").between(2.0, 12.0))
-        & (F.col("stop_ratio").cast("double") >= 0.01)
+        & (F.col("avg_len").between(2.0, 12.0))
+        & (F.col("stop_ratio") >= 0.01)
     )
     keep1 = feats.groupBy("f").agg(
         F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_copies")
@@ -1669,13 +1674,13 @@ _QUALITY_Z_CTES = f"""
     qf AS (
       SELECT doc_id,
              len(toks) AS n_tokens,
-             CAST(round(1000000.0 * list_sum([length(t) for t in toks])
-                        / len(toks), 0) AS BIGINT) AS avg_u,
-             CAST(round(1000000.0 * len(list_filter(toks,
-                     t -> t IN ('the','a','of','and','is')))
-                        / len(toks), 0) AS BIGINT) AS stop_u,
-             CAST(round(1000000.0 * len(list_distinct(toks))
-                        / len(toks), 0) AS BIGINT) AS lex_u
+             CAST((1000000 * list_sum([length(t) for t in toks]))
+                  // len(toks) AS BIGINT) AS avg_u,
+             CAST((1000000 * len(list_filter(toks,
+                     t -> t IN ('the','a','of','and','is'))))
+                  // len(toks) AS BIGINT) AS stop_u,
+             CAST((1000000 * len(list_distinct(toks)))
+                  // len(toks) AS BIGINT) AS lex_u
       FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)),
     qz AS (
       SELECT doc_id,
@@ -1688,17 +1693,18 @@ _QUALITY_Z_CTES = f"""
 def _quality_z_units(docs: DataFrame) -> DataFrame:
     """(doc_id, z_units) — the exact-BIGINT logit of quality_logit_score."""
     t = tx.tokens(F.col("text"))
-    n = F.size(t)
+    n = F.size(t).cast("bigint")
 
     def units(num):
-        return F.round(1000000.0 * num / n, 0).cast("bigint")
+        # exact integer division — the same (1000000 * X) // n the
+        # oracle computes; both engines truncate toward zero
+        x = F.lit(1000000).cast("bigint") * num.cast("bigint")
+        return ((x - x % n) / n).cast("bigint")
 
-    avg_u = units(F.aggregate(t, F.lit(0), lambda a, x: a + F.length(x))
-                  .cast("double"))
+    avg_u = units(F.aggregate(t, F.lit(0), lambda a, x: a + F.length(x)))
     stop_u = units(
-        F.size(F.filter(t, lambda x: x.isin("the", "a", "of", "and", "is")))
-        .cast("double"))
-    lex_u = units(F.size(F.array_distinct(t)).cast("double"))
+        F.size(F.filter(t, lambda x: x.isin("the", "a", "of", "and", "is"))))
+    lex_u = units(F.size(F.array_distinct(t)))
     z_units = (
         F.lit(-200000000).cast("bigint")
         + 1000000 * n.cast("bigint")
@@ -1712,7 +1718,6 @@ def _quality_z_units(docs: DataFrame) -> DataFrame:
     f"""
     WITH {_QUALITY_Z_CTES}
     SELECT doc_id, z_units AS logit_units,
-           round(1.0 / (1.0 + exp(-(z_units / 100000000.0))), 6) AS score,
            z_units >= 0 AS keep
     FROM qz
     """,
@@ -1727,22 +1732,21 @@ def quality_logit_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Pure per-row expressions end to end: zero shuffles at any corpus
     size, whole-stage codegen, no UDF. The linear term is computed in
-    fixed-point BIGINT units (features at 1e6, weights as exact
-    rationals at 1e8) — rounding a float logit built FROM quantized
-    features lands on .5 boundaries where JVM and DuckDB round()
-    disagree at ulp level (3/500 docs in practice), while the integer
-    logit is bit-exact in every engine; only the sigmoid display value
-    rounds a continuous double, where boundaries have measure zero.
+    fixed-point BIGINT units (features quantized by exact integer
+    division at 1e6, weights as exact rationals at 1e8) — a float logit
+    built from rounded features lands on .5 boundaries where JVM and
+    DuckDB round() disagree at ulp level (3/500 docs in practice),
+    while the integer logit is bit-exact in every engine. The sigmoid
+    is a monotone display transform of the logit, so it is not emitted
+    (exp is libm/engine-build-sensitive).
     """
     docs = tbl(spark, sf_dir, "documents")
     q = _quality_z_units(docs)
     z = F.col("z_units")
-    return q.select(
-        "doc_id",
-        z.alias("logit_units"),
-        F.round(1.0 / (1.0 + F.exp(-(z / 100000000.0))), 6).alias("score"),
-        (z >= 0).alias("keep"),
-    )
+    # the sigmoid is a monotone display transform of logit_units and
+    # exponentiates through libm (engine-build-sensitive); the exact
+    # integer logit carries all the information, so only it is emitted
+    return q.select("doc_id", z.alias("logit_units"), (z >= 0).alias("keep"))
 
 
 @query(
@@ -1751,17 +1755,18 @@ def quality_logit_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS token FROM documents),
     vocab AS (SELECT token, count(*) AS c FROM tok GROUP BY 1),
     tot AS (SELECT sum(c) AS n, count(*) AS v FROM vocab),
+    lm AS (SELECT token,
+                  CAST(floor(-ln((c + 1.0) / (tt.n + tt.v)) * 1000000000)
+                       AS BIGINT) AS nll_n9
+           FROM vocab CROSS JOIN tot tt),
     scored AS (
       SELECT t.doc_id,
              count(*) AS n_tokens,
-             sum(-ln((vb.c + 1.0) / (tt.n + tt.v))) AS nll
-      FROM tok t
-      JOIN vocab vb ON t.token = vb.token
-      CROSS JOIN tot tt
+             sum(lm.nll_n9) AS nll_n9
+      FROM tok t JOIN lm ON t.token = lm.token
       GROUP BY 1)
-    SELECT doc_id, n_tokens,
-           round(nll / n_tokens, 6) AS avg_nll,
-           round(exp(nll / n_tokens), 2) AS ppl
+    SELECT doc_id, n_tokens, nll_n9,
+           CAST(nll_n9 // n_tokens AS BIGINT) AS avg_nll_n9
     FROM scored
     """,
 )
@@ -1775,9 +1780,15 @@ def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``doc_oov_rate`` — the corpus text itself is never reshuffled, only
     (doc, token) pairs move, and the vocab side is |V|-sized). With a
     real KenLM the per-token lookup becomes an Arrow-batched UDF; the
-    unigram case keeps the whole filter inside codegen. Perplexity is
-    rounded to 2 decimals (it exponentiates the mean, so 6-decimal
-    stability of the mean gives ~4 stable ppl decimals).
+    unigram case keeps the whole filter inside codegen.
+
+    Numeric contract: each vocab entry's −ln(p) quantizes ONCE to
+    nano-nat BIGINT units at the |V|-sized LM table, so the per-doc
+    total is an exact integer sum (order-independent — a raw double
+    Σ −ln(p) depends on partition merge order) and the mean is one
+    exact integer division. Perplexity (exp of the mean) is a monotone
+    display transform and is not emitted — libm exp differs per engine
+    build.
     """
     docs = tbl(spark, sf_dir, "documents")
     tok = docs.select(
@@ -1787,19 +1798,23 @@ def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = vocab.agg(
         F.sum("c").alias("n"), F.count("*").alias("v")
     )
-    nll = F.sum(-F.log((F.col("c") + 1.0) / (F.col("n") + F.col("v"))))
+    lm = vocab.crossJoin(F.broadcast(tot)).select(
+        "token",
+        F.floor(
+            -F.log((F.col("c") + 1.0) / (F.col("n") + F.col("v")))
+            * 1000000000.0
+        ).cast("long").alias("nll_n9"),
+    )
     return (
-        tok.join(vocab, "token")
-        .crossJoin(F.broadcast(tot))
+        tok.join(lm, "token")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_tokens"),
-            nll.alias("nll"),
+            F.sum("nll_n9").alias("nll_n9"),
         )
         .select(
-            "doc_id", "n_tokens",
-            F.round(F.col("nll") / F.col("n_tokens"), 6).alias("avg_nll"),
-            F.round(F.exp(F.col("nll") / F.col("n_tokens")), 2).alias("ppl"),
+            "doc_id", "n_tokens", "nll_n9",
+            F.expr("nll_n9 div n_tokens").alias("avg_nll_n9"),
         )
     )
 
@@ -1927,12 +1942,13 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     actual AS (SELECT lang, sum(n) AS tokens, count(*) AS docs
                FROM tok GROUP BY 1),
     total AS (SELECT sum(tokens) AS t FROM actual),
-    target(lang, share) AS (VALUES
-      ('en', 0.5), ('fr', 0.2), ('de', 0.2), ('es', 0.1))
+    target(lang, ppm) AS (VALUES
+      ('en', 500000), ('fr', 200000), ('de', 200000), ('es', 100000))
     SELECT a.lang, a.docs, a.tokens,
-           round(a.tokens * 1.0 / tt.t, 6) AS actual_share,
-           tg.share AS target_share,
-           round(tg.share / (a.tokens * 1.0 / tt.t), 6) AS multiplier
+           CAST((1000000 * a.tokens) // tt.t AS BIGINT) AS share_ppm,
+           CAST(tg.ppm AS BIGINT) AS target_ppm,
+           CAST((CAST(tg.ppm AS BIGINT) * tt.t) // a.tokens AS BIGINT)
+             AS multiplier_ppm
     FROM actual a JOIN target tg ON a.lang = tg.lang CROSS JOIN total tt
     """,
 )
@@ -1947,9 +1963,12 @@ def mixture_budget_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     partials), a 4-row target table, a 1-row total broadcast.
     """
     docs = tbl(spark, sf_dir, "documents")
+    # target mixture as exact ppm integers — the shares are policy
+    # rationals, so the multiplier (target/actual) stays in exact
+    # BIGINT arithmetic end to end: multiplier_ppm = target_ppm·T / n
     target = spark.createDataFrame(
-        [("en", 0.5), ("fr", 0.2), ("de", 0.2), ("es", 0.1)],
-        ["lang", "target_share"],
+        [("en", 500000), ("fr", 200000), ("de", 200000), ("es", 100000)],
+        "lang string, target_ppm long",
     )
     actual = docs.select(
         "lang", F.size(tx.tokens(F.col("text"))).cast("bigint").alias("n")
@@ -1957,15 +1976,14 @@ def mixture_budget_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").alias("tokens"), F.count("*").alias("docs")
     )
     total = actual.agg(F.sum("tokens").alias("t"))
-    share = F.col("tokens") / F.col("t")
     return (
         actual.join(F.broadcast(target), "lang")
         .crossJoin(F.broadcast(total))
         .select(
             "lang", "docs", "tokens",
-            F.round(share, 6).alias("actual_share"),
-            "target_share",
-            F.round(F.col("target_share") / share, 6).alias("multiplier"),
+            F.expr("(1000000 * tokens) div t").alias("share_ppm"),
+            "target_ppm",
+            F.expr("(target_ppm * t) div tokens").alias("multiplier_ppm"),
         )
     )
 
@@ -1985,7 +2003,9 @@ _D2_SQL = ("list_sum([(b.v[i] - c.c[i]) * (b.v[i] - c.c[i])"
                row_number() OVER (PARTITION BY b.vec_id
                    ORDER BY {_D2_SQL}, c.cluster) AS rn
         FROM batch b CROSS JOIN c1 c) WHERE rn = 1)
-    SELECT cluster, count(*) AS n_assigned, round(avg(d2), 6) AS avg_d2
+    SELECT cluster, count(*) AS n_assigned,
+           CAST(sum(CAST(floor(d2 * 1000000) AS BIGINT)) // count(*)
+                AS BIGINT) AS avg_d2_e6
     FROM asg GROUP BY 1
     """,
 )
@@ -2008,9 +2028,14 @@ def kmeans_incremental_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = emb.where(F.col("vec_id") % 5 == 0)
     _, cents = sim.kmeans_lloyd(train, "embedding", "vec_id", k=4, rounds=2)
     asg = sim.kmeans_assign(batch, cents, "embedding", "vec_id")
+    # quantize each squared distance to e6 BIGINT BEFORE averaging —
+    # the sum is then exact integer arithmetic (order-independent),
+    # and the mean is one engine-exact integer division
     return asg.groupBy("cluster").agg(
         F.count("*").alias("n_assigned"),
-        F.round(F.avg("d2"), 6).alias("avg_d2"),
+        F.expr(
+            "sum(CAST(floor(d2 * 1000000) AS BIGINT)) div count(*)"
+        ).alias("avg_d2_e6"),
     )
 
 
@@ -2074,8 +2099,8 @@ def doc_top_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents)
     SELECT lang, count(*) AS n_docs,
            sum(n_tokens) AS total_tokens, sum(n_chars) AS total_chars,
-           round(CAST(sum(n_chars) AS DOUBLE) / sum(n_tokens), 6)
-             AS chars_per_token
+           CAST((1000000 * sum(n_chars)) // sum(n_tokens) AS BIGINT)
+             AS chars_per_token_ppm
     FROM tok GROUP BY lang
     """,
 )
@@ -2102,9 +2127,9 @@ def lang_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
         F.sum("n_chars").alias("total_chars"),
-        F.round(
-            F.sum("n_chars").cast("double") / F.sum("n_tokens"), 6
-        ).alias("chars_per_token"),
+        F.expr(
+            "(1000000 * sum(n_chars)) div sum(n_tokens)"
+        ).alias("chars_per_token_ppm"),
     )
 
 

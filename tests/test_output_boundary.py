@@ -1,0 +1,170 @@
+"""Output-boundary numeric contract audit.
+
+Round 1 and 2 driver runs proved that ``round(DOUBLE, n)`` at a query's
+output boundary is engine-BUILD-sensitive (DuckDB and the JVM scale to
+n decimals with different internal arithmetic, so values one ulp apart
+round differently — doc_oov_rate / doc_repetition_ratio /
+daily_from_hourly_rollup all hash-failed on exactly this). The repo
+contract is therefore:
+
+* Ratios/scores cross the boundary as EXACT integers — ppm via
+  truncating integer division (``div`` ≡ DuckDB ``//``), or e6/e9
+  fixed point via ``floor(x * 10^k)`` of an identically-derived double.
+* A double column is allowed only in the safe classes: source
+  pass-through, DECIMAL→DOUBLE cast of an exact sum, or a single IEEE
+  operation chain on identical inputs with NO round() anywhere.
+
+These tests pin that contract mechanically:
+
+1. ``F.round`` may appear in the query/operator sources only at the
+   allowlisted internal devices below (each justified inline) — never
+   as an output-boundary formatter.
+2. The per-query double-column inventory is pinned. Adding a new double
+   output fails here and forces a review against the safe classes.
+"""
+
+import re
+from pathlib import Path
+
+import pytest
+
+PKG = Path(__file__).resolve().parent.parent / "etl_process_spark"
+
+# file -> (allowed F.round call count, justification)
+ROUND_ALLOWLIST = {
+    # int8 quantization grid + IVF centroid agreement device: both are
+    # INPUTS to a computation mirrored verbatim in the oracle, not
+    # output formatters; values sit far from .5 ulp boundaries by
+    # construction (scaled source data).
+    "operators/similarity.py": 2,
+    # cents device: round(price*100) where price carries exactly 2
+    # decimals — the product is integral up to 1 ulp, exact in practice
+    # and mirrored in the oracle.
+    "queries/analytics.py": 1,
+    # embedding_dim_stats / zscore internal 6-dp quantization feeding a
+    # DECIMAL(18,6) cast — decimal output, not a double boundary.
+    "queries/llmdata.py": 2,
+    # streaming aggregates are differentially tested Spark-vs-Spark
+    # (stream ≡ batch), never hashed against another engine.
+    "streaming/windows.py": 2,
+    "streaming/stateful.py": 1,
+}
+
+
+def test_no_unvetted_round_calls():
+    found = {}
+    for p in PKG.rglob("*.py"):
+        rel = str(p.relative_to(PKG))
+        n = len(re.findall(r"F\.round\(", p.read_text()))
+        if n:
+            found[rel] = n
+    assert found == ROUND_ALLOWLIST, (
+        "F.round() call sites changed. round(DOUBLE) at an output "
+        f"boundary is forbidden (see module docstring). Found {found}, "
+        f"allowed {ROUND_ALLOWLIST}. If the new site is an internal "
+        "device, extend the allowlist WITH a justification."
+    )
+
+
+def test_no_round_in_oracle_output_columns():
+    """Oracle SQL may not round() a double into an output alias.
+
+    Heuristic: any `round(...)` call in an oracle string must not be
+    scale-6 (the historical failure signature). Exact devices use
+    floor/CAST/integer division instead.
+    """
+    import sys
+
+    sys.path.insert(0, str(PKG.parent))
+    from etl_process_spark.queries import QUERIES
+
+    # internal-device oracles: round() feeds a mirrored intermediate
+    # (IVF centroid agreement, 6-dp quantize into DECIMAL), never an
+    # output alias — each has a builder-side twin in the allowlist above
+    internal = {
+        "ivf_topk_per_label", "ivf_search_topk", "knn_join_probed",
+        "embedding_dim_stats", "embedding_zscore_apply",
+    }
+    offenders = [
+        name
+        for name, spec in QUERIES.items()
+        if name not in internal
+        and spec.oracle
+        and re.search(r"round\([^()]*(\([^()]*\)[^()]*)*,\s*6\s*\)", spec.oracle)
+    ]
+    assert offenders == [], (
+        f"round(x, 6) found in oracle SQL of {offenders} — emit exact "
+        "integer ppm/e6 columns instead (module docstring)."
+    )
+
+
+# Pinned inventory: every double/float output column, each in a safe
+# class (pass-through · decimal-cast · single-IEEE-op, no round()).
+ALLOWED_DOUBLE_OUTPUTS = {
+    "bi_nation_trade_volume": ["volume"],
+    "brand_size_disjunction": ["revenue"],
+    "cumulative_revenue_per_customer": ["running_total"],
+    "daily_from_hourly_rollup": ["total_value", "min_value", "max_value"],
+    "discount_revenue_forecast": ["revenue"],
+    "event_lag_features": ["value_3_back"],
+    "exact_median_by_type": ["median"],
+    "exact_value_median": ["median"],
+    "filtered_projection": ["disc_price"],
+    "forward_fill_user_values": ["filled_value"],
+    "hourly_rollup": ["total_value"],
+    "image_decode_stats": ["mean_luma"],
+    "large_quantity_orders": ["total_qty"],
+    "late_window_rebuild": ["total_value"],
+    "nation_balance_nullsafe": ["cust_total", "supp_total"],
+    "nation_revenue_share": ["nation_rev"],
+    "nation_year_profit": ["profit"],
+    "order_price_histogram": ["lo", "hi"],
+    "pareto_frontier_orders": ["o_totalprice"],
+    "parts_above_type_avg": ["p_retailprice", "avg_price"],
+    "peak_revenue_suppliers": ["total_rev"],
+    "price_band_running_sum": ["o_totalprice", "band_sum"],
+    "priciest_order_per_customer": ["top_totalprice"],
+    "pricing_summary": [
+        "sum_qty", "sum_base_price", "sum_disc_price", "avg_qty"
+    ],
+    "promo_revenue_share": ["promo_revenue", "total_revenue", "promo_share"],
+    "region_return_share": ["return_share"],
+    "regional_local_volume": ["revenue"],
+    "rollup_revenue": ["revenue"],
+    "salted_hot_key_agg": ["total_value"],
+    "session_windows": ["total_value"],
+    "sessionize_batch_twin": ["total_value"],
+    "shipping_priority_topk": ["revenue"],
+    "snapshot_diff_changes": ["old_price", "new_price"],
+    "top_balance_suppliers_per_region": ["acctbal"],
+    "top_returned_customers": ["revenue"],
+    "top_revenue_orders": ["o_totalprice"],
+    "topk_orders_per_customer": ["o_totalprice"],
+    "trailing_week_user_value": ["value_7d"],
+    "untapped_customers": ["total_bal"],
+}
+
+
+@pytest.mark.usefixtures("spark")
+def test_double_output_inventory_pinned(spark):
+    import sys
+
+    sys.path.insert(0, str(PKG.parent))
+    from etl_process_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    found = {}
+    for name in sorted(QUERIES):
+        df = QUERIES[name].builder(spark, sf)
+        dbl = [
+            f.name
+            for f in df.schema.fields
+            if f.dataType.typeName() in ("double", "float")
+        ]
+        if dbl:
+            found[name] = dbl
+    assert found == ALLOWED_DOUBLE_OUTPUTS, (
+        "Double-typed output columns changed. New double outputs must "
+        "be one of the safe classes (pass-through / decimal-cast / "
+        "single-IEEE-op without round) — then pin them here."
+    )

@@ -21,15 +21,15 @@ def test_interpolation_boundaries(spark):
     ]
     df = spark.createDataFrame(rows, "k int, ts timestamp, value double")
     out = {
-        (r["k"], r["grid_ts"]): r["value_interp"]
+        (r["k"], r["grid_ts"]): r["value_interp_e6"]
         for r in resample_interpolate(df, "k", "ts", F.col("value"), "6 hours").collect()
     }
     # before first obs -> NULL
     assert out[(1, dt.datetime(2024, 1, 1, 0, 0, 0))] is None
-    # 06:00 sits halfway between 03:00(10) and 09:00(40) -> 25
-    assert out[(1, dt.datetime(2024, 1, 1, 6, 0, 0))] == 25.0
+    # 06:00 sits halfway between 03:00(10) and 09:00(40) -> 25 (e6 units)
+    assert out[(1, dt.datetime(2024, 1, 1, 6, 0, 0))] == 25_000_000
     # grid exactly on the (averaged) observation -> its value
-    assert out[(2, dt.datetime(2024, 1, 2, 6, 0, 0))] == 8.0
+    assert out[(2, dt.datetime(2024, 1, 2, 6, 0, 0))] == 8_000_000
     # grid covers [midnight, last obs]: key 1 has 00:00 and 06:00 only
     assert set(k for k in out) == {
         (1, dt.datetime(2024, 1, 1, 0, 0, 0)),
