@@ -41,8 +41,14 @@ def resample_interpolate(
     interpolation a function of time. Returns
     ``(key, grid_ts, value_interp)``.
     """
+    # exact decimal sum, double-cast, ONE division — avg(decimal) takes
+    # engine-specific decimal rescaling paths (Spark divides in decimal
+    # with HALF_UP, DuckDB in double) and can differ at the last ulp
     obs = df.groupBy(key, ts_col).agg(
-        F.avg(val_col.cast("decimal(12,4)")).cast("double").alias("v")
+        (
+            F.sum(val_col.cast("decimal(12,4)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("v")
     )
     bounds = obs.groupBy(key).agg(
         F.date_trunc("day", F.min(ts_col)).alias("lo"), F.max(ts_col).alias("hi")

@@ -55,7 +55,8 @@ def copurchase_pairs(
     SELECT l_returnflag, l_linestatus,
            CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS INT) AS grp_id,
            count(*) AS n_items,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE) AS revenue
+           CAST(floor(sum(CAST(l_extendedprice AS DECIMAL(12,4))) * 100)
+                AS BIGINT) AS revenue_cents
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
@@ -73,9 +74,14 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.grouping_id().cast("int").alias("grp_id"),
             F.count(F.lit(1)).alias("n_items"),
-            F.sum(F.col("l_extendedprice").cast("decimal(12,4)")).cast("double").alias("revenue"),
+            F.floor(
+                F.sum(F.col("l_extendedprice").cast("decimal(12,4)")) * 100
+            ).cast("bigint").alias("revenue_cents"),
         )
-        .select("l_returnflag", "l_linestatus", "grp_id", "n_items", "revenue")
+        .select(
+            "l_returnflag", "l_linestatus", "grp_id", "n_items",
+            "revenue_cents",
+        )
     )
 
 
@@ -184,7 +190,8 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_type,
            count(*) AS n_events,
-           CAST(sum(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS total_value
+           CAST(sum(CAST(value AS DECIMAL(12,4))) * 10000 AS BIGINT)
+             AS total_value_e4
     FROM events
     GROUP BY event_type
     """,
@@ -206,7 +213,8 @@ def salted_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_salts=16,
     )
     return out.select(
-        "event_type", "n_events", F.col("total_value").cast("double").alias("total_value")
+        "event_type", "n_events",
+        (F.col("total_value") * 10000).cast("bigint").alias("total_value_e4"),
     )
 
 
@@ -412,32 +420,42 @@ def topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     "parts_above_type_avg",
     """
     WITH t AS (
-      SELECT p_type,
-             CAST(sum(CAST(p_retailprice AS DECIMAL(12,4))) AS DOUBLE)
-                 / count(*) AS avg_price
+      SELECT p_type, count(*) AS n,
+             CAST(sum(CAST(p_retailprice AS DECIMAL(12,4))) * 10000 AS BIGINT)
+               AS sx_e4
       FROM part GROUP BY p_type
     )
-    SELECT p.p_partkey, p.p_type, p.p_retailprice, t.avg_price
+    SELECT p.p_partkey, p.p_type, p.p_retailprice,
+           CAST((100 * sx_e4 - (100 * sx_e4) % n) / n AS BIGINT) AS avg_price_e6
     FROM part p JOIN t ON p.p_type = t.p_type
-    WHERE p.p_retailprice > 1.1 * t.avg_price
+    WHERE CAST(CAST(p.p_retailprice AS DECIMAL(12,4)) * 10000 AS BIGINT)
+            * n * 10
+          > 11 * sx_e4
     """,
 )
 def parts_above_type_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group average compared back to rows (TPC-H Q17 shape): the
     decorrelated form — aggregate once, broadcast-join the tiny per-group
-    result back — not a correlated per-row subquery. The exact-decimal sum
-    / count division keeps both engines' doubles bit-identical."""
+    result back — not a correlated per-row subquery. Both the threshold
+    comparison (price·n·10 > 11·Σprice, cross-multiplied so no division
+    exists to round) and the emitted average (e6 via exact integer
+    division) are pure BIGINT arithmetic — nothing engine-sensitive."""
     pt = tbl(spark, sf_dir, "part")
     avg = pt.groupBy("p_type").agg(
-        (
-            F.sum(F.col("p_retailprice").cast("decimal(12,4)")).cast("double")
-            / F.count(F.lit(1))
-        ).alias("avg_price")
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(F.col("p_retailprice").cast("decimal(12,4)")) * 10000)
+        .cast("bigint").alias("sx_e4"),
+    )
+    price_e4 = (F.col("p_retailprice").cast("decimal(12,4)") * 10000).cast(
+        "bigint"
     )
     return (
         pt.join(F.broadcast(avg), "p_type")
-        .filter(F.col("p_retailprice") > 1.1 * F.col("avg_price"))
-        .select("p_partkey", "p_type", "p_retailprice", "avg_price")
+        .filter(price_e4 * F.col("n") * 10 > 11 * F.col("sx_e4"))
+        .select(
+            "p_partkey", "p_type", "p_retailprice",
+            F.expr("(100 * sx_e4) div n").alias("avg_price_e6"),
+        )
     )
 
 
@@ -526,11 +544,16 @@ def top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "region_return_share",
     """
     SELECT n.n_name,
-           CAST(sum(CASE WHEN l.l_returnflag = 'R'
+           CAST((1000000 * CAST(floor(sum(CASE WHEN l.l_returnflag = 'R'
                          THEN CAST(l.l_extendedprice AS DECIMAL(12,4))
-                         ELSE 0 END) AS DOUBLE)
-           / CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,4))) AS DOUBLE)
-               AS return_share,
+                         ELSE 0 END) * 100) AS BIGINT)
+                 - (1000000 * CAST(floor(sum(CASE WHEN l.l_returnflag = 'R'
+                         THEN CAST(l.l_extendedprice AS DECIMAL(12,4))
+                         ELSE 0 END) * 100) AS BIGINT))
+                   % CAST(floor(sum(CAST(l.l_extendedprice AS DECIMAL(12,4)))
+                                * 100) AS BIGINT))
+                / CAST(floor(sum(CAST(l.l_extendedprice AS DECIMAL(12,4)))
+                             * 100) AS BIGINT) AS BIGINT) AS return_ppm,
            count(*) AS n_items
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -558,10 +581,14 @@ def region_return_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(na, cu.c_nationkey == na.n_nationkey)
         .groupBy("n_name")
         .agg(
-            (F.sum(returned).cast("double") / F.sum(price).cast("double")).alias(
-                "return_share"
-            ),
+            F.floor(F.sum(returned) * 100).cast("bigint").alias("__rc"),
+            F.floor(F.sum(price) * 100).cast("bigint").alias("__tc"),
             F.count(F.lit(1)).alias("n_items"),
+        )
+        .select(
+            "n_name",
+            F.expr("(1000000 * __rc) div __tc").alias("return_ppm"),
+            "n_items",
         )
     )
 
@@ -665,7 +692,7 @@ def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(CAST(value AS DECIMAL(12,4))) OVER (
              PARTITION BY user_id ORDER BY ts
              RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW
-           ) AS DOUBLE) AS value_7d
+           ) * 10000 AS BIGINT) AS value_7d_e4
     FROM events
     """,
 )
@@ -685,7 +712,7 @@ def trailing_week_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         """CAST(sum(value_dec) OVER (
              PARTITION BY user_id ORDER BY ts
              RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW
-           ) AS DOUBLE) AS value_7d""",
+           ) * 10000 AS BIGINT) AS value_7d_e4""",
     )
 
 
@@ -742,8 +769,8 @@ def order_price_rank_features(spark: SparkSession, sf_dir: str) -> DataFrame:
            arg_max(o_orderkey,
                    CAST(round(o_totalprice * 100) AS BIGINT) * 1000000000
                    + o_orderkey) AS top_orderkey,
-           CAST(max(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
-               AS top_totalprice
+           CAST(max(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT)
+               AS top_totalprice_cents
     FROM orders
     GROUP BY o_custkey
     """,
@@ -761,9 +788,9 @@ def priciest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return orders.groupBy("o_custkey").agg(
         F.max_by("o_orderkey", ordkey).alias("top_orderkey"),
-        F.max(F.col("o_totalprice").cast("decimal(12,2)"))
-        .cast("double")
-        .alias("top_totalprice"),
+        (F.max(F.col("o_totalprice").cast("decimal(12,2)")) * 100)
+        .cast("bigint")
+        .alias("top_totalprice_cents"),
     )
 
 
@@ -772,7 +799,7 @@ def priciest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH obs AS (
       SELECT user_id, ts,
-             CAST(avg(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS v
+             CAST(sum(CAST(value AS DECIMAL(12,4))) AS DOUBLE) / count(*) AS v
       FROM events
       GROUP BY user_id, ts
     ),
@@ -1356,8 +1383,8 @@ def nation_presence_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderkey, o_custkey, o_totalprice,
            CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
              PARTITION BY o_custkey ORDER BY o_totalprice
-             RANGE BETWEEN 50000 PRECEDING AND CURRENT ROW) AS DOUBLE)
-             AS band_sum,
+             RANGE BETWEEN 50000 PRECEDING AND CURRENT ROW) * 100 AS BIGINT)
+             AS band_sum_cents,
            count(*) OVER (
              PARTITION BY o_custkey ORDER BY o_totalprice
              RANGE BETWEEN 50000 PRECEDING AND CURRENT ROW) AS band_n
@@ -1383,8 +1410,8 @@ def price_band_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return od.select(
         "o_orderkey", "o_custkey", "o_totalprice",
-        F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
-        .over(w).cast("double").alias("band_sum"),
+        (F.sum(F.col("o_totalprice").cast("decimal(12,2)")).over(w) * 100)
+        .cast("bigint").alias("band_sum_cents"),
         F.count(F.lit(1)).over(w).alias("band_n"),
     )
 
@@ -1589,7 +1616,7 @@ def snapshot_diff_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY 1, 2)
     SELECT CAST(date_trunc('day', h) AS DATE) AS day, event_type,
            sum(n_events) AS n_events,
-           CAST(sum(sum_value) AS DOUBLE) AS total_value,
+           CAST(sum(sum_value) * 10000 AS BIGINT) AS total_value_e4,
            CAST((CAST(sum(sum_value) * 10000 AS BIGINT) * 100
                  - CAST(sum(sum_value) * 10000 AS BIGINT) * 100
                    % sum(n_events))
@@ -1640,7 +1667,7 @@ def daily_from_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "day",
             "event_type",
             "n_events",
-            F.col("sv").cast("double").alias("total_value"),
+            (F.col("sv") * 10000).cast("bigint").alias("total_value_e4"),
             F.expr("CAST(sv * 10000 AS BIGINT) * 100 div n_events").alias(
                 "avg_micro"
             ),

@@ -33,12 +33,18 @@ INF_TS = "9999-12-31 00:00:00"
     "pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           CAST(sum(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) AS sum_qty,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE) AS sum_base_price,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4))
-                    * (1 - CAST(l_discount AS DECIMAL(6,4)))) AS DOUBLE) AS sum_disc_price,
-           CAST(sum(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE)
-               / count(*) AS avg_qty,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,4))) * 10000 AS BIGINT)
+             AS sum_qty_e4,
+           CAST(floor(sum(CAST(l_extendedprice AS DECIMAL(12,4))) * 100)
+                AS BIGINT) AS sum_base_price_cents,
+           CAST(floor(sum(CAST(l_extendedprice AS DECIMAL(12,4))
+                    * (1 - CAST(l_discount AS DECIMAL(6,4)))) * 100)
+                AS BIGINT) AS sum_disc_price_cents,
+           CAST((CAST(sum(CAST(l_quantity AS DECIMAL(12,4))) * 10000 AS BIGINT)
+                   * 100
+                 - CAST(sum(CAST(l_quantity AS DECIMAL(12,4))) * 10000 AS BIGINT)
+                   * 100 % count(*))
+                / count(*) AS BIGINT) AS avg_qty_e6,
            count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
@@ -60,11 +66,18 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-01 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(qty).cast("double").alias("sum_qty"),
-            F.sum(price).cast("double").alias("sum_base_price"),
-            F.sum(price * (F.lit(1) - disc)).cast("double").alias("sum_disc_price"),
-            (F.sum(qty).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            (F.sum(qty) * 10000).cast("bigint").alias("sum_qty_e4"),
+            F.floor(F.sum(price) * 100).cast("bigint")
+            .alias("sum_base_price_cents"),
+            F.floor(F.sum(price * (F.lit(1) - disc)) * 100).cast("bigint")
+            .alias("sum_disc_price_cents"),
             F.count(F.lit(1)).alias("count_order"),
+        )
+        .select(
+            "l_returnflag", "l_linestatus", "sum_qty_e4",
+            "sum_base_price_cents", "sum_disc_price_cents",
+            F.expr("(sum_qty_e4 * 100) div count_order").alias("avg_qty_e6"),
+            "count_order",
         )
     )
 
@@ -196,17 +209,19 @@ def order_region_denorm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH cb AS (
       SELECT c_nationkey AS nationkey,
-             CAST(sum(CAST(c_acctbal AS DECIMAL(12,4))) AS DOUBLE) AS cust_total
+             CAST(floor(sum(CAST(c_acctbal AS DECIMAL(12,4))) * 100) AS BIGINT)
+               AS cust_total_cents
       FROM customer GROUP BY c_nationkey
     ), sb AS (
       SELECT s_nationkey AS nationkey,
-             CAST(sum(CAST(s_acctbal AS DECIMAL(12,4))) AS DOUBLE) AS supp_total
+             CAST(floor(sum(CAST(s_acctbal AS DECIMAL(12,4))) * 100) AS BIGINT)
+               AS supp_total_cents
       FROM supplier GROUP BY s_nationkey
     )
     SELECT coalesce(cb.nationkey, sb.nationkey) AS nationkey,
-           cb.cust_total, sb.supp_total
+           cb.cust_total_cents, sb.supp_total_cents
     FROM cb FULL OUTER JOIN sb ON cb.nationkey = sb.nationkey
-    WHERE NOT (cb.cust_total IS NOT DISTINCT FROM sb.supp_total)
+    WHERE NOT (cb.cust_total_cents IS NOT DISTINCT FROM sb.supp_total_cents)
     """,
 )
 def nation_balance_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -219,20 +234,28 @@ def nation_balance_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
     cb = (
         tbl(spark, sf_dir, "customer")
         .groupBy(F.col("c_nationkey").alias("nationkey"))
-        .agg(F.sum(F.col("c_acctbal").cast("decimal(12,4)")).cast("double").alias("cust_total"))
+        .agg(
+            F.floor(F.sum(F.col("c_acctbal").cast("decimal(12,4)")) * 100)
+            .cast("bigint").alias("cust_total_cents")
+        )
     )
     sb = (
         tbl(spark, sf_dir, "supplier")
         .groupBy(F.col("s_nationkey").alias("nationkey"))
-        .agg(F.sum(F.col("s_acctbal").cast("decimal(12,4)")).cast("double").alias("supp_total"))
+        .agg(
+            F.floor(F.sum(F.col("s_acctbal").cast("decimal(12,4)")) * 100)
+            .cast("bigint").alias("supp_total_cents")
+        )
     )
     j = cb.alias("cb").join(sb.alias("sb"), F.col("cb.nationkey") == F.col("sb.nationkey"), "full_outer")
     return (
-        j.filter(~F.col("cb.cust_total").eqNullSafe(F.col("sb.supp_total")))
+        j.filter(
+            ~F.col("cb.cust_total_cents").eqNullSafe(F.col("sb.supp_total_cents"))
+        )
         .select(
             F.coalesce(F.col("cb.nationkey"), F.col("sb.nationkey")).alias("nationkey"),
-            F.col("cb.cust_total").alias("cust_total"),
-            F.col("sb.supp_total").alias("supp_total"),
+            F.col("cb.cust_total_cents").alias("cust_total_cents"),
+            F.col("sb.supp_total_cents").alias("supp_total_cents"),
         )
     )
 
@@ -623,7 +646,8 @@ def interval_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT date_trunc('hour', ts) AS window_start, event_type,
            count(*) AS n_events,
-           CAST(sum(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS total_value
+           CAST(sum(CAST(value AS DECIMAL(12,4))) * 10000 AS BIGINT)
+             AS total_value_e4
     FROM events
     GROUP BY date_trunc('hour', ts), event_type
     """,
@@ -643,7 +667,8 @@ def hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(12,4)")).cast("double").alias("total_value"),
+            (F.sum(F.col("value").cast("decimal(12,4)")) * 10000)
+            .cast("bigint").alias("total_value_e4"),
         )
     )
 
@@ -705,7 +730,7 @@ def overlapping_click_view_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 PARTITION BY o_custkey
                 ORDER BY o_orderdate, o_orderkey
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ) AS DOUBLE) AS running_total
+           ) * 10000 AS BIGINT) AS running_total_e4
     FROM orders
     """,
 )
@@ -723,10 +748,9 @@ def cumulative_revenue_per_customer(spark: SparkSession, sf_dir: str) -> DataFra
     return od.select(
         "o_custkey",
         "o_orderkey",
-        F.sum(F.col("o_totalprice").cast("decimal(14,4)"))
-        .over(w)
-        .cast("double")
-        .alias("running_total"),
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(14,4)")).over(w) * 10000
+        ).cast("bigint").alias("running_total_e4"),
     )
 
 

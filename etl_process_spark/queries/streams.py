@@ -34,7 +34,8 @@ _SESSION_ORACLE = """
            min(ts) AS session_start,
            max(ts) + INTERVAL 30 MINUTE AS session_end,
            count(*) AS n_events,
-           round(sum(value), 2) AS total_value
+           CAST(sum(CAST(value AS DECIMAL(12,4))) * 10000 AS BIGINT)
+             AS total_value_e4
     FROM sess
     GROUP BY user_id, sid
 """
@@ -110,8 +111,7 @@ def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT time_bucket(INTERVAL 6 HOURS, ts) AS window_start,
              time_bucket(INTERVAL 6 HOURS, ts) + INTERVAL 6 HOURS AS window_end,
              event_type,
-             count(*) AS n_events,
-             round(sum(value), 2) AS total_value
+             count(*) AS n_events
       FROM events GROUP BY 1, 2, 3)
     SELECT window_start, window_end, event_type, n_events,
            CAST(rnk AS INT) AS rnk
@@ -149,7 +149,8 @@ def trending_types_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT date_trunc('hour', ts) AS window_start, event_type,
            count(*) AS n_events,
-           CAST(sum(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS total_value
+           CAST(sum(CAST(value AS DECIMAL(12,4))) * 10000 AS BIGINT)
+             AS total_value_e4
     FROM events
     GROUP BY 1, 2
     """,
@@ -181,9 +182,9 @@ def late_window_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_trunc("hour", "ts").alias("window_start"), "event_type"
         ).agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(12,4)"))
-            .cast("double")
-            .alias("total_value"),
+            (F.sum(F.col("value").cast("decimal(12,4)")) * 10000)
+            .cast("bigint")
+            .alias("total_value_e4"),
         )
 
     stored = rollup(early)

@@ -83,8 +83,9 @@ def top_balance_suppliers_per_region(spark: SparkSession, sf_dir: str) -> DataFr
     """
     SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
            CAST(year(l_shipdate) AS INT) AS ship_year,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4))
-               * (1 - CAST(l_discount AS DECIMAL(6,4)))) AS DOUBLE) AS volume
+           CAST(floor(sum(CAST(l_extendedprice AS DECIMAL(12,4))
+               * (1 - CAST(l_discount AS DECIMAL(6,4)))) * 100) AS BIGINT)
+             AS volume_cents
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          JOIN customer ON o_custkey = c_custkey
          JOIN supplier ON l_suppkey = s_suppkey
@@ -138,7 +139,7 @@ def bi_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             | ((F.col("supp_nation") == pair[1]) & (F.col("cust_nation") == pair[0]))
         )
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("int").alias("ship_year"))
-        .agg(F.sum(_disc_price()).cast("double").alias("volume"))
+        .agg(F.floor(F.sum(_disc_price()) * 100).cast("bigint").alias("volume_cents"))
     )
 
 
@@ -152,7 +153,7 @@ def bi_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
            JOIN nation ON s_nationkey = n_nationkey
       GROUP BY n_name)
-    SELECT n_name, CAST(nation_rev AS DOUBLE) AS nation_rev
+    SELECT n_name, CAST(floor(nation_rev * 100) AS BIGINT) AS nation_rev_cents
     FROM rev
     WHERE nation_rev * 25 > (SELECT sum(nation_rev) FROM rev)
     """,
@@ -179,7 +180,7 @@ def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rev.crossJoin(F.broadcast(total))
         .filter(F.col("rev_dec") * 25 > F.col("total_dec"))
-        .select("n_name", F.col("rev_dec").cast("double").alias("nation_rev"))
+        .select("n_name", F.floor(F.col("rev_dec") * 100).cast("bigint").alias("nation_rev_cents"))
     )
 
 
@@ -193,7 +194,8 @@ def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
       GROUP BY l_suppkey)
-    SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_rev
+    SELECT s_suppkey, s_name,
+           CAST(floor(total_rev * 100) AS BIGINT) AS total_rev_cents
     FROM supplier JOIN rev ON s_suppkey = supplier_no
     WHERE total_rev = (SELECT max(total_rev) FROM rev)
     """,
@@ -228,7 +230,8 @@ def peak_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         supp.join(rev, F.col("s_suppkey") == F.col("supplier_no"))
         .join(F.broadcast(peak), F.col("rev_dec") == F.col("max_rev"))
-        .select("s_suppkey", "s_name", F.col("rev_dec").cast("double").alias("total_rev"))
+        .select("s_suppkey", "s_name",
+                F.floor(F.col("rev_dec") * 100).cast("bigint").alias("total_rev_cents"))
     )
 
 
@@ -271,8 +274,9 @@ def large_quantity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "brand_size_disjunction",
     """
-    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4))
-               * (1 - CAST(l_discount AS DECIMAL(6,4)))) AS DOUBLE) AS revenue,
+    SELECT CAST(floor(sum(CAST(l_extendedprice AS DECIMAL(12,4))
+               * (1 - CAST(l_discount AS DECIMAL(6,4)))) * 100) AS BIGINT)
+             AS revenue_cents,
            count(*) AS n_items
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 21)
@@ -311,7 +315,7 @@ def brand_size_disjunction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return joined.filter(cond).agg(
-        F.sum(_disc_price()).cast("double").alias("revenue"),
+        F.floor(F.sum(_disc_price()) * 100).cast("bigint").alias("revenue_cents"),
         F.count(F.lit(1)).alias("n_items"),
     )
 
@@ -361,7 +365,7 @@ def fresh_part_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE c_mktsegment IN ('BUILDING','MACHINERY','AUTOMOBILE') AND c_acctbal > 0),
       thr AS (SELECT sum(CAST(c_acctbal AS DECIMAL(12,2))) AS total, count(*) AS n FROM pool)
     SELECT c_mktsegment, count(*) AS n_cust,
-           CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+           CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) * 100 AS BIGINT) AS total_bal_cents
     FROM pool, thr
     WHERE CAST(c_acctbal AS DECIMAL(12,2)) * n > total
       AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
@@ -397,7 +401,7 @@ def untapped_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_cust"),
-            F.sum(bal).cast("double").alias("total_bal"),
+            (F.sum(bal) * 100).cast("bigint").alias("total_bal_cents"),
         )
     )
 
@@ -514,8 +518,9 @@ def order_priority_semi_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "discount_revenue_forecast",
     """
-    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4))
-               * CAST(l_discount AS DECIMAL(6,4))) AS DOUBLE) AS revenue,
+    SELECT CAST(floor(sum(CAST(l_extendedprice AS DECIMAL(12,4))
+               * CAST(l_discount AS DECIMAL(6,4))) * 100) AS BIGINT)
+             AS revenue_cents,
            count(*) AS n_lines
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
@@ -544,7 +549,7 @@ def discount_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.sum(price * disc).cast("double").alias("revenue"),
+            F.floor(F.sum(price * disc) * 100).cast("bigint").alias("revenue_cents"),
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
@@ -554,10 +559,11 @@ def discount_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     "nation_year_profit",
     """
     SELECT n_name, CAST(year(o_orderdate) AS INT) AS order_year,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4))
-                    * (1 - CAST(l_discount AS DECIMAL(6,4)))
-                  - CAST(p_retailprice AS DECIMAL(12,4))
-                    * CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) AS profit
+           CAST(floor(sum(CAST(l_extendedprice AS DECIMAL(12,4))
+                          * (1 - CAST(l_discount AS DECIMAL(6,4)))
+                        - CAST(p_retailprice AS DECIMAL(12,4))
+                          * CAST(l_quantity AS DECIMAL(12,4))) * 100) AS BIGINT)
+             AS profit_cents
     FROM lineitem JOIN part ON p_partkey = l_partkey
          JOIN supplier ON l_suppkey = s_suppkey
          JOIN orders ON o_orderkey = l_orderkey
@@ -596,7 +602,7 @@ def nation_year_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(od, li.l_orderkey == od.o_orderkey)
         .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
         .groupBy("n_name", F.year("o_orderdate").cast("int").alias("order_year"))
-        .agg(F.sum(_disc_price() - cost).cast("double").alias("profit"))
+        .agg(F.floor(F.sum(_disc_price() - cost) * 100).cast("bigint").alias("profit_cents"))
     )
 
 
@@ -604,8 +610,9 @@ def nation_year_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "top_returned_customers",
     """
     SELECT c_custkey, c_name, n_name,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4))
-               * (1 - CAST(l_discount AS DECIMAL(6,4)))) AS DOUBLE) AS revenue
+           CAST(floor(sum(CAST(l_extendedprice AS DECIMAL(12,4))
+               * (1 - CAST(l_discount AS DECIMAL(6,4)))) * 100) AS BIGINT)
+             AS revenue_cents
     FROM customer JOIN orders ON c_custkey = o_custkey
          JOIN lineitem ON l_orderkey = o_orderkey
          JOIN nation ON c_nationkey = n_nationkey
@@ -647,7 +654,7 @@ def top_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select(
             "c_custkey", "c_name", "n_name",
-            F.col("rev_dec").cast("double").alias("revenue"),
+            F.floor(F.col("rev_dec") * 100).cast("bigint").alias("revenue_cents"),
         )
     )
 
@@ -664,10 +671,12 @@ def top_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
                  * (1 - CAST(l_discount AS DECIMAL(6,4)))) AS total_dec
       FROM lineitem JOIN part ON p_partkey = l_partkey
       WHERE l_shipdate >= TIMESTAMP '1997-09-01' AND l_shipdate < TIMESTAMP '1997-10-01')
-    SELECT CAST(promo_dec AS DOUBLE) AS promo_revenue,
-           CAST(total_dec AS DOUBLE) AS total_revenue,
-           100.0 * CAST(promo_dec AS DOUBLE) / CAST(total_dec AS DOUBLE) AS promo_share
-    FROM s
+    SELECT promo_cents, total_cents,
+           CAST((1000000 * promo_cents - (1000000 * promo_cents) % total_cents)
+                / total_cents AS BIGINT) AS promo_share_ppm
+    FROM (SELECT CAST(floor(promo_dec * 100) AS BIGINT) AS promo_cents,
+                 CAST(floor(total_dec * 100) AS BIGINT) AS total_cents
+          FROM s)
     """,
 )
 def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -697,12 +706,14 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(_disc_price()).alias("total_dec"),
         )
         .select(
-            F.col("promo_dec").cast("double").alias("promo_revenue"),
-            F.col("total_dec").cast("double").alias("total_revenue"),
-            (
-                F.lit(100.0) * F.col("promo_dec").cast("double")
-                / F.col("total_dec").cast("double")
-            ).alias("promo_share"),
+            F.floor(F.col("promo_dec") * 100).cast("bigint").alias("promo_cents"),
+            F.floor(F.col("total_dec") * 100).cast("bigint").alias("total_cents"),
+        )
+        .select(
+            "promo_cents", "total_cents",
+            F.expr("(1000000 * promo_cents) div total_cents").alias(
+                "promo_share_ppm"
+            ),
         )
     )
 
@@ -756,8 +767,9 @@ def brandwise_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "shipping_priority_topk",
     """
     SELECT l_orderkey, o_orderdate, o_orderpriority,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4))
-               * (1 - CAST(l_discount AS DECIMAL(6,4)))) AS DOUBLE) AS revenue
+           CAST(floor(sum(CAST(l_extendedprice AS DECIMAL(12,4))
+               * (1 - CAST(l_discount AS DECIMAL(6,4)))) * 100) AS BIGINT)
+             AS revenue_cents
     FROM customer JOIN orders ON c_custkey = o_custkey
          JOIN lineitem ON l_orderkey = o_orderkey
     WHERE c_mktsegment = 'BUILDING'
@@ -800,7 +812,7 @@ def shipping_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select(
             "l_orderkey", "o_orderdate", "o_orderpriority",
-            F.col("rev_dec").cast("double").alias("revenue"),
+            F.floor(F.col("rev_dec") * 100).cast("bigint").alias("revenue_cents"),
         )
     )
 
@@ -808,8 +820,9 @@ def shipping_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "regional_local_volume",
     """
-    SELECT n_name, CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4))
-               * (1 - CAST(l_discount AS DECIMAL(6,4)))) AS DOUBLE) AS revenue
+    SELECT n_name, CAST(floor(sum(CAST(l_extendedprice AS DECIMAL(12,4))
+               * (1 - CAST(l_discount AS DECIMAL(6,4)))) * 100) AS BIGINT)
+             AS revenue_cents
     FROM customer JOIN orders ON c_custkey = o_custkey
          JOIN lineitem ON l_orderkey = o_orderkey
          JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -866,5 +879,8 @@ def regional_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         local.join(F.broadcast(asia_nations.withColumnRenamed("n_nationkey", "nk")),
                    F.col("s_nationkey") == F.col("nk"))
         .groupBy("n_name")
-        .agg(F.sum(_disc_price()).cast("double").alias("revenue"))
+        .agg(
+            F.floor(F.sum(_disc_price()) * 100)
+            .cast("bigint").alias("revenue_cents")
+        )
     )

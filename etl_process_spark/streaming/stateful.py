@@ -23,29 +23,29 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 SESSION_SCHEMA = (
     "user_id bigint, session_start timestamp, session_end timestamp, "
-    "n_events bigint, total_value double"
+    "n_events bigint, total_value_e4 bigint"
 )
 # epoch-microsecond longs: engine-portable, no tz ambiguity in the state store
-_STATE_SCHEMA = "session_start long, last_ts long, n_events long, total_value double"
+_STATE_SCHEMA = "session_start long, last_ts long, n_events long, total_value_e4 long"
 
 
-def _round2_half_up(x: float) -> float:
-    """round(x, 2) with ties away from zero (x >= 0) — matches the batch
-    twin's JVM F.round; Python's round() is half-to-even and would
-    diverge on an exact tie."""
+def _e4(v: float) -> int:
+    """Nearest-integer e4 quantization of one source double — the same
+    value CAST(value AS DECIMAL(12,4)) * 10000 produces JVM-side (the
+    data carries <= 4 decimals, so no representable tie exists)."""
     import math
 
-    return math.floor(x * 100 + 0.5) / 100
+    return int(math.floor(float(v) * 10000.0 + 0.5))
 
 
-def _emit(user_id: Any, ss: int, lt: int, n: int, tv: float, gap_us: int) -> pd.DataFrame:
+def _emit(user_id: Any, ss: int, lt: int, n: int, tv: int, gap_us: int) -> pd.DataFrame:
     return pd.DataFrame(
         {
             "user_id": [user_id],
             "session_start": [pd.Timestamp(ss, unit="us")],
             "session_end": [pd.Timestamp(lt + gap_us, unit="us")],
             "n_events": [n],
-            "total_value": [_round2_half_up(tv)],
+            "total_value_e4": [int(tv)],
         }
     )
 
@@ -75,18 +75,20 @@ def _make_sessionizer(gap_seconds: int):
         else:
             ss = None
             lt = n = 0
-            tv = 0.0
+            tv = 0
 
-        closed: list[tuple[int, int, int, float]] = []
+        # exact integer e4 units: the running sum is addition of ints,
+        # order-independent and bit-equal to the batch twin's DECIMAL sum
+        closed: list[tuple[int, int, int, int]] = []
         for t, v in zip(ts_us, vals):
             t = int(t)
             if ss is None:
-                ss, lt, n, tv = t, t, 1, float(v)
+                ss, lt, n, tv = t, t, 1, _e4(v)
             elif t - lt >= gap_us:
                 closed.append((ss, lt, n, tv))
-                ss, lt, n, tv = t, t, 1, float(v)
+                ss, lt, n, tv = t, t, 1, _e4(v)
             else:
-                lt, n, tv = t, n + 1, tv + float(v)
+                lt, n, tv = t, n + 1, tv + _e4(v)
 
         # If the watermark already passed the open session's close point,
         # a timeout in the past would be rejected — close it now instead.
@@ -165,9 +167,13 @@ def sessionize_batch(
             F.min(ts_col).alias("session_start"),
             (F.max(ts_col) + F.expr(f"INTERVAL {gap_seconds} SECOND")).alias("session_end"),
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum(value_col), 2).alias("total_value"),
+            (F.sum(F.col(value_col).cast("decimal(12,4)")) * 10000)
+            .cast("bigint").alias("total_value_e4"),
         )
-        .select(key_col, "session_start", "session_end", "n_events", "total_value")
+        .select(
+            key_col, "session_start", "session_end", "n_events",
+            "total_value_e4",
+        )
     )
 
 
@@ -205,7 +211,7 @@ def sessionize_stream_tws(
         def init(self, handle: StatefulProcessorHandle) -> None:
             self._handle = handle
             self._state = handle.getValueState(
-                "sess", "ss long, lt long, n long, tv double"
+                "sess", "ss long, lt long, n long, tv long"
             )
 
         def handleInputRows(self, key, rows, timer_values):
@@ -218,18 +224,18 @@ def sessionize_stream_tws(
             if self._state.exists():
                 ss, lt, n, tv = self._state.get()
             else:
-                ss, lt, n, tv = None, 0, 0, 0.0
+                ss, lt, n, tv = None, 0, 0, 0
 
             closed = []
             for t, v in zip(ts_us, vals):
                 t = int(t)
                 if ss is None:
-                    ss, lt, n, tv = t, t, 1, float(v)
+                    ss, lt, n, tv = t, t, 1, _e4(v)
                 elif t - lt >= gap_us:
                     closed.append((ss, lt, n, tv))
-                    ss, lt, n, tv = t, t, 1, float(v)
+                    ss, lt, n, tv = t, t, 1, _e4(v)
                 else:
-                    lt, n, tv = t, n + 1, tv + float(v)
+                    lt, n, tv = t, n + 1, tv + _e4(v)
 
             wm_us = timer_values.getCurrentWatermarkInMs() * 1000
             if ss is not None and lt + gap_us <= wm_us:

@@ -37,14 +37,15 @@ def tumbling_counts(
         src.groupBy(F.window(ts_col, window_duration).alias("win"), F.col(group_col))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum(value_col), 2).alias("total_value"),
+            (F.sum(F.col(value_col).cast("decimal(12,4)")) * 10000)
+            .cast("bigint").alias("total_value_e4"),
         )
         .select(
             F.col("win.start").alias("window_start"),
             F.col("win.end").alias("window_end"),
             group_col,
             "n_events",
-            "total_value",
+            "total_value_e4",
         )
     )
 
@@ -91,14 +92,15 @@ def session_agg(
         src.groupBy(F.session_window(ts_col, gap).alias("win"), F.col(key_col))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum(value_col), 2).alias("total_value"),
+            (F.sum(F.col(value_col).cast("decimal(12,4)")) * 10000)
+            .cast("bigint").alias("total_value_e4"),
         )
         .select(
             key_col,
             F.col("win.start").alias("session_start"),
             F.col("win.end").alias("session_end"),
             "n_events",
-            "total_value",
+            "total_value_e4",
         )
     )
 

@@ -84,7 +84,7 @@ def test_tumbling_stream_matches_batch(spark, event_inbox, tmp_path):
     # append mode only emits windows the final watermark has passed
     max_ts = tbl(spark, SF_DIR, "events").agg(F.max("ts")).first()[0]
     expected = batch.filter(F.col("window_end") <= F.lit(max_ts))
-    cols = ["window_start", "window_end", "event_type", "n_events", "total_value"]
+    cols = ["window_start", "window_end", "event_type", "n_events", "total_value_e4"]
     assert _canon(got, cols) == _canon(expected, cols)
     assert got.count() > 0
 
@@ -95,7 +95,7 @@ def test_stateful_sessionizer_matches_batch(spark, event_inbox, tmp_path):
         spark, sessionize_stream(stream, gap_seconds=1800), tmp_path, "sessions"
     )
     batch = sessionize_batch(tbl(spark, SF_DIR, "events"), gap_seconds=1800)
-    cols = ["user_id", "session_start", "session_end", "n_events", "total_value"]
+    cols = ["user_id", "session_start", "session_end", "n_events", "total_value_e4"]
     got_rows = _canon(got, cols)
     batch_rows = _canon(batch, cols)
     # every emitted session is exactly a batch session (no corruption)
@@ -575,7 +575,7 @@ def test_tws_sessionizer_matches_batch_and_legacy_stream(spark, event_inbox, tmp
         spark, sessionize_stream_tws(stream, gap_seconds=1800), tmp_path, "tws_sessions"
     )
     batch = sessionize_batch(tbl(spark, SF_DIR, "events"), gap_seconds=1800)
-    cols = ["user_id", "session_start", "session_end", "n_events", "total_value"]
+    cols = ["user_id", "session_start", "session_end", "n_events", "total_value_e4"]
     got_rows = _canon(got, cols)
     batch_rows = _canon(batch, cols)
     assert set(got_rows) <= set(batch_rows)
