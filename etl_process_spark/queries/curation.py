@@ -15,21 +15,16 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_process_spark.operators import text as tx
+from etl_process_spark.operators.sampling import hash_gate16 as _gate
 from etl_process_spark.queries.registry import query, tbl
 
 _TOKS = "string_split_regex(trim(lower(text)), '\\s+')"
 
-# the shared md5 gate (operators/sampling.py): first 16 md5 bits of the
-# stringified id — a uniform, engine-portable pseudo-random draw
+# DuckDB twin of operators/sampling.py::hash_gate16: first 16 md5 bits
+# of the stringified id — a uniform, engine-portable pseudo-random draw
 _GATE_SQL = (
     "CAST(concat('0x', substr(md5(CAST({id} AS VARCHAR)), 1, 4)) AS BIGINT)"
 )
-
-
-def _gate(c) -> F.Column:
-    return F.conv(F.substring(F.md5(c.cast("string")), 1, 4), 16, 10).cast(
-        "long"
-    )
 
 
 @query(
