@@ -273,3 +273,211 @@ def head_dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_docs") > 1)
     )
+
+
+from etl_process_spark.operators.sketch import (  # noqa: E402
+    LANE_M as _LANE_M,
+    LANES as _LANES,
+    LINEAR_COUNT_TABLE as _LC,
+)
+
+# DuckDB twins of operators/sketch.py::lane_min_sketch's hash columns
+_LANE_SQL = (
+    "CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 27, 4)) AS BIGINT)"
+    f" % {_LANES}"
+)
+_HASH_SQL = (
+    "CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 10)) AS BIGINT)"
+)
+# hybrid estimator over (sm, nl): shared linear-counting literals,
+# exact integer division in the dense branch
+_EST_SQL = f"""CAST(CASE
+        WHEN {_LANES} - nl >= {_LANES} THEN 0
+        WHEN {_LANES} - nl >= 1 THEN ({_LC!r})[{_LANES} - nl]
+        ELSE ({_LANES} * {_LANES} * {_LANE_M}
+              - ({_LANES} * {_LANES} * {_LANE_M}) % sm) / sm
+      END AS BIGINT)"""
+
+
+@query(
+    "user_overlap_sketch",
+    f"""
+    WITH h AS (
+      SELECT event_type, {_LANE_SQL} AS lane, {_HASH_SQL} AS v
+      FROM events WHERE event_type IN ('click', 'purchase')),
+    sk AS (SELECT event_type, lane, min(v) AS m FROM h GROUP BY 1, 2),
+    un AS (SELECT lane, min(m) AS m FROM sk GROUP BY lane),
+    agg AS (
+      SELECT event_type AS s, sum(m) AS sm, count(*) AS nl FROM sk GROUP BY 1
+      UNION ALL
+      SELECT '__union', sum(m), count(*) FROM un),
+    est AS (SELECT s, {_EST_SQL} AS est FROM agg),
+    wide AS (
+      SELECT
+        (SELECT est FROM est WHERE s = 'click') AS est_click,
+        (SELECT est FROM est WHERE s = 'purchase') AS est_purchase,
+        (SELECT est FROM est WHERE s = '__union') AS est_union),
+    exact AS (
+      SELECT count(*) AS exact_overlap FROM (
+        SELECT user_id FROM events WHERE event_type = 'click'
+        INTERSECT
+        SELECT user_id FROM events WHERE event_type = 'purchase'))
+    SELECT est_click, est_purchase, est_union,
+           greatest(est_click + est_purchase - est_union, 0)
+             AS est_overlap,
+           exact_overlap,
+           abs(greatest(est_click + est_purchase - est_union, 0)
+               - exact_overlap) * 2 <= exact_overlap + 50 AS estimate_ok
+    FROM wide CROSS JOIN exact
+    """,
+)
+def user_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap estimation from mergeable lane-min sketches
+    (`operators/sketch.py::lane_min_sketch`): distinct click-users ∩
+    purchase-users WITHOUT joining or count-distinct-ing the raw sets —
+    inclusion–exclusion over three sketch estimates, where the union
+    sketch is just the lane-wise min of the two set sketches
+    (`lane_union`).
+
+    The 100 TB story: per set the shuffle carries ≤ 64 lane-minimum
+    rows per partition (map-side combined min), per-shard sketches
+    merge by lane-min, and the overlap of ANY pair of pre-sketched
+    audiences is answered from 128 stored rows — no re-scan, no join.
+    Because the sketch is md5-deterministic and the hybrid estimator
+    (precomputed linear-counting table when lanes are empty, exact
+    integer lane-sum formula when saturated) is pure integer
+    arithmetic, the ESTIMATE itself is oracle-exact; the `estimate_ok`
+    contract (within 50% + small-count slack of the exact intersection,
+    computed alongside) is the hashed assertion — same device as
+    `approx_distinct_users`.
+    """
+    from etl_process_spark.operators.sketch import (
+        lane_min_estimate,
+        lane_min_sketch,
+        lane_union,
+    )
+
+    ev = tbl(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "purchase")
+    )
+    sk = lane_min_sketch(ev, F.col("user_id"), F.col("event_type"))
+    est = lane_min_estimate(sk.unionByName(lane_union(sk, "__union")))
+    wide = est.groupBy().pivot(
+        "set", ["click", "purchase", "__union"]
+    ).agg(F.first("est"))
+    clicks = ev.where(F.col("event_type") == "click").select("user_id")
+    buys = ev.where(F.col("event_type") == "purchase").select("user_id")
+    exact = (
+        clicks.intersect(buys)
+        .agg(F.count(F.lit(1)).alias("exact_overlap"))
+    )
+    out = wide.crossJoin(F.broadcast(exact)).select(
+        F.col("click").alias("est_click"),
+        F.col("purchase").alias("est_purchase"),
+        F.col("__union").alias("est_union"),
+        F.greatest(
+            F.col("click") + F.col("purchase") - F.col("__union"), F.lit(0)
+        ).cast("long").alias("est_overlap"),
+        "exact_overlap",
+    )
+    return out.withColumn(
+        "estimate_ok",
+        F.abs(F.col("est_overlap") - F.col("exact_overlap")) * 2
+        <= F.col("exact_overlap") + 50,
+    )
+
+
+@query(
+    "fs_part_linkage",
+    """
+    WITH b AS (
+      SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice,
+             p_size // 8 AS blk
+      FROM part)
+    SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+           CAST(CASE WHEN a.p_type = b.p_type THEN 220 ELSE -80 END
+              + CASE WHEN a.p_size = b.p_size THEN 300 ELSE -30 END
+              + CASE WHEN levenshtein(a.p_name, b.p_name) <= 2
+                     THEN 250 ELSE -60 END
+              + CASE WHEN abs(a.p_retailprice - b.p_retailprice) <= 1.0
+                     THEN 150 ELSE -40 END AS BIGINT) AS score_cb,
+           CASE WHEN CASE WHEN a.p_type = b.p_type THEN 220 ELSE -80 END
+                   + CASE WHEN a.p_size = b.p_size THEN 300 ELSE -30 END
+                   + CASE WHEN levenshtein(a.p_name, b.p_name) <= 2
+                          THEN 250 ELSE -60 END
+                   + CASE WHEN abs(a.p_retailprice - b.p_retailprice) <= 1.0
+                          THEN 150 ELSE -40 END >= 500 THEN 'match'
+                WHEN CASE WHEN a.p_type = b.p_type THEN 220 ELSE -80 END
+                   + CASE WHEN a.p_size = b.p_size THEN 300 ELSE -30 END
+                   + CASE WHEN levenshtein(a.p_name, b.p_name) <= 2
+                          THEN 250 ELSE -60 END
+                   + CASE WHEN abs(a.p_retailprice - b.p_retailprice) <= 1.0
+                          THEN 150 ELSE -40 END >= 150 THEN 'possible'
+                ELSE 'nonmatch' END AS decision
+    FROM b a JOIN b b ON a.p_brand = b.p_brand AND a.blk = b.blk
+         AND a.p_partkey < b.p_partkey
+    WHERE CASE WHEN a.p_type = b.p_type THEN 220 ELSE -80 END
+        + CASE WHEN a.p_size = b.p_size THEN 300 ELSE -30 END
+        + CASE WHEN levenshtein(a.p_name, b.p_name) <= 2
+               THEN 250 ELSE -60 END
+        + CASE WHEN abs(a.p_retailprice - b.p_retailprice) <= 1.0
+               THEN 150 ELSE -40 END >= 150
+    """,
+)
+def fs_part_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi–Sunter probabilistic record linkage over the part
+    catalog (`operators/linkage.py`): candidate pairs from a
+    (brand, size-band) block, each scored by summing per-field
+    agreement/disagreement weights in exact integer centibans —
+    type (+220/−80), exact size (+300/−30), name edit distance ≤ 2
+    (+250/−60), price within 1.0 (+150/−40) — then thresholded into
+    match (≥ 500) / possible (≥ 150). Below-possible pairs are dropped
+    so the output is plausible-link-sized, not block-quadratic.
+
+    This is the decision layer deterministic ER
+    (`part_entity_clusters`) lacks: a graded score with an explicit
+    clerical-review band, the Fellegi–Sunter shape every production
+    linker (Splink, dedupe.io) implements — weights here are config
+    constants exactly like `quality_logit_score`'s logistic weights,
+    so EM-estimated m/u probabilities drop in without touching the
+    plumbing.
+
+    Scale: blocking keys shuffle the catalog once; scoring is
+    whole-stage-codegen per pair row; the only float op is a
+    pass-through price comparison of identical source doubles. The
+    weights being integers makes every score — and the hash — exact.
+    """
+    from etl_process_spark.operators.linkage import FieldWeight, fs_score
+
+    pt = tbl(spark, sf_dir, "part").withColumn(
+        "blk", F.expr("p_size div 8")
+    )
+    a = pt.select(*[F.col(c).alias(f"a_{c}") for c in pt.columns])
+    b = pt.select(*[F.col(c).alias(f"b_{c}") for c in pt.columns])
+    pairs = a.join(
+        b,
+        (F.col("a_p_brand") == F.col("b_p_brand"))
+        & (F.col("a_blk") == F.col("b_blk"))
+        & (F.col("a_p_partkey") < F.col("b_p_partkey")),
+    )
+    fields = [
+        FieldWeight("type", F.col("a_p_type") == F.col("b_p_type"), 220, -80),
+        FieldWeight("size", F.col("a_p_size") == F.col("b_p_size"), 300, -30),
+        FieldWeight(
+            "name",
+            F.levenshtein("a_p_name", "b_p_name") <= 2,
+            250, -60,
+        ),
+        FieldWeight(
+            "price",
+            F.abs(F.col("a_p_retailprice") - F.col("b_p_retailprice")) <= 1.0,
+            150, -40,
+        ),
+    ]
+    scored = fs_score(pairs, fields, match_at=500, possible_at=150)
+    return scored.where(F.col("score_cb") >= 150).select(
+        F.col("a_p_partkey").alias("key_a"),
+        F.col("b_p_partkey").alias("key_b"),
+        "score_cb",
+        "decision",
+    )
