@@ -166,3 +166,45 @@ def trending_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def windowed_lane_sketch(
+    df: DataFrame,
+    window_duration: str = "6 hours",
+    ts_col: str = "ts",
+    set_col: str = "event_type",
+    key_col: str = "user_id",
+    watermark: str | None = "1 hour",
+) -> DataFrame:
+    """Per-window lane-min distinct sketch (`operators/sketch.py`) on a
+    stream: groupBy(window, set, lane) → min(hash). State is bounded by
+    windows-in-flight × sets × 64 lane registers — a distinct-COUNT
+    surface whose streaming state never grows with key cardinality
+    (count_distinct on a stream would hold every key).
+
+    Closed windows emit their lane minima; downstream,
+    `lane_min_estimate` turns any selection of emitted rows into
+    distinct counts, and lane-wise min across windows/sets rolls up to
+    coarser grains or audience unions WITHOUT re-reading events — the
+    streaming end of the `user_overlap_sketch` path.
+    """
+    from etl_process_spark.operators.sketch import LANES
+
+    src = _maybe_watermark(df, ts_col, watermark)
+    h = F.md5(F.col(key_col).cast("string"))
+    return (
+        src.select(
+            F.col(ts_col),
+            F.col(set_col).alias("set"),
+            (F.conv(F.substring(h, 27, 4), 16, 10).cast("long") % LANES)
+            .alias("lane"),
+            F.conv(F.substring(h, 1, 10), 16, 10).cast("long").alias("v"),
+        )
+        .groupBy(
+            F.window(ts_col, window_duration).alias("win"), "set", "lane"
+        )
+        .agg(F.min("v").alias("m"))
+        .select(
+            F.col("win.start").alias("window_start"), "set", "lane", "m"
+        )
+    )

@@ -648,3 +648,50 @@ def test_contrastive_negatives_plan_budget(spark):
     assert exchange_count(df) <= 2, plan_summary(df)
     assert broadcast_join_count(df) >= 1, plan_summary(df)
     assert not has_cartesian(df)
+
+
+def test_round3_new_operator_plan_budgets(spark):
+    """Round-3 additions stay inside their scale shapes:
+    - user_overlap_sketch: the sketch side is (set,lane)-keyed min
+      aggregation (partial agg, tiny shuffle) and the exact-intersect
+      side one aggregate; no cartesian beyond the 1x1 literal joins.
+    - fs_part_linkage: candidates come from the (brand, size-band)
+      equi-join only — no cartesian, scoring adds no exchange.
+    - global_shuffle_ordinals: the global numbering must NOT plan a
+      whole-corpus single-partition sort; only the bucket-count
+      offsets window is unpartitioned (same audit as
+      curriculum_ordinals).
+    - head_dup_docs / source_domain_caps: one key-shuffle each."""
+    ov = _df(spark, "user_overlap_sketch")
+    assert not has_cartesian(ov), plan_summary(ov)
+    # sketch min-agg + union re-agg + estimate agg + pivot + exact
+    # intersect: all lane- or 1-row-sized shuffles
+    assert exchange_count(ov) <= 9, plan_summary(ov)
+    fs = _df(spark, "fs_part_linkage")
+    assert not has_cartesian(fs), plan_summary(fs)
+    assert exchange_count(fs) <= 3, plan_summary(fs)
+
+    hd = _df(spark, "head_dup_docs")
+    assert exchange_count(hd) <= 2, plan_summary(hd)
+    sc = _df(spark, "source_domain_caps")
+    assert exchange_count(sc) <= 2, plan_summary(sc)
+
+
+def test_fuzzy_passjoin_is_equijoin_only(spark):
+    """The skew-capped fuzzy path: candidates from the chunk-signature
+    EQUI join (no cartesian, no length-band theta join on a hot key);
+    the verify filter is a residual on equi-join output."""
+    from etl_process_spark.operators.fuzzy import (
+        _lanes,
+        passjoin_candidates,
+    )
+
+    names = (
+        QUERIES["similar_part_names"]
+        .builder(spark, SF_DIR)
+        .sparkSession.read.parquet(f"{SF_DIR}/part.parquet")
+        .select(F.col("p_name").alias("s"))
+        .distinct()
+    )
+    cand = passjoin_candidates(_lanes(names, 1), len_band=1, max_dist=2)
+    assert not has_cartesian(cand), plan_summary(cand)

@@ -696,3 +696,32 @@ def test_streaming_neardup_matches_full_lsh(spark, tmp_path):
     }
     assert got == expected
     assert any(b >= 10_000 for _, b in got)  # cross-chunk clones found
+
+
+def test_windowed_lane_sketch_stream_matches_batch(spark, event_inbox, tmp_path):
+    """The streaming lane-min sketch must equal its batch twin register
+    for register on every closed window — and the estimates derived
+    from the emitted registers are therefore identical too."""
+    from etl_process_spark.operators.sketch import lane_min_estimate
+    from etl_process_spark.streaming.windows import windowed_lane_sketch
+
+    stream = read_event_stream(spark, event_inbox, max_files_per_trigger=1)
+    got = _run_stream(
+        spark,
+        windowed_lane_sketch(stream, watermark="0 seconds"),
+        tmp_path,
+        "lanesketch",
+    )
+    batch = windowed_lane_sketch(tbl(spark, SF_DIR, "events"), watermark=None)
+    max_ts = tbl(spark, SF_DIR, "events").agg(F.max("ts")).first()[0]
+    expected = batch.filter(
+        F.col("window_start") + F.expr("INTERVAL 6 HOURS") <= F.lit(max_ts)
+    )
+    cols = ["window_start", "set", "lane", "m"]
+    assert _canon(got, cols) == _canon(expected, cols)
+    assert got.count() > 0
+    # estimates from the emitted registers: one per (window, set)
+    est = lane_min_estimate(
+        got.withColumn("set", F.concat_ws("|", "window_start", "set"))
+    )
+    assert est.count() > 0 and est.where(F.col("est") <= 0).count() == 0
