@@ -80,11 +80,19 @@ def ivf_centroids(
 
     posexplode -> groupBy(cell, position) -> avg -> re-assemble. The
     shuffle carries (cell × dim) rows — centroid-sized, independent of
-    corpus size. Centroid components round to 6 decimals (cross-engine
-    reproducibility of the double mean).
+    corpus size. Centroid components are exact-e6-quantized means
+    (floor(v·10⁶) BIGINT partial sums, one final division of
+    integer-valued doubles) — a raw double avg is partition-order-
+    dependent and engine-order-dependent; the quantized sum is not.
     """
     pe = df.select(F.col(cell_col).alias("cell"), F.posexplode(_dbl(F.col(vec_col))).alias("pos", "val"))
-    comp = pe.groupBy("cell", "pos").agg(F.round(F.avg("val"), 6).alias("c"))
+    comp = pe.groupBy("cell", "pos").agg(
+        (
+            F.sum(F.floor(F.col("val") * 1000000.0).cast("long"))
+            .cast("double")
+            / (F.count(F.lit(1)) * 1000000.0)
+        ).alias("c")
+    )
     return (
         comp.groupBy("cell")
         .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
@@ -360,7 +368,15 @@ def kmeans_lloyd(
             cents = (
                 scored.select("cluster", F.posexplode("v").alias("dim", "val"))
                 .groupBy("cluster", "dim")
-                .agg(F.avg("val").alias("m"))
+                # exact-e6 quantized mean — same contract as ivf_centroids
+                .agg(
+                    (
+                        F.sum(
+                            F.floor(F.col("val") * 1000000.0).cast("long")
+                        ).cast("double")
+                        / (F.count(F.lit(1)) * 1000000.0)
+                    ).alias("m")
+                )
                 .groupBy("cluster")
                 .agg(
                     F.transform(

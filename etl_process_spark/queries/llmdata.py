@@ -267,7 +267,8 @@ def embedding_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ivf_topk_per_label",
     """
     WITH cent AS (
-      SELECT label AS cell, i, round(avg(embedding[i]::DOUBLE), 6) AS c
+      SELECT label AS cell, i, CAST(sum(CAST(floor(embedding[i]::DOUBLE * 1000000) AS BIGINT))
+                  AS DOUBLE) / (count(*) * 1000000.0) AS c
       FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS i) s
       GROUP BY label, i
     ),
@@ -1087,7 +1088,8 @@ def doc_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     qn AS (SELECT sqrt(list_sum([qe[i]::DOUBLE * qe[i]::DOUBLE
                                  for i in range(1, len(qe)+1)])) AS qnorm FROM q),
     cent AS (
-      SELECT label AS cell, i, round(avg(embedding[i]::DOUBLE), 6) AS c
+      SELECT label AS cell, i, CAST(sum(CAST(floor(embedding[i]::DOUBLE * 1000000) AS BIGINT))
+                  AS DOUBLE) / (count(*) * 1000000.0) AS c
       FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS i) s
       GROUP BY label, i
     ),
@@ -1132,7 +1134,8 @@ def ivf_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       for i in range(1, len(qe)+1)])) AS qnorm
            FROM qs),
     cent AS (
-      SELECT label AS cell, i, round(avg(embedding[i]::DOUBLE), 6) AS c
+      SELECT label AS cell, i, CAST(sum(CAST(floor(embedding[i]::DOUBLE * 1000000) AS BIGINT))
+                  AS DOUBLE) / (count(*) * 1000000.0) AS c
       FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS i) s
       GROUP BY label, i
     ),
@@ -1553,7 +1556,9 @@ def _kmeans_ctes(pred: str = "TRUE") -> str:
                    ORDER BY list_distance(e.v, c.c), c.cluster) AS rn
         FROM v e CROSS JOIN c0 c) WHERE rn = 1),
     c1 AS (SELECT cluster, list(m ORDER BY dim) AS c FROM (
-        SELECT cluster, dim, avg(val) AS m FROM (
+        SELECT cluster, dim,
+               CAST(sum(CAST(floor(val * 1000000) AS BIGINT)) AS DOUBLE)
+                 / (count(*) * 1000000.0) AS m FROM (
           SELECT cluster, unnest(v) AS val, generate_subscripts(v, 1) AS dim
           FROM a1)
         GROUP BY 1, 2) GROUP BY 1),

@@ -32,11 +32,10 @@ PKG = Path(__file__).resolve().parent.parent / "etl_process_spark"
 
 # file -> (allowed F.round call count, justification)
 ROUND_ALLOWLIST = {
-    # int8 quantization grid + IVF centroid agreement device: both are
-    # INPUTS to a computation mirrored verbatim in the oracle, not
-    # output formatters; values sit far from .5 ulp boundaries by
-    # construction (scaled source data).
-    "operators/similarity.py": 2,
+    # int8 quantization grid: an INPUT to a computation mirrored
+    # verbatim in the oracle (round-to-integer of one double — no
+    # internal scaling, engine-identical given identical inputs).
+    "operators/similarity.py": 1,
     # cents device: round(price*100) where price carries exactly 2
     # decimals — the product is integral up to 1 ulp, exact in practice
     # and mirrored in the oracle.
