@@ -32,7 +32,7 @@ _GATE_SQL = (
     f"""
     SELECT doc_id,
            row_number() OVER (
-             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS ord
+             ORDER BY md5(CAST(doc_id AS STRING)), doc_id) - 1 AS ord
     FROM documents
     """,
 )
@@ -72,7 +72,7 @@ def global_shuffle_ordinals(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT source, doc_id,
              row_number() OVER (
                PARTITION BY source
-               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+               ORDER BY md5(CAST(doc_id AS STRING)), doc_id) AS rn
       FROM documents)
     SELECT source,
            count(*) AS n_docs,

@@ -75,7 +75,8 @@ PORTABLE_ORACLES = [
     "daily_from_hourly_rollup", "debounced_events", "discount_revenue_forecast",
     "distinct_users_per_type", "event_transition_probs", "events_asof_join",
     "events_asof_join_merge", "gdpr_forget_rollup",
-    "filtered_projection", "fresh_part_shippers", "grouping_sets_mix",
+    "filtered_projection", "fresh_part_shippers", "global_shuffle_ordinals",
+    "grouping_sets_mix",
     "heavy_hitter_order_groups", "hourly_rollup", "large_quantity_orders",
     "last_touch_attribution", "latest_event_per_user",
     "nation_balance_nullsafe", "nation_metrics_unpivot",
@@ -94,7 +95,7 @@ PORTABLE_ORACLES = [
     "returned_surplus_parts_exceptall", "rollup_revenue",
     "salted_hot_key_agg", "salted_hot_key_join", "scd2_asof_snapshot",
     "scd2_versions_from_events", "shipping_priority_topk",
-    "similar_part_names", "snapshot_diff_changes",
+    "similar_part_names", "snapshot_diff_changes", "source_domain_caps",
     "sole_failing_supplier_per_order", "suppliers_with_shipments",
     "top_balance_suppliers_per_region", "top_returned_customers",
     "top_revenue_orders", "topk_orders_per_customer",
