@@ -481,3 +481,104 @@ def fs_part_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "score_cb",
         "decision",
     )
+
+
+@query(
+    "source_overlap_matrix",
+    f"""
+    WITH fp AS (
+      SELECT DISTINCT source,
+             md5(list_aggregate(({_TOKS})[1:16], 'string_agg', ' ')) AS f
+      FROM documents),
+    pairs AS (
+      SELECT a.source AS source_a, b.source AS source_b
+      FROM fp a JOIN fp b ON a.f = b.f AND a.source < b.source)
+    SELECT source_a, source_b, count(*) AS n_shared_heads
+    FROM pairs GROUP BY 1, 2
+    """,
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication audit: for every source pair, how many
+    distinct document HEADS (first 16 tokens, `head_dup_docs`'s
+    fingerprint — mirrors usually diverge in tails, not heads) they
+    share — the provenance matrix that tells a corpus curator which
+    feeds mirror each other, and therefore which dedup keep-priority
+    ordering matters.
+
+    Shuffle carries (source, 16-byte digest) pairs once; the join is a
+    digest-keyed equi join whose per-key fan-out is the number of
+    sources carrying that head (≤ sources, never corpus-sized) — the
+    same digest-only layout as `dedup_exact`.
+    """
+    docs = tbl(spark, sf_dir, "documents")
+    t = tx.tokens(F.col("text"))
+    fp = docs.select(
+        "source", F.md5(F.concat_ws(" ", F.slice(t, 1, 16))).alias("f")
+    ).distinct()
+    a = fp.select(F.col("source").alias("source_a"), "f")
+    b = fp.select(F.col("source").alias("source_b"), "f")
+    return (
+        a.join(b, "f")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_heads"))
+    )
+
+
+@query(
+    "source_quality_report",
+    f"""
+    WITH qz AS (
+      SELECT doc_id,
+             -200000000 + 1000000 * n_tokens + 30 * avg_u
+                        + 300 * stop_u + 150 * lex_u AS z_units
+      FROM (
+        SELECT doc_id,
+               len(toks) AS n_tokens,
+               CAST((1000000 * list_sum([length(t) for t in toks]))
+                    // len(toks) AS BIGINT) AS avg_u,
+               CAST((1000000 * len(list_filter(toks,
+                       t -> t IN ('the','a','of','and','is'))))
+                    // len(toks) AS BIGINT) AS stop_u,
+               CAST((1000000 * len(list_distinct(toks)))
+                    // len(toks) AS BIGINT) AS lex_u
+        FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)))
+    SELECT d.source,
+           count(*) AS n_docs,
+           CAST((sum(q.z_units) - sum(q.z_units) % count(*)) / count(*)
+                AS BIGINT) AS mean_logit_units,
+           CAST((1000000 * count(*) FILTER (WHERE q.z_units >= 0)
+                 - (1000000 * count(*) FILTER (WHERE q.z_units >= 0))
+                   % count(*)) / count(*) AS BIGINT) AS keep_ppm
+    FROM documents d JOIN qz q ON d.doc_id = q.doc_id
+    GROUP BY d.source
+    """,
+)
+def source_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality accounting by provenance: per source the mean
+    quality-logit (exact integer units, `quality_logit_score`'s scorer)
+    and the fraction of docs the keep-threshold retains, in ppm — the
+    table that decides per-source mixture weights and flags a feed
+    whose quality regressed.
+
+    One map stage computes every doc's integer logit (zero shuffles),
+    then a source-keyed aggregate of (sum, count) partials. The mean is
+    a truncating integer division of exact BIGINTs; note sum(z_units)
+    can be negative, and both engines truncate toward zero identically.
+    """
+    docs = tbl(spark, sf_dir, "documents")
+    q = _quality_z(docs)
+    joined = docs.select("doc_id", "source").join(q, "doc_id")
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.expr("sum(z_units) div count(*)").alias("mean_logit_units"),
+        F.expr(
+            "(1000000 * count(if(z_units >= 0, 1, NULL))) div count(*)"
+        ).alias("keep_ppm"),
+    )
+
+
+def _quality_z(docs: DataFrame) -> DataFrame:
+    from etl_process_spark.queries.llmdata import _quality_z_units
+
+    return _quality_z_units(docs)
