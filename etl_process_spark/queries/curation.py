@@ -460,12 +460,27 @@ def fs_part_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("a_blk") == F.col("b_blk"))
         & (F.col("a_p_partkey") < F.col("b_p_partkey")),
     )
+    # cheap comparators first; the expensive edit distance only runs
+    # when the cheap partial score can still reach the 'possible'
+    # threshold (all-cheap-disagree pairs top out at -150 + 250 = 100 <
+    # 150, so their lev call is provably wasted — CASE WHEN evaluates
+    # lazily in codegen, cutting most levenshtein work in dense blocks;
+    # emitted rows always clear the guard, so scores match the oracle,
+    # which states the unpruned formula)
+    cheap = (
+        F.when(F.col("a_p_type") == F.col("b_p_type"), 220).otherwise(-80)
+        + F.when(F.col("a_p_size") == F.col("b_p_size"), 300).otherwise(-30)
+        + F.when(
+            F.abs(F.col("a_p_retailprice") - F.col("b_p_retailprice")) <= 1.0,
+            150,
+        ).otherwise(-40)
+    )
     fields = [
         FieldWeight("type", F.col("a_p_type") == F.col("b_p_type"), 220, -80),
         FieldWeight("size", F.col("a_p_size") == F.col("b_p_size"), 300, -30),
         FieldWeight(
             "name",
-            F.levenshtein("a_p_name", "b_p_name") <= 2,
+            (cheap >= -100) & (F.levenshtein("a_p_name", "b_p_name") <= 2),
             250, -60,
         ),
         FieldWeight(
