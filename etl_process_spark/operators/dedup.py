@@ -807,3 +807,104 @@ def lsh_tune(
             f"recall {min_recall} at threshold {threshold}"
         )
     return best[2], best[3]
+
+
+def simhash_bands(
+    df: DataFrame, text_col: str, id_col: str, band_bits: int = 4,
+) -> DataFrame:
+    """(doc, band, bucket) assignments from the 16-bit SimHash: band b is
+    bits [b·band_bits, (b+1)·band_bits) of the signature.
+
+    Hamming-LSH banding: two docs within Hamming distance d of each other
+    on a w-bit signature share at least one of w/band_bits bands whenever
+    d < w/band_bits (pigeonhole — d flipped bits can spoil at most d
+    bands), so banding is a RECALL-EXACT candidate filter for
+    d ≤ bands−1. 16/4 here matches the corpus; at 100 TB widen the
+    signature (64-bit) and the bands (16-bit) so buckets stay selective —
+    the operator only assumes band_bits divides the signature width.
+    """
+    if 16 % band_bits:
+        raise ValueError("band_bits must divide 16")
+    sig = df.select(
+        F.col(id_col).alias("doc"),
+        simhash16(F.col(text_col)).cast("bigint").alias("sh"),
+    )
+    nbands = 16 // band_bits
+    mask = (1 << band_bits) - 1
+    banded = [
+        sig.select(
+            "doc", "sh",
+            F.lit(b).alias("band"),
+            F.shiftright("sh", b * band_bits).bitwiseAND(F.lit(mask)).alias("bucket"),
+        )
+        for b in range(nbands)
+    ]
+    out = banded[0]
+    for b in banded[1:]:
+        out = out.unionAll(b)
+    return out
+
+
+def simhash_dup_pairs(
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs: banded Hamming LSH → in-bucket pair
+    explosion → exact popcount(xor) verify.
+
+    The verify stage is integer-only (bit_count of the xor of two BIGINT
+    signatures), so the result hashes identically in any engine. With
+    16-bit signatures in 4 bands, recall is exact for Hamming ≤ 3
+    (pigeonhole, see simhash_bands); the candidate join shuffles only
+    (band, bucket, doc) rows and pairs explode bucket-locally — never an
+    all-pairs comparison. Returns (doc_a, doc_b, hamming), doc_a < doc_b.
+    """
+    banded = simhash_bands(df, text_col, id_col)
+    sig = banded.filter(F.col("band") == 0).select("doc", "sh")
+    pairs = bucket_pairs(banded.select("doc", "band", "bucket"))
+    a = sig.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sig.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
+    return (
+        pairs.join(a, "doc_a").join(b, "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def dup_window_stats(
+    df: DataFrame, text_col: str, id_col: str, k: int = 8,
+) -> DataFrame:
+    """Per-document duplicated-substring mass: the fraction of k-token
+    windows whose fingerprint also occurs in ANOTHER document — the
+    distributed shape of exact substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better": suffix
+    arrays find repeated spans; a fixed-width window fingerprint is the
+    shuffle-friendly approximation, exact for spans ≥ k tokens).
+
+    Data flow: explode k-token windows (positions preserved) → md5 each
+    window once → the gram-level agg counts DISTINCT docs per gram
+    (map-side partial) → broadcast-join-back marks each window dup/not →
+    per-doc counts. Two shuffles, both carrying 16-byte digests; the
+    corpus text never moves after the window explode. Output:
+    (doc, n_windows, n_dup_windows, dup_ppm) — dup_ppm is exact integer
+    ppm, no double at the boundary. Docs with < k tokens are absent.
+    """
+    win = shingle_rows(df, text_col, id_col, k=k).select(
+        "doc", F.md5("sh").alias("g")
+    )
+    gram_docs = win.groupBy("g").agg(
+        F.count_distinct("doc").alias("n_docs")
+    )
+    marked = win.join(gram_docs, "g").select(
+        "doc", (F.col("n_docs") >= 2).cast("int").alias("is_dup")
+    )
+    return marked.groupBy(F.col("doc")).agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum("is_dup").alias("n_dup_windows"),
+        (F.sum("is_dup") * 1000000).cast("bigint").alias("_num"),
+    ).select(
+        "doc", "n_windows", "n_dup_windows",
+        F.expr("_num DIV n_windows").alias("dup_ppm"),
+    )

@@ -387,3 +387,57 @@ def kmeans_lloyd(
                 .localCheckpoint(eager=False)
             )
     return scored.select("vid", "cluster"), cents
+
+
+def margin_mutual_pairs(
+    side_a: DataFrame, side_b: DataFrame, k: int = 4, nprobe: int = 3,
+    cell_col: str = "label", vec_col: str = "embedding", id_col: str = "vec_id",
+) -> DataFrame:
+    """Margin-based bitext mining (Artetxe & Schwenk 2019): mutual-kNN
+    pairs across two corpora, scored by the ratio margin
+    cos(x,y) / mean of the two k-NN neighborhoods' similarities.
+
+    Both directions run the probed knn_join (each side's corpus is
+    bucketed by its IVF cells; queries explode to nprobe cells), so
+    neither corpus is ever cross-joined — the production shape for
+    mining parallel text across two 100 TB-scale embedding sets. The
+    mutual constraint is one equi join of the two top-k frames on the
+    (a, b) pair key.
+
+    Exactness contract: cosine is symmetric term-for-term (same dot
+    order, commutative norm product), so cos_e6 from either direction
+    is bit-identical; the margin is kept as one integer division
+    margin_ppm = 10⁶·2k·cos(x,y) DIV (Σtop-k cos(x,·) + Σtop-k cos(y,·))
+    — no intermediate per-neighborhood average, no double at the
+    boundary. Pairs with non-positive cosine or neighborhood mass are
+    dropped (keeps DIV truncation == floor division across engines).
+    """
+    qa = side_a.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec"))
+    qb = side_b.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec"))
+    ab = knn_join(side_b, qa, k=k, nprobe=nprobe,
+                  cell_col=cell_col, vec_col=vec_col, id_col=id_col)
+    ba = knn_join(side_a, qb, k=k, nprobe=nprobe,
+                  cell_col=cell_col, vec_col=vec_col, id_col=id_col)
+    sum_a = ab.groupBy("qid").agg(F.sum("cos_sim_e6").alias("sum_a"))
+    sum_b = ba.groupBy("qid").agg(F.sum("cos_sim_e6").alias("sum_b"))
+    pairs = (
+        ab.select(F.col("qid").alias("id_a"), F.col(id_col).alias("id_b"),
+                  F.col("cos_sim_e6"))
+        .join(
+            ba.select(F.col(id_col).alias("id_a"), F.col("qid").alias("id_b")),
+            ["id_a", "id_b"],
+        )
+    )
+    return (
+        pairs
+        .join(sum_a.withColumnRenamed("qid", "id_a"), "id_a")
+        .join(sum_b.withColumnRenamed("qid", "id_b"), "id_b")
+        .filter((F.col("cos_sim_e6") > 0) & (F.col("sum_a") + F.col("sum_b") > 0))
+        .select(
+            "id_a", "id_b", "cos_sim_e6",
+            F.expr(
+                f"(CAST(2000000 AS BIGINT) * {k} * cos_sim_e6)"
+                " DIV (sum_a + sum_b)"
+            ).alias("margin_ppm"),
+        )
+    )

@@ -168,3 +168,84 @@ def pii_match_count(text: Column | str) -> Column:
         total = total + F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0)))
         c = F.regexp_replace(c, pat, repl)
     return total
+
+
+def bpe_wrap(tok: Column) -> Column:
+    """A token as a space-framed symbol sequence: each character becomes
+    a symbol wrapped in its OWN leading and trailing space ("abc" →
+    " a  b  c "), so adjacent symbols are separated by two spaces.
+
+    The framing makes a symbol pair a textually unique, non-overlapping
+    pattern (" a  b "), which turns the BPE merge rewrite into a plain
+    string replace with identical leftmost-non-overlapping semantics in
+    every engine — no per-row loop, stays in whole-stage codegen.
+    """
+    return F.concat(
+        F.lit(" "),
+        F.concat_ws(
+            "  ",
+            F.transform(
+                F.sequence(F.lit(1), F.length(tok)),
+                lambda i: F.substring(tok, i, F.lit(1)),
+            ),
+        ),
+        F.lit(" "),
+    )
+
+
+def bpe_pairs_from_wrapped(s: Column) -> Column:
+    """Adjacent symbol pairs ("s1 s2") of a space-framed sequence."""
+    syms = F.split(F.trim(s), "  ")
+    n = F.size(syms)
+    length = F.greatest(n - 1, F.lit(0))
+    return F.zip_with(
+        F.slice(syms, 1, length), F.slice(syms, 2, length),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+
+
+def bpe_merge_rounds(
+    df: DataFrame, text_col: str, rounds: int = 3,
+) -> DataFrame:
+    """``rounds`` iterations of BPE tokenizer training: count adjacent
+    symbol pairs corpus-wide, merge the most frequent pair everywhere,
+    recount. Returns one row per round: (merge_round, pair, n).
+
+    Each round is the canonical distributed shape — map-side pair
+    explosion (fan-out bounded by token length), ONE partial-agg shuffle
+    of (pair, count), a 1-row TakeOrdered winner broadcast back, and a
+    per-row string-replace rewrite (see bpe_wrap for why replace is
+    safe). No collect(): the winner joins back as a broadcast crossJoin,
+    so the whole training loop is a single lazy plan. At 100 TB,
+    localCheckpoint the rewritten corpus every few rounds (as the graph
+    operators do) to keep lineage flat; with 3 rounds the plan is
+    shallow enough to stay lazy.
+
+    Ties break (count desc, pair asc) — deterministic across engines.
+    """
+    # pre-tokenize on whitespace first (pairs never cross word boundaries)
+    wrapped = df.select(
+        F.explode(tokens(F.col(text_col))).alias("tok")
+    ).select(bpe_wrap(F.col("tok")).alias("s"))
+    out: DataFrame | None = None
+    for r in range(1, rounds + 1):
+        counts = (
+            wrapped.select(F.explode(bpe_pairs_from_wrapped(F.col("s"))).alias("pair"))
+            .groupBy("pair")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        winner = counts.orderBy(F.col("n").desc(), F.col("pair").asc()).limit(1)
+        row = winner.select(
+            F.lit(r).cast("int").alias("merge_round"), "pair", "n"
+        )
+        out = row if out is None else out.unionAll(row)
+        if r < rounds:
+            wrapped = wrapped.crossJoin(F.broadcast(winner)).select(
+                F.replace(
+                    F.col("s"),
+                    F.concat(F.lit(" "), F.replace(F.col("pair"), F.lit(" "), F.lit("  ")), F.lit(" ")),
+                    F.concat(F.lit(" "), F.replace(F.col("pair"), F.lit(" "), F.lit("")), F.lit(" ")),
+                ).alias("s")
+            )
+    assert out is not None
+    return out

@@ -2460,3 +2460,88 @@ def part_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labeled.select(
         "p_name", "entity_id", F.count(F.lit(1)).over(w).alias("n_members")
     )
+
+
+@query(
+    "winsorized_price_stats",
+    """
+    WITH cents AS (
+      SELECT p.p_brand AS brand,
+             CAST(CAST(l.l_extendedprice AS DECIMAL(12,4)) * 100 AS BIGINT) AS c,
+             l.l_orderkey, l.l_linenumber
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    ranked AS (
+      SELECT brand, c,
+             row_number() OVER (PARTITION BY brand
+                                ORDER BY c, l_orderkey, l_linenumber) AS rn,
+             count(*) OVER (PARTITION BY brand) AS n
+      FROM cents
+    ),
+    cuts AS (
+      SELECT brand, any_value(n) AS n,
+             max(CASE WHEN rn = ((n - 1) * 5) // 100 + 1 THEN c END) AS lo_cents,
+             max(CASE WHEN rn = ((n - 1) * 95) // 100 + 1 THEN c END) AS hi_cents
+      FROM ranked GROUP BY brand
+    )
+    SELECT r.brand, any_value(t.n) AS n,
+           any_value(t.lo_cents) AS lo_cents,
+           any_value(t.hi_cents) AS hi_cents,
+           sum(CASE WHEN r.c < t.lo_cents THEN t.lo_cents
+                    WHEN r.c > t.hi_cents THEN t.hi_cents
+                    ELSE r.c END) AS wsum_cents,
+           (100 * sum(CASE WHEN r.c < t.lo_cents THEN t.lo_cents
+                           WHEN r.c > t.hi_cents THEN t.hi_cents
+                           ELSE r.c END)) // any_value(t.n) AS wmean_centicents
+    FROM ranked r JOIN cuts t USING (brand)
+    GROUP BY r.brand
+    """,
+)
+def winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand winsorized price statistics: clamp prices at the exact
+    discrete p5/p95 ranks, then the robust mean — the outlier-resistant
+    aggregate a data-quality monitor tracks instead of a raw mean one
+    fat-finger order can drag.
+
+    Shape: ONE rank window per brand partition (rn + partition count in
+    the same window pass), a brand-sized cutoff table joined back
+    broadcast-style, and a final partial-agg shuffle. Percentiles are
+    rank-discrete with integer index math — no interpolation, no double
+    anywhere: prices live as exact cents and the winsorized mean ships
+    as ×100 centi-cents via integer division.
+    """
+    li = tbl(spark, sf_dir, "lineitem")
+    part = tbl(spark, sf_dir, "part")
+    cents = li.join(part, li["l_partkey"] == part["p_partkey"]).select(
+        F.col("p_brand").alias("brand"),
+        (F.col("l_extendedprice").cast("decimal(12,4)") * 100)
+        .cast("bigint").alias("c"),
+        "l_orderkey", "l_linenumber",
+    )
+    w_rank = Window.partitionBy("brand").orderBy("c", "l_orderkey", "l_linenumber")
+    w_all = Window.partitionBy("brand")
+    ranked = cents.select(
+        "brand", "c",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    )
+    lo_idx = F.expr("((n - 1) * 5) DIV 100 + 1")
+    hi_idx = F.expr("((n - 1) * 95) DIV 100 + 1")
+    cuts = ranked.groupBy("brand").agg(
+        F.max("n").alias("n"),
+        F.max(F.when(F.col("rn") == lo_idx, F.col("c"))).alias("lo_cents"),
+        F.max(F.when(F.col("rn") == hi_idx, F.col("c"))).alias("hi_cents"),
+    )
+    clamped = ranked.select("brand", "c").join(F.broadcast(cuts), "brand").select(
+        "brand", "n", "lo_cents", "hi_cents",
+        F.when(F.col("c") < F.col("lo_cents"), F.col("lo_cents"))
+        .when(F.col("c") > F.col("hi_cents"), F.col("hi_cents"))
+        .otherwise(F.col("c")).alias("wc"),
+    )
+    return clamped.groupBy("brand").agg(
+        F.max("n").alias("n"),
+        F.max("lo_cents").alias("lo_cents"),
+        F.max("hi_cents").alias("hi_cents"),
+        F.sum("wc").alias("wsum_cents"),
+        F.expr("(100 * sum(wc)) DIV max(n)").alias("wmean_centicents"),
+    )

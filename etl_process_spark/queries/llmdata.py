@@ -3151,3 +3151,223 @@ def corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.sum("n_chars").cast("long").alias("n_chars_total"),
     )
+
+
+@query(
+    "simhash_dup_pairs",
+    f"""
+    WITH sig AS (
+      SELECT doc_id AS doc,
+             list_sum([
+               CASE WHEN list_sum([CASE WHEN strpos('89abcdef', substr(md5(t), b, 1)) > 0
+                                        THEN 1 ELSE -1 END
+                                   for t in toks]) > 0
+                    THEN (1 << (16 - b)) ELSE 0 END
+               for b in range(1, 17)]) AS sh
+      FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+    ),
+    banded AS (
+      SELECT doc, sh, b.band, (sh >> (4 * b.band)) & 15 AS bucket
+      FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS band) b
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc AS doc_a, y.doc AS doc_b
+      FROM banded x JOIN banded y
+        ON x.band = y.band AND x.bucket = y.bucket AND x.doc < y.doc
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(bit_count(xor(sa.sh, sb.sh)) AS INT) AS hamming
+    FROM cand c JOIN sig sa ON c.doc_a = sa.doc JOIN sig sb ON c.doc_b = sb.doc
+    WHERE bit_count(xor(sa.sh, sb.sh)) <= 3
+    """,
+)
+def simhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate pairs (operators/dedup.py::simhash_dup_pairs):
+    Hamming-LSH banding of the 16-bit signature into 4 bands — recall-EXACT
+    for Hamming ≤ 3 by pigeonhole — then an integer popcount(xor) verify.
+
+    The complement of the MinHash path: SimHash catches small token-level
+    perturbations (a few flipped words barely move the weighted bit
+    vector) where Jaccard on 3-shingles drops fast. Candidates come from
+    a bucket equi-join; pairs explode only inside buckets; the verify is
+    all-integer so the boundary is hash-exact in any engine.
+    """
+    docs = tbl(spark, sf_dir, "documents")
+    return dd.simhash_dup_pairs(docs, "text", "doc_id", max_hamming=3)
+
+
+@query(
+    "substring_dedup_spans",
+    f"""
+    WITH win AS (
+      SELECT doc_id AS doc,
+             md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' ||
+                 t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7]) AS g
+      FROM (SELECT doc_id, {_TOKS} AS t FROM documents),
+           unnest(range(1, len(t) - 6)) AS u(i)
+      WHERE len(t) >= 8
+    ),
+    gd AS (SELECT g, count(DISTINCT doc) AS n_docs FROM win GROUP BY g)
+    SELECT doc,
+           count(*) AS n_windows,
+           sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS n_dup_windows,
+           (1000000 * sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END)) // count(*)
+             AS dup_ppm
+    FROM win JOIN gd USING (g)
+    GROUP BY doc
+    """,
+)
+def substring_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-substring mass via fingerprinted 8-token
+    windows (operators/dedup.py::dup_window_stats) — the shuffle-friendly
+    form of exact substring dedup (Lee et al. 2022): any repeated span of
+    ≥ 8 tokens marks every window it covers, so dup_ppm is the exact
+    repeated-span coverage at window granularity. Digest-only shuffles;
+    integer ppm at the boundary.
+    """
+    docs = tbl(spark, sf_dir, "documents")
+    return dd.dup_window_stats(docs, "text", "doc_id", k=8)
+
+
+def _knn_side_sql(d: str, qpar: int, cpar: int, k: int, nprobe: int) -> str:
+    """One direction of the probed cross-side kNN as DuckDB CTEs
+    (suffix ``d``): queries = vectors with label%2 = qpar, corpus =
+    label%2 = cpar. Mirrors operators/similarity.py::knn_join — e6-
+    quantized centroid means, nprobe nearest-centroid cells per query,
+    cosine floor(×10⁶) scores, per-query top-k with (score, id) ties.
+    """
+    return f"""
+    qs_{d} AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+               WHERE label % 2 = {qpar}),
+    qn_{d} AS (SELECT qid, sqrt(list_sum([qe[i]::DOUBLE * qe[i]::DOUBLE
+                                          for i in range(1, len(qe)+1)])) AS qnorm
+               FROM qs_{d}),
+    cent_{d} AS (
+      SELECT label AS cell, i,
+             CAST(sum(CAST(floor(embedding[i]::DOUBLE * 1000000) AS BIGINT))
+                  AS DOUBLE) / (count(*) * 1000000.0) AS c
+      FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS i) s
+      WHERE label % 2 = {cpar}
+      GROUP BY label, i
+    ),
+    cellsim_{d} AS (
+      SELECT qs.qid, cent.cell,
+             CAST(floor(sum(cent.c * qs.qe[cent.i]::DOUBLE)
+                        / (sqrt(sum(cent.c * cent.c)) * any_value(qn.qnorm))
+                        * 1000000) AS BIGINT) AS csim
+      FROM cent_{d} cent CROSS JOIN qs_{d} qs JOIN qn_{d} qn ON qn.qid = qs.qid
+      GROUP BY qs.qid, cent.cell
+    ),
+    probe_{d} AS (
+      SELECT qid, cell FROM (
+        SELECT qid, cell,
+               row_number() OVER (PARTITION BY qid ORDER BY csim DESC, cell) AS crn
+        FROM cellsim_{d}) WHERE crn <= {nprobe}
+    ),
+    scored_{d} AS (
+      SELECT p.qid, e.vec_id,
+             CAST(floor(
+               list_sum([e.embedding[i]::DOUBLE * qs.qe[i]::DOUBLE
+                         for i in range(1, len(e.embedding)+1)])
+               / (sqrt(list_sum([e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE
+                                 for i in range(1, len(e.embedding)+1)]))
+                  * qn.qnorm) * 1000000) AS BIGINT) AS cos_sim_e6
+      FROM embeddings e JOIN probe_{d} p ON e.label = p.cell
+           JOIN qs_{d} qs ON qs.qid = p.qid JOIN qn_{d} qn ON qn.qid = p.qid
+      WHERE e.label % 2 = {cpar}
+    ),
+    top_{d} AS (
+      SELECT qid, vec_id, cos_sim_e6 FROM (
+        SELECT qid, vec_id, cos_sim_e6,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY cos_sim_e6 DESC, vec_id) AS rn
+        FROM scored_{d}) WHERE rn <= {k}
+    )"""
+
+
+@query(
+    "margin_bitext_pairs",
+    f"""
+    WITH {_knn_side_sql("ab", 0, 1, 4, 3)},
+    {_knn_side_sql("ba", 1, 0, 4, 3)},
+    sum_a AS (SELECT qid AS id_a, sum(cos_sim_e6) AS s_a FROM top_ab GROUP BY qid),
+    sum_b AS (SELECT qid AS id_b, sum(cos_sim_e6) AS s_b FROM top_ba GROUP BY qid),
+    mutual AS (
+      SELECT ab.qid AS id_a, ab.vec_id AS id_b, ab.cos_sim_e6
+      FROM top_ab ab JOIN top_ba ba
+        ON ab.qid = ba.vec_id AND ab.vec_id = ba.qid
+    )
+    SELECT m.id_a, m.id_b, m.cos_sim_e6,
+           (CAST(2000000 AS BIGINT) * 4 * m.cos_sim_e6) // (s_a + s_b) AS margin_ppm
+    FROM mutual m JOIN sum_a USING (id_a) JOIN sum_b USING (id_b)
+    WHERE m.cos_sim_e6 > 0 AND s_a + s_b > 0
+    """,
+)
+def margin_bitext_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based bitext mining (Artetxe & Schwenk 2019, operators/
+    similarity.py::margin_mutual_pairs): the embedding corpus split into
+    two 'languages' by label parity, mutual-kNN pairs across the sides
+    scored by the ratio margin — cos(x,y) against the mean similarity of
+    each vector's own k-NN neighborhood, kept as one exact integer
+    division (margin_ppm).
+
+    Both kNN directions run the probed knn_join (IVF cells per side,
+    nprobe=3 of 5 cells), so neither side is cross-joined — the mining
+    pass a parallel-corpus pipeline runs over two web-scale crawls.
+    """
+    emb = tbl(spark, sf_dir, "embeddings")
+    side_a = emb.filter(F.col("label") % 2 == 0)
+    side_b = emb.filter(F.col("label") % 2 == 1)
+    return sim.margin_mutual_pairs(side_a, side_b, k=4, nprobe=3)
+
+
+_BPE_WRAP = (
+    "' ' || array_to_string([substr(t, i, 1) for i in range(1, len(t)+1)], '  ')"
+    " || ' '"
+)
+
+
+def _bpe_round_sql(r: int) -> str:
+    """One unrolled BPE training round as DuckDB CTEs: count adjacent
+    symbol pairs of the round-r corpus d{r}, pick the (count desc, pair
+    asc) winner w{r}, rewrite into d{r+1} via the framed string replace
+    (see operators/text.py::bpe_wrap for why replace is exact)."""
+    return f"""
+    p{r} AS (SELECT pair, count(*) AS n FROM (
+               SELECT unnest([y[i] || ' ' || y[i+1] for i in range(1, len(y))]) AS pair
+               FROM (SELECT string_split(trim(s), '  ') AS y FROM d{r}))
+             GROUP BY pair),
+    w{r} AS (SELECT pair, n FROM p{r} ORDER BY n DESC, pair LIMIT 1),
+    d{r + 1} AS (SELECT replace(s, ' ' || replace(w.pair, ' ', '  ') || ' ',
+                                   ' ' || replace(w.pair, ' ', '') || ' ') AS s
+                 FROM d{r}, w{r} w)"""
+
+
+@query(
+    "iterative_bpe_merges",
+    f"""
+    WITH tok AS (SELECT unnest({_TOKS}) AS t FROM documents),
+    d1 AS (SELECT {_BPE_WRAP} AS s FROM tok),
+    {_bpe_round_sql(1)},
+    {_bpe_round_sql(2)},
+    {_bpe_round_sql(3)}
+    SELECT CAST(1 AS INT) AS merge_round, pair, n FROM w1
+    UNION ALL SELECT CAST(2 AS INT) AS merge_round, pair, n FROM w2
+    UNION ALL SELECT CAST(3 AS INT) AS merge_round, pair, n FROM w3
+    """,
+)
+def iterative_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three full rounds of BPE tokenizer training (operators/text.py::
+    bpe_merge_rounds): corpus-wide adjacent-symbol pair counts, merge the
+    winner everywhere, recount — the iterative heart of training a
+    tokenizer ON the training corpus, as a single lazy distributed plan.
+
+    Each round is one partial-agg shuffle of (pair, count) plus a 1-row
+    broadcast of the winner back into a per-row string rewrite; no
+    collect(), no driver-side loop over data. Round 2's counts genuinely
+    reflect round 1's merge (the merged symbol participates in new
+    pairs), which is what distinguishes this from one-shot pair counting
+    (bpe_pair_counts).
+    """
+    docs = tbl(spark, sf_dir, "documents")
+    return tx.bpe_merge_rounds(docs, "text", rounds=3)
