@@ -1101,7 +1101,7 @@ def orders_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
            n FROM base
     UNION ALL
     SELECT 'unique_o_orderkey', 'unique',
-           (SELECT coalesce(sum(c), 0)
+           (SELECT CAST(coalesce(sum(c), 0) AS BIGINT)
             FROM (SELECT count(*) AS c FROM orders GROUP BY o_orderkey) WHERE c > 1),
            n FROM base
     UNION ALL
@@ -1615,7 +1615,7 @@ def snapshot_diff_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
       GROUP BY 1, 2)
     SELECT CAST(date_trunc('day', h) AS DATE) AS day, event_type,
-           sum(n_events) AS n_events,
+           CAST(sum(n_events) AS BIGINT) AS n_events,
            CAST(sum(sum_value) * 10000 AS BIGINT) AS total_value_e4,
            CAST((CAST(sum(sum_value) * 10000 AS BIGINT) * 100
                  - CAST(sum(sum_value) * 10000 AS BIGINT) * 100
@@ -2487,12 +2487,13 @@ def part_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT r.brand, any_value(t.n) AS n,
            any_value(t.lo_cents) AS lo_cents,
            any_value(t.hi_cents) AS hi_cents,
-           sum(CASE WHEN r.c < t.lo_cents THEN t.lo_cents
-                    WHEN r.c > t.hi_cents THEN t.hi_cents
-                    ELSE r.c END) AS wsum_cents,
-           (100 * sum(CASE WHEN r.c < t.lo_cents THEN t.lo_cents
-                           WHEN r.c > t.hi_cents THEN t.hi_cents
-                           ELSE r.c END)) // any_value(t.n) AS wmean_centicents
+           CAST(sum(CASE WHEN r.c < t.lo_cents THEN t.lo_cents
+                         WHEN r.c > t.hi_cents THEN t.hi_cents
+                         ELSE r.c END) AS BIGINT) AS wsum_cents,
+           CAST((100 * sum(CASE WHEN r.c < t.lo_cents THEN t.lo_cents
+                                WHEN r.c > t.hi_cents THEN t.hi_cents
+                                ELSE r.c END)) // any_value(t.n)
+                AS BIGINT) AS wmean_centicents
     FROM ranked r JOIN cuts t USING (brand)
     GROUP BY r.brand
     """,

@@ -144,12 +144,12 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "simhash_values",
     f"""
     SELECT doc_id,
-           list_sum([
+           CAST(list_sum([
              CASE WHEN list_sum([CASE WHEN strpos('89abcdef', substr(md5(t), b, 1)) > 0
                                       THEN 1 ELSE -1 END
                                  for t in toks]) > 0
                   THEN (1 << (16 - b)) ELSE 0 END
-             for b in range(1, 17)]) AS simhash
+             for b in range(1, 17)]) AS BIGINT) AS simhash
     FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
     """,
 )
@@ -653,7 +653,8 @@ def eval_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, w[i+1] || ' ' || w[i+2] AS g
       FROM words, unnest(range(0, len(w)-1)) AS t(i)),
     counts AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY doc_id, g),
-    tot AS (SELECT doc_id, max(c) AS top_c, sum(c) AS n_grams
+    tot AS (SELECT doc_id, max(c) AS top_c,
+                   CAST(sum(c) AS BIGINT) AS n_grams
             FROM counts GROUP BY doc_id)
     SELECT doc_id, top_c, n_grams,
            CAST((1000000 * top_c) // n_grams AS BIGINT) AS top_gram_ppm
@@ -754,7 +755,7 @@ def doc_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS cum
       FROM tok)
     SELECT lang, CAST((cum - n_tokens) // 512 AS BIGINT) AS seq_id,
-           count(*) AS n_docs, sum(n_tokens) AS total_tokens
+           count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
     FROM placed
     GROUP BY lang, (cum - n_tokens) // 512
     """,
@@ -798,7 +799,7 @@ def packed_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM tok)
     SELECT lang, CAST(shard AS BIGINT) AS shard,
            CAST((cum - n_tokens) // 512 AS BIGINT) AS seq_id,
-           count(*) AS n_docs, sum(n_tokens) AS total_tokens
+           count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
     FROM placed
     GROUP BY lang, shard, (cum - n_tokens) // 512
     """,
@@ -1033,7 +1034,8 @@ def packed_sequence_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored AS (
       SELECT tok.doc_id,
              count(*) AS n_tokens,
-             sum(CASE WHEN vocab.t IS NULL THEN 1 ELSE 0 END) AS n_oov
+             CAST(sum(CASE WHEN vocab.t IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_oov
       FROM tok LEFT JOIN vocab ON tok.t = vocab.t
       GROUP BY tok.doc_id)
     SELECT doc_id, n_tokens, n_oov,
@@ -1368,7 +1370,7 @@ def boilerplate_trigram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT bucket, (rn - 1) // 8 AS batch_id,
            count(*) AS n_docs,
            min(n) AS min_tokens, max(n) AS max_tokens,
-           count(*) * max(n) - sum(n) AS padding_tokens
+           CAST(count(*) * max(n) - sum(n) AS BIGINT) AS padding_tokens
     FROM r GROUP BY 1, 2
     """,
 )
@@ -1767,7 +1769,7 @@ def quality_logit_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored AS (
       SELECT t.doc_id,
              count(*) AS n_tokens,
-             sum(lm.nll_n9) AS nll_n9
+             CAST(sum(lm.nll_n9) AS BIGINT) AS nll_n9
       FROM tok t JOIN lm ON t.token = lm.token
       GROUP BY 1)
     SELECT doc_id, n_tokens, nll_n9,
@@ -1944,7 +1946,8 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH tok AS (
       SELECT lang, CAST(len({_TOKS}) AS BIGINT) AS n
       FROM documents),
-    actual AS (SELECT lang, sum(n) AS tokens, count(*) AS docs
+    actual AS (SELECT lang, CAST(sum(n) AS BIGINT) AS tokens,
+                      count(*) AS docs
                FROM tok GROUP BY 1),
     total AS (SELECT sum(tokens) AS t FROM actual),
     target(lang, ppm) AS (VALUES
@@ -2103,7 +2106,8 @@ def doc_top_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT lang, CAST(len({_TOKS}) AS BIGINT) AS n_tokens, n_chars
       FROM documents)
     SELECT lang, count(*) AS n_docs,
-           sum(n_tokens) AS total_tokens, sum(n_chars) AS total_chars,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
            CAST((1000000 * sum(n_chars)) // sum(n_tokens) AS BIGINT)
              AS chars_per_token_ppm
     FROM tok GROUP BY lang
@@ -3210,9 +3214,10 @@ def simhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     gd AS (SELECT g, count(DISTINCT doc) AS n_docs FROM win GROUP BY g)
     SELECT doc,
            count(*) AS n_windows,
-           sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS n_dup_windows,
-           (1000000 * sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END)) // count(*)
-             AS dup_ppm
+           CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_windows,
+           CAST((1000000 * sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END)) // count(*)
+                AS BIGINT) AS dup_ppm
     FROM win JOIN gd USING (g)
     GROUP BY doc
     """,
@@ -3298,7 +3303,8 @@ def _knn_side_sql(d: str, qpar: int, cpar: int, k: int, nprobe: int) -> str:
         ON ab.qid = ba.vec_id AND ab.vec_id = ba.qid
     )
     SELECT m.id_a, m.id_b, m.cos_sim_e6,
-           (CAST(2000000 AS BIGINT) * 4 * m.cos_sim_e6) // (s_a + s_b) AS margin_ppm
+           CAST((CAST(2000000 AS BIGINT) * 4 * m.cos_sim_e6) // (s_a + s_b)
+                AS BIGINT) AS margin_ppm
     FROM mutual m JOIN sum_a USING (id_a) JOIN sum_b USING (id_b)
     WHERE m.cos_sim_e6 > 0 AND s_a + s_b > 0
     """,

