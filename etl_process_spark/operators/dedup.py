@@ -117,34 +117,63 @@ def minhash_signatures_df(
     return hashed.groupBy(id_col).agg(*aggs)
 
 
+# Hex chars whose nibble has bit k set, k = 0 the nibble's MSB (value 8)
+# .. k = 3 its LSB (value 1). Membership is a plain char test, portable
+# to the oracle as strpos(chars, c) > 0.
+_NIBBLE_BIT_CHARS = ("89abcdef", "4567cdef", "2367abef", "13579bdf")
+
+
+def _simhash_counts(text: Column | str, bits: list[tuple[int, int]]) -> Column:
+    """Per-bit ±1 vote totals for a SimHash signature — ONE md5 per token.
+
+    ``bits`` lists (hex_pos, nibble_bit) pairs: hex_pos is the 1-based
+    position in the md5 hex digest, nibble_bit selects which of that
+    nibble's four bits votes (0 = MSB). The token array is hashed once
+    (transform → md5), then a single aggregate zip_with-adds each
+    token's ±1 vote vector into the accumulator: len(bits) cheap char
+    tests per token instead of len(bits) md5 recomputes (the round-3
+    hotspot — simhash16 used to re-invoke F.md5 16× per token).
+    Returns array<int> of len(bits) vote totals, in ``bits`` order.
+    """
+
+    def votes(h: Column) -> Column:
+        return F.array(
+            *[
+                F.when(
+                    F.contains(
+                        F.lit(_NIBBLE_BIT_CHARS[k]), F.substring(h, pos, 1)
+                    ),
+                    F.lit(1),
+                ).otherwise(F.lit(-1))
+                for pos, k in bits
+            ]
+        )
+
+    return F.aggregate(
+        F.transform(tokens(text), F.md5),
+        F.array_repeat(F.lit(0), len(bits)),
+        lambda acc, h: F.zip_with(acc, votes(h), lambda a, v: a + v),
+    )
+
+
+def _fold_bits(counts: Column) -> Column:
+    """MSB-first fold of a vote-count array into an integer signature:
+    acc*2 + (count > 0) over the array, i.e. Σ bit_i << (n-1-i)."""
+    return F.aggregate(
+        counts,
+        F.lit(0),
+        lambda acc, cnt: acc * 2
+        + F.when(cnt > 0, F.lit(1)).otherwise(F.lit(0)),
+    )
+
+
 def simhash16(text: Column | str) -> Column:
     """16-bit SimHash over unigram tokens, md5-derived bit planes.
 
     Bit b (1..16) of a token = high bit of hex nibble b of md5(token).
     Per-document bit = sign of the sum of ±1 contributions. Entirely
-    per-row; the expression stays in whole-stage codegen.
-    """
-    t = tokens(text)
-    # Fold MSB-first: acc*2 + bit_b over b=1..16 == Σ bit_b << (16-b).
-    # A hex nibble's high bit is set iff the character sorts >= '8'
-    # ('0'..'9' < 'a'..'f' in both engines' byte order).
-    return F.aggregate(
-        F.sequence(F.lit(1), F.lit(16)),
-        F.lit(0),
-        lambda acc, b: acc * 2
-        + F.when(
-            F.aggregate(
-                t,
-                F.lit(0),
-                lambda a, tok: a
-                + F.when(F.md5(tok).substr(b, F.lit(1)) >= F.lit("8"), F.lit(1)).otherwise(
-                    F.lit(-1)
-                ),
-            )
-            > 0,
-            F.lit(1),
-        ).otherwise(F.lit(0)),
-    )
+    per-row; one md5 per token (hoisted via _simhash_counts)."""
+    return _fold_bits(_simhash_counts(text, [(b, 0) for b in range(1, 17)]))
 
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -809,40 +838,78 @@ def lsh_tune(
     return best[2], best[3]
 
 
-def simhash_bands(
-    df: DataFrame, text_col: str, id_col: str, band_bits: int = 4,
-) -> DataFrame:
-    """(doc, band, bucket) assignments from the 16-bit SimHash: band b is
-    bits [b·band_bits, (b+1)·band_bits) of the signature.
+def simhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(doc, shs) — the 64-bit SimHash as array<int> of four 16-bit band
+    values, MSB-first (shs[1] holds signature bits 0..15).
 
-    Hamming-LSH banding: two docs within Hamming distance d of each other
-    on a w-bit signature share at least one of w/band_bits bands whenever
-    d < w/band_bits (pigeonhole — d flipped bits can spoil at most d
-    bands), so banding is a RECALL-EXACT candidate filter for
-    d ≤ bands−1. 16/4 here matches the corpus; at 100 TB widen the
-    signature (64-bit) and the bands (16-bit) so buckets stay selective —
-    the operator only assumes band_bits divides the signature width.
+    Bit i (0..63) of a token votes with bit (i mod 4) of hex nibble
+    (i div 4 + 1) of ONE md5(token); the document's bit is set iff a
+    strict majority of tokens set it (Σ±1 > 0 ⇔ 2·S_i > n). The
+    band-value representation (4 × 16-bit ints) keeps every value far
+    from BIGINT sign/overflow territory in BOTH engines (a literal
+    1<<63 overflows DuckDB's BIGINT), and the band values ARE the LSH
+    bucket keys, so no bit-slicing is needed downstream.
+
+    Plan shape (the 100 TB one): explode tokens → md5 once per token →
+    ``conv`` each 4-hex-char slice into a 16-bit int → groupBy(doc)
+    with 64 bit-tally sums + count. Everything stays in whole-stage
+    codegen (an earlier higher-order-function formulation evaluated
+    interpreted and was ~20× slower); the shuffle carries one 65-int
+    row per (partition, doc) thanks to map-side partial aggregation.
     """
-    if 16 % band_bits:
-        raise ValueError("band_bits must divide 16")
-    sig = df.select(
+    tok = df.select(
         F.col(id_col).alias("doc"),
-        simhash16(F.col(text_col)).cast("bigint").alias("sh"),
+        F.explode(F.transform(tokens(F.col(text_col)), F.md5)).alias("h"),
+    ).select(
+        "doc",
+        *[
+            F.conv(F.substring("h", 4 * b + 1, 4), 16, 10)
+            .cast("int")
+            .alias(f"h{b}")
+            for b in range(4)
+        ],
     )
-    nbands = 16 // band_bits
-    mask = (1 << band_bits) - 1
-    banded = [
-        sig.select(
-            "doc", "sh",
-            F.lit(b).alias("band"),
-            F.shiftright("sh", b * band_bits).bitwiseAND(F.lit(mask)).alias("bucket"),
-        )
-        for b in range(nbands)
+    tallies = tok.groupBy("doc").agg(
+        F.count("*").alias("n"),
+        *[
+            F.sum(F.shiftright(F.col(f"h{b}"), 15 - j).bitwiseAND(F.lit(1)))
+            .alias(f"s_{b}_{j}")
+            for b in range(4)
+            for j in range(16)
+        ],
+    )
+    two = F.lit(2)
+    bands = [
+        sum(
+            (
+                F.when(two * F.col(f"s_{b}_{j}") > F.col("n"), F.lit(1))
+                .otherwise(F.lit(0))
+                * F.lit(1 << (15 - j))
+            )
+            for j in range(16)
+        ).cast("int")
+        for b in range(4)
     ]
-    out = banded[0]
-    for b in banded[1:]:
-        out = out.unionAll(b)
-    return out
+    return tallies.select("doc", F.array(*bands).alias("shs"))
+
+
+def simhash_bands(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(doc, shs, band, bucket) assignments from the 64-bit SimHash:
+    band b (0..3) buckets on signature bits [16b, 16b+16).
+
+    Hamming-LSH banding: two docs within Hamming distance d of each
+    other on a w-bit signature share at least one of w/band_bits bands
+    whenever d < nbands (pigeonhole — d flipped bits can spoil at most
+    d bands), so banding is a RECALL-EXACT candidate filter for
+    d ≤ bands−1 = 3. 16-bit bands give 65,536 buckets per band — the
+    round-3 16-bit/4-bit layout had only 16 buckets per band, an
+    ~n²/128 in-bucket pair explosion that was quadratic in corpus size;
+    with 2^16 buckets, buckets stay near-singleton until genuine
+    near-dup mass shows up.
+    """
+    return simhash_signatures(df, text_col, id_col).select(
+        "doc", "shs", F.posexplode("shs").alias("band", "bucket")
+    )
 
 
 def simhash_dup_pairs(
@@ -851,24 +918,29 @@ def simhash_dup_pairs(
     """SimHash near-dup pairs: banded Hamming LSH → in-bucket pair
     explosion → exact popcount(xor) verify.
 
-    The verify stage is integer-only (bit_count of the xor of two BIGINT
-    signatures), so the result hashes identically in any engine. With
-    16-bit signatures in 4 bands, recall is exact for Hamming ≤ 3
-    (pigeonhole, see simhash_bands); the candidate join shuffles only
-    (band, bucket, doc) rows and pairs explode bucket-locally — never an
-    all-pairs comparison. Returns (doc_a, doc_b, hamming), doc_a < doc_b.
+    The verify stage is integer-only (sum of bit_count(xor) over the
+    four 16-bit band values), so the result hashes identically in any
+    engine. 64-bit signatures in 4×16-bit bands keep recall exact for
+    Hamming ≤ 3 (pigeonhole, see simhash_bands) while making buckets
+    selective (2^16 per band); the candidate join shuffles only
+    (band, bucket, doc) rows and pairs explode bucket-locally — never
+    an all-pairs comparison. Returns (doc_a, doc_b, hamming) with
+    doc_a < doc_b.
     """
     banded = simhash_bands(df, text_col, id_col)
-    sig = banded.filter(F.col("band") == 0).select("doc", "sh")
+    sig = banded.filter(F.col("band") == 0).select("doc", "shs")
     pairs = bucket_pairs(banded.select("doc", "band", "bucket"))
-    a = sig.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
-    b = sig.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
+    a = sig.select(F.col("doc").alias("doc_a"), F.col("shs").alias("shs_a"))
+    b = sig.select(F.col("doc").alias("doc_b"), F.col("shs").alias("shs_b"))
+    ham = sum(
+        F.bit_count(
+            F.element_at("shs_a", k).bitwiseXOR(F.element_at("shs_b", k))
+        )
+        for k in range(1, 5)
+    )
     return (
         pairs.join(a, "doc_a").join(b, "doc_b")
-        .select(
-            "doc_a", "doc_b",
-            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("int").alias("hamming"),
-        )
+        .select("doc_a", "doc_b", ham.cast("int").alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
 

@@ -3160,35 +3160,53 @@ def corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "simhash_dup_pairs",
     f"""
-    WITH sig AS (
-      SELECT doc_id AS doc,
-             list_sum([
-               CASE WHEN list_sum([CASE WHEN strpos('89abcdef', substr(md5(t), b, 1)) > 0
-                                        THEN 1 ELSE -1 END
-                                   for t in toks]) > 0
-                    THEN (1 << (16 - b)) ELSE 0 END
-               for b in range(1, 17)]) AS sh
-      FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+    WITH hs AS (
+      SELECT doc_id AS doc, [md5(t) for t in {_TOKS}] AS hl FROM documents
+    ),
+    cnt AS (
+      SELECT doc,
+             [list_sum([CASE WHEN strpos(
+                               (['89abcdef','4567cdef','2367abef','13579bdf'])[i % 4 + 1],
+                               substr(h, 1 + i // 4, 1)) > 0
+                             THEN 1 ELSE -1 END
+                        for h in hl])
+              for i in range(0, 64)] AS c
+      FROM hs
+    ),
+    sig AS (
+      SELECT doc,
+             [CAST(list_sum([CASE WHEN c[16 * b + j + 1] > 0
+                                  THEN (1 << (15 - j)) ELSE 0 END
+                             for j in range(0, 16)]) AS BIGINT)
+              for b in range(0, 4)] AS shs
+      FROM cnt
     ),
     banded AS (
-      SELECT doc, sh, b.band, (sh >> (4 * b.band)) & 15 AS bucket
+      SELECT doc, shs, b.band, shs[b.band + 1] AS bucket
       FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS band) b
     ),
     cand AS (
       SELECT DISTINCT x.doc AS doc_a, y.doc AS doc_b
       FROM banded x JOIN banded y
         ON x.band = y.band AND x.bucket = y.bucket AND x.doc < y.doc
+    ),
+    ham AS (
+      SELECT c.doc_a, c.doc_b,
+             CAST(bit_count(xor(sa.shs[1], sb.shs[1]))
+                + bit_count(xor(sa.shs[2], sb.shs[2]))
+                + bit_count(xor(sa.shs[3], sb.shs[3]))
+                + bit_count(xor(sa.shs[4], sb.shs[4])) AS INT) AS hamming
+      FROM cand c JOIN sig sa ON c.doc_a = sa.doc JOIN sig sb ON c.doc_b = sb.doc
     )
-    SELECT c.doc_a, c.doc_b,
-           CAST(bit_count(xor(sa.sh, sb.sh)) AS INT) AS hamming
-    FROM cand c JOIN sig sa ON c.doc_a = sa.doc JOIN sig sb ON c.doc_b = sb.doc
-    WHERE bit_count(xor(sa.sh, sb.sh)) <= 3
+    SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 3
     """,
 )
 def simhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-duplicate pairs (operators/dedup.py::simhash_dup_pairs):
-    Hamming-LSH banding of the 16-bit signature into 4 bands — recall-EXACT
-    for Hamming ≤ 3 by pigeonhole — then an integer popcount(xor) verify.
+    Hamming-LSH banding of the 64-bit signature into 4×16-bit bands —
+    recall-EXACT for Hamming ≤ 3 by pigeonhole, 2^16 buckets per band so
+    candidate pairs stay near-linear — then an integer popcount(xor)
+    verify over the four band values.
 
     The complement of the MinHash path: SimHash catches small token-level
     perturbations (a few flipped words barely move the weighted bit
