@@ -98,7 +98,11 @@ def python_stage_count(df: DataFrame) -> int:
     a JVM→Python round trip — the audit for 'did a UDF sneak into the hot
     path'."""
     plan = explain_str(df)
-    return _count_nodes(plan, "(?:ArrowEvalPython|BatchEvalPython|MapInPandas|FlatMapGroupsInPandas)")
+    return _count_nodes(
+        plan,
+        "(?:ArrowEvalPython|BatchEvalPython|MapInPandas"
+        "|FlatMap(?:Co)?GroupsInPandas)",
+    )
 
 
 def plan_summary(df: DataFrame) -> dict:

@@ -3342,7 +3342,8 @@ def margin_bitext_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = tbl(spark, sf_dir, "embeddings")
     side_a = emb.filter(F.col("label") % 2 == 0)
     side_b = emb.filter(F.col("label") % 2 == 1)
-    return sim.margin_mutual_pairs(side_a, side_b, k=4, nprobe=3)
+    return sim.margin_mutual_pairs(side_a, side_b, k=4, nprobe=3, dim=64,
+                                   impl="arrow")
 
 
 _BPE_WRAP = (

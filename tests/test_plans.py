@@ -30,7 +30,11 @@ SF_DIR = "/root/testdata/sf0.001"
 # plan (verify scan + broadcast semi-join + exact agg) is JVM-only, which
 # the n == 0 branch below verifies.
 PYTHON_OK = {"image_decode_stats", "video_frame_sample", "audio_feature_stats",
-             "image_phash_dup_pairs"}
+             "image_phash_dup_pairs",
+             # declared vectorized-UDF fast path: cell-cogrouped Arrow kNN
+             # scoring (numpy over blocks, order-exact vs the JVM plan;
+             # similarity.py::_knn_cells_arrow) — never row-at-a-time
+             "margin_bitext_pairs"}
 # single-query-vector top-k uses a broadcast nested-loop (1-row side)
 NESTED_LOOP_OK = {"embedding_topk_cosine"}
 
