@@ -30,14 +30,27 @@ def euro_decimal(col: Column | str, precision: int = 15, scale: int = 2) -> Colu
 
 
 def fio(last: Column | str, first: Column | str, patronymic: Column | str) -> Column:
-    """Full-name assembly with NULL-as-empty semantics.
+    """Full-name assembly, EXACT Postgres ``concat`` semantics.
 
     Reference: Postgres ``concat(last_name,' ',first_name,' ',patronymic)``
-    (py_scripts/report.py:23) treats NULL as ''. Spark's ``concat`` returns
-    NULL on any NULL input, so the parity-correct operator is ``concat_ws``
-    (skips NULLs).
+    (py_scripts/report.py:23) treats a NULL argument as '' but KEEPS the
+    literal space arguments — a NULL patronymic yields ``'Ivanov Ivan '``
+    with a trailing space, not ``'Ivanov Ivan'``. Spark's ``concat``
+    returns NULL on any NULL input and ``concat_ws`` drops the separator
+    next to a NULL (the rounds-1..3 behavior, off by the trailing
+    space), so exact parity is ``concat`` over coalesced parts with the
+    spaces as ordinary arguments.
     """
-    return F.concat_ws(" ", last, first, patronymic)
+    return F.concat(
+        F.coalesce(F.col(last) if isinstance(last, str) else last, F.lit("")),
+        F.lit(" "),
+        F.coalesce(F.col(first) if isinstance(first, str) else first, F.lit("")),
+        F.lit(" "),
+        F.coalesce(
+            F.col(patronymic) if isinstance(patronymic, str) else patronymic,
+            F.lit(""),
+        ),
+    )
 
 
 def changed_any(left_prefix: str, right_prefix: str, cols: Iterable[str]) -> Column:

@@ -643,11 +643,41 @@ def decimal_euro_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def concat_ws_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NULL-skipping concatenation (F4, reference report.py:23).
+    """NULL-skipping concatenation (concat_ws, separator dropped at NULL).
 
-    Postgres concat treats NULL as ''; Spark concat returns NULL — the
-    engine's `fio` uses concat_ws for parity. nullif injects NULLs to prove
-    the NULL-skip behavior on real data.
+    nullif injects NULLs to prove the NULL-skip behavior on real data.
+    Note this is concat_ws semantics — the reference's report fio uses
+    Postgres concat, which KEEPS the separator spaces next to NULLs; that
+    exact behavior is `fio()` and is proved by fio_concat_null_parity.
+    """
+    c = tbl(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.concat_ws(
+            " ",
+            F.col("c_name"),
+            F.nullif(F.col("c_mktsegment"), F.lit("AUTOMOBILE")),
+            F.col("c_nationkey").cast("string"),
+        ).alias("label"),
+    )
+
+
+@query(
+    "fio_concat_null_parity",
+    """
+    SELECT c_custkey,
+           concat(c_name, ' ', nullif(c_mktsegment, 'AUTOMOBILE'), ' ',
+                  CAST(c_nationkey AS VARCHAR)) AS full_name
+    FROM customer
+    """,
+)
+def fio_concat_null_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Postgres-concat NULL semantics of `fio()` (F4, report.py:23):
+    concat treats NULL as '' but keeps the literal space arguments, so a
+    NULL middle part leaves a double space and a NULL trailing part a
+    trailing space. DuckDB's concat matches Postgres; the Spark side is
+    `fio()` (concat over coalesced parts). nullif injects real NULLs so
+    the hash covers the divergence that concat_ws would introduce.
     """
     c = tbl(spark, sf_dir, "customer")
     return c.select(
@@ -656,7 +686,7 @@ def concat_ws_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_name"),
             F.nullif(F.col("c_mktsegment"), F.lit("AUTOMOBILE")),
             F.col("c_nationkey").cast("string"),
-        ).alias("label"),
+        ).alias("full_name"),
     )
 
 

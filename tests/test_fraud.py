@@ -100,9 +100,10 @@ def test_each_rule_fires_once(report):
 def test_rule1_rows(report):
     rows = report.filter(F.col("event_type") == 1).orderBy("event_dt").collect()
     assert [r["passport"].strip() for r in rows] == ["P1", "P2"]
-    # NULL patronymic -> concat_ws drops it (Postgres concat-as-empty parity
-    # modulo the double-space; reference emits 'Ivanov Ivan ')
-    assert rows[0]["fio"] == "Ivanov Ivan"
+    # NULL patronymic: exact Postgres concat parity — the literal space
+    # arguments survive, so the reference's 'Ivanov Ivan ' (trailing
+    # space, report.py:23) is reproduced byte-for-byte
+    assert rows[0]["fio"] == "Ivanov Ivan "
 
 
 def test_rule3_near_miss_excluded(report):

@@ -1,0 +1,107 @@
+"""Live JDBC integration: read_jdbc_incremental against embedded Derby.
+
+The reference's three dimension sources are Postgres tables pulled with a
+pushed watermark predicate (cards.py:50-56, clients.py:49-61,
+accounts.py:50-57). ``jdbc_incremental_options`` was until round 4 proven
+only as option CONSTRUCTION; this test executes the reader end-to-end
+through a real JDBC connection — embedded Derby, whose jars ship inside
+pyspark — so S3 is an exercised code path, not just a built one:
+
+* the watermark predicate runs INSIDE the source DB (it is embedded in
+  the dbtable subquery, so only changed rows ever cross the wire), and
+* the partitioned variant issues parallel range queries and lands one
+  Spark partition per range.
+"""
+
+import pytest
+
+
+DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+
+ROWS = [
+    # (card_id, card_num, create_dt, update_dt) — watermark is
+    # coalesce(update_dt, create_dt), mirroring the reference exactly
+    (1, "4276111122223333", "2024-03-01 10:00:00", None),
+    (2, "4276444455556666", "2024-03-01 11:00:00", "2024-03-02 09:00:00"),
+    (3, "4276777788889999", "2024-03-02 08:30:00", None),
+    (4, "4276000011112222", "2024-02-28 23:00:00", "2024-03-01 06:00:00"),
+]
+
+
+@pytest.fixture(scope="module")
+def derby_url(spark, tmp_path_factory):
+    db_dir = tmp_path_factory.mktemp("derby")
+    jvm = spark._jvm
+    jvm.java.lang.System.setProperty(
+        "derby.stream.error.file", str(db_dir / "derby.log")
+    )
+    url = f"jdbc:derby:{db_dir}/cards_db"
+    jvm.java.lang.Class.forName(DRIVER)
+    conn = jvm.java.sql.DriverManager.getConnection(url + ";create=true")
+    st = conn.createStatement()
+    st.executeUpdate(
+        "CREATE TABLE cards (card_id INT, card_num VARCHAR(20), "
+        "create_dt TIMESTAMP, update_dt TIMESTAMP)"
+    )
+    for cid, num, cre, upd in ROWS:
+        upd_sql = f"TIMESTAMP('{upd}')" if upd else "NULL"
+        st.executeUpdate(
+            f"INSERT INTO cards VALUES ({cid}, '{num}', "
+            f"TIMESTAMP('{cre}'), {upd_sql})"
+        )
+    st.close()
+    conn.close()
+    return url
+
+
+def _expected_ids(watermark: str) -> set[int]:
+    return {
+        cid
+        for cid, _, cre, upd in ROWS
+        if (upd or cre) > watermark
+    }
+
+
+def test_incremental_read_ships_only_changed_rows(spark, derby_url):
+    from etl_process_spark.sources.readers import read_jdbc_incremental
+
+    wm = "2024-03-01 12:00:00"
+    df = read_jdbc_incremental(
+        spark, derby_url, "cards", wm,
+        watermark_expr="coalesce(update_dt, create_dt)",
+        driver=DRIVER,
+    )
+    got = {r.CARD_ID for r in df.collect()}
+    assert got == _expected_ids(wm) == {2, 3}
+    # the predicate is in the dbtable subquery => pushdown is structural,
+    # not an optimizer heuristic
+    from etl_process_spark.sources.readers import jdbc_incremental_options
+
+    opts = jdbc_incremental_options(derby_url, "cards", wm)
+    assert f"WHERE coalesce(update_dt, create_dt) > '{wm}'" in opts["dbtable"]
+
+
+def test_incremental_read_empty_when_watermark_current(spark, derby_url):
+    from etl_process_spark.sources.readers import read_jdbc_incremental
+
+    df = read_jdbc_incremental(
+        spark, derby_url, "cards", "2024-03-02 23:59:59",
+        watermark_expr="coalesce(update_dt, create_dt)",
+        driver=DRIVER,
+    )
+    assert df.count() == 0
+
+
+def test_partitioned_read_parallel_ranges(spark, derby_url):
+    from etl_process_spark.sources.readers import read_jdbc_incremental
+
+    wm = "2024-01-01 00:00:00"  # everything is newer: full dim load
+    df = read_jdbc_incremental(
+        spark, derby_url, "cards", wm,
+        watermark_expr="coalesce(update_dt, create_dt)",
+        partition_col="card_id", num_partitions=2,
+        lower_bound=1, upper_bound=5,
+        driver=DRIVER,
+    )
+    assert df.rdd.getNumPartitions() == 2
+    assert {r.CARD_ID for r in df.collect()} == {1, 2, 3, 4}
