@@ -123,13 +123,100 @@ def iter_frames(content: bytes, every_n: int = 1):
         yield idx, content[idx * FRAME_BYTES : (idx + 1) * FRAME_BYTES]
 
 
+def _dct_matrix(n: int):
+    """Orthonormal DCT-II basis matrix (no scipy needed):
+    M[k,i] = s_k · cos(π·(2i+1)·k / 2n), s_0 = √(1/n), s_k = √(2/n)."""
+    import numpy as np
+
+    i = np.arange(n)
+    k = np.arange(n)[:, None]
+    m = np.cos(np.pi * (2 * i + 1) * k / (2 * n)) * np.sqrt(2.0 / n)
+    m[0] /= np.sqrt(2.0)
+    return m
+
+
+def _area_resize_32(gray):
+    """Mean-pool an arbitrary (h, w) float array to 32×32: each output
+    cell averages its index bin — deterministic, no interpolation
+    library. Inputs smaller than 32 on a side repeat rows/cols (bin
+    width 1)."""
+    import numpy as np
+
+    g = np.asarray(gray, dtype=np.float64)
+    h, w = g.shape
+    rb = (np.arange(h) * 32 // max(h, 1)).clip(max=31)
+    cb = (np.arange(w) * 32 // max(w, 1)).clip(max=31)
+    out = np.zeros((32, 32))
+    cnt = np.zeros((32, 32))
+    np.add.at(out, (rb[:, None].repeat(w, 1), cb[None, :].repeat(h, 0)), g)
+    np.add.at(cnt, (rb[:, None].repeat(w, 1), cb[None, :].repeat(h, 0)), 1.0)
+    cnt[cnt == 0] = 1.0  # padded bins (input < 32 px): nearest row/col
+    out = out / cnt
+    # fill empty bins from the nearest populated one (only when h or w < 32)
+    if h < 32:
+        filled = np.zeros(32, dtype=bool)
+        filled[rb] = True
+        last = 0
+        for r in range(32):
+            if filled[r]:
+                last = r
+            else:
+                out[r] = out[last]
+    if w < 32:
+        filledc = np.zeros(32, dtype=bool)
+        filledc[cb] = True
+        lastc = 0
+        for c in range(32):
+            if filledc[c]:
+                lastc = c
+            else:
+                out[:, c] = out[:, lastc]
+    return out
+
+
+def phash_from_pixels(gray) -> str:
+    """REAL pHash math over a grayscale pixel array: mean-pool to 32×32,
+    orthonormal DCT-II (explicit basis matmul — no scipy), keep the
+    top-left 8×8 low-frequency block, threshold each AC coefficient at
+    the median of the 63 AC coefficients, emit 64 sign bits MSB-first as
+    16 hex chars. The DC bit is pinned to 0, which makes the hash
+    exactly invariant under affine luma changes a·g + b (a > 0): AC
+    coefficients scale by a (> 0 preserves every comparison) and b moves
+    only DC. Near-identical images land within small Hamming distance —
+    the property the banded near-dup join exploits.
+    """
+    import numpy as np
+
+    g = _area_resize_32(gray)
+    m = _dct_matrix(32)
+    block = (m @ g @ m.T)[:8, :8].reshape(64)
+    med = float(np.median(block[1:]))
+    bits = block > med
+    bits[0] = False
+    val = 0
+    for bit in bits:
+        val = (val << 1) | int(bit)
+    return f"{val:016x}"
+
+
 def perceptual_hash(content: bytes) -> str:
     """64-bit perceptual hash as 16 hex chars.
 
-    Real path: grayscale -> 32x32 -> DCT -> top-left 8x8 sign bits
-    (pHash; needs Pillow/scipy, not in this container). Fake path: the
-    first 16 hex chars of the content md5 — NOT perceptual (no
-    near-match behavior), but the same 64-bit contract, so the banding /
-    hamming-verify plumbing downstream is real and oracle-checkable.
+    Real path: decode (Pillow) -> grayscale -> ``phash_from_pixels``
+    (the DCT math itself is implemented and unit-tested HERE, codec or
+    not — see test_multimodal.py's pixel-level property tests). Fake
+    path, when no decoder exists to produce pixels: the first 16 hex
+    chars of the content md5 — NOT perceptual (no near-match behavior),
+    but the same 64-bit contract, so the banding / hamming-verify
+    plumbing downstream is real and oracle-checkable.
     """
+    if HAVE_PIL:  # pragma: no cover - codec not in this container
+        import io
+
+        import numpy as np
+
+        with Image.open(io.BytesIO(content)) as img:
+            return phash_from_pixels(
+                np.asarray(img.convert("L"), dtype="float64")
+            )
     return hashlib.md5(content).hexdigest()[:16]

@@ -240,12 +240,77 @@ def bpe_merge_rounds(
         )
         out = row if out is None else out.unionAll(row)
         if r < rounds:
-            wrapped = wrapped.crossJoin(F.broadcast(winner)).select(
-                F.replace(
-                    F.col("s"),
-                    F.concat(F.lit(" "), F.replace(F.col("pair"), F.lit(" "), F.lit("  ")), F.lit(" ")),
-                    F.concat(F.lit(" "), F.replace(F.col("pair"), F.lit(" "), F.lit("")), F.lit(" ")),
-                ).alias("s")
-            )
+            wrapped = _bpe_rewrite(wrapped, winner)
     assert out is not None
     return out
+
+
+def _bpe_rewrite(stream: DataFrame, winner: DataFrame) -> DataFrame:
+    """Merge the winning pair everywhere in a wrapped-symbol stream: the
+    1-row winner broadcasts into a per-row framed string replace (exact —
+    see bpe_wrap). All non-`s` columns pass through untouched."""
+    keep = [c for c in stream.columns if c not in ("s", "pair", "n")]
+    return stream.crossJoin(F.broadcast(winner)).select(
+        *keep,
+        F.replace(
+            F.col("s"),
+            F.concat(F.lit(" "), F.replace(F.col("pair"), F.lit(" "), F.lit("  ")), F.lit(" ")),
+            F.concat(F.lit(" "), F.replace(F.col("pair"), F.lit(" "), F.lit("")), F.lit(" ")),
+        ).alias("s"),
+    )
+
+
+def bpe_symbol_count(s: Column | str) -> Column:
+    """Symbols in a wrapped stream row: split on the double-space frame
+    (DuckDB mirror: len(string_split(trim(s), '  ')))."""
+    c = F.col(s) if isinstance(s, str) else s
+    return F.size(F.split(F.trim(c), "  "))
+
+
+def bpe_apply(
+    df: DataFrame, text_col: str, id_col: str, rounds: int = 3,
+) -> DataFrame:
+    """Train ``rounds`` BPE merges corpus-wide and APPLY them to every
+    document — tokenizer training followed by tokenizer application, the
+    step a real pipeline runs over the whole corpus after training.
+    Returns (doc_id, char_syms, bpe_syms, compression_ppm): symbol
+    counts per document before/after the merges and the exact-integer
+    compression ratio.
+
+    One stream does double duty: pair counts aggregate over the SAME
+    (doc, wrapped-token) rows the rewrites transform (counts ignore
+    doc_id, so the winner sequence is identical to bpe_merge_rounds —
+    proven by the shared oracle machinery). Per round: one partial-agg
+    shuffle of (pair, count) + a 1-row winner broadcast into the
+    rewrite; the final per-doc agg is the only doc-keyed shuffle. No
+    collect, no driver loop — a single lazy plan, same 100 TB shape as
+    bpe_merge_rounds.
+    """
+    stream = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.col(text_col))).alias("tok"),
+    ).select("doc_id", bpe_wrap(F.col("tok")).alias("s"))
+    stream = stream.select(
+        "doc_id", "s", bpe_symbol_count("s").alias("n0")
+    )
+    for _ in range(rounds):
+        counts = (
+            stream.select(F.explode(bpe_pairs_from_wrapped(F.col("s"))).alias("pair"))
+            .groupBy("pair")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        winner = counts.orderBy(F.col("n").desc(), F.col("pair").asc()).limit(1)
+        stream = _bpe_rewrite(stream, winner)
+    return (
+        stream.groupBy("doc_id")
+        .agg(
+            F.sum("n0").alias("char_syms"),
+            F.sum(bpe_symbol_count("s")).alias("bpe_syms"),
+        )
+        .select(
+            "doc_id", "char_syms", "bpe_syms",
+            F.expr(
+                "(CAST(1000000 AS BIGINT) * bpe_syms) DIV char_syms"
+            ).alias("compression_ppm"),
+        )
+    )

@@ -3368,6 +3368,54 @@ def _bpe_round_sql(r: int) -> str:
                  FROM d{r}, w{r} w)"""
 
 
+def _bpe_apply_round_sql(r: int) -> str:
+    """One unrolled BPE round over the doc-keyed stream d{r}: counts
+    ignore doc_id (identical winner sequence to _bpe_round_sql), the
+    rewrite carries (doc_id, n0) through."""
+    return f"""
+    p{r} AS (SELECT pair, count(*) AS n FROM (
+               SELECT unnest([y[i] || ' ' || y[i+1] for i in range(1, len(y))]) AS pair
+               FROM (SELECT string_split(trim(s), '  ') AS y FROM d{r}))
+             GROUP BY pair),
+    w{r} AS (SELECT pair FROM p{r} ORDER BY n DESC, pair LIMIT 1),
+    d{r + 1} AS (SELECT doc_id, n0,
+                        replace(s, ' ' || replace(w.pair, ' ', '  ') || ' ',
+                                   ' ' || replace(w.pair, ' ', '') || ' ') AS s
+                 FROM d{r}, w{r} w)"""
+
+
+@query(
+    "tokenizer_bpe_apply",
+    f"""
+    WITH dtok AS (SELECT doc_id, unnest({_TOKS}) AS t FROM documents),
+    d1 AS (SELECT doc_id, {_BPE_WRAP} AS s,
+                  len(string_split(trim({_BPE_WRAP}), '  ')) AS n0
+           FROM dtok),
+    {_bpe_apply_round_sql(1)},
+    {_bpe_apply_round_sql(2)},
+    {_bpe_apply_round_sql(3)}
+    SELECT doc_id,
+           CAST(sum(n0) AS BIGINT) AS char_syms,
+           CAST(sum(len(string_split(trim(s), '  '))) AS BIGINT) AS bpe_syms,
+           CAST((1000000 * sum(len(string_split(trim(s), '  '))))
+                // sum(n0) AS BIGINT) AS compression_ppm
+    FROM d4 GROUP BY doc_id
+    """,
+)
+def tokenizer_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLICATION at corpus scale (operators/text.py::
+    bpe_apply): train 3 BPE merges on the corpus (same winner sequence
+    as iterative_bpe_merges) and apply them to every document, emitting
+    per-doc symbol counts before/after and the exact-integer compression
+    ratio — the encode pass a training pipeline runs over 100 TB after
+    tokenizer training, as one lazy plan (per round: one (pair, count)
+    partial-agg shuffle + a 1-row winner broadcast into a per-row
+    rewrite; one final doc-keyed agg shuffle).
+    """
+    docs = tbl(spark, sf_dir, "documents")
+    return tx.bpe_apply(docs, "text", "doc_id", rounds=3)
+
+
 @query(
     "iterative_bpe_merges",
     f"""

@@ -107,3 +107,69 @@ def test_frame_sampling_fanout(assets):
     assert [(r["frame_idx"], bytes(r["frame_bytes"])) for r in got] == expected
     n_frames = max(1, -(-len(content) // FRAME_BYTES))
     assert len(got) == len(range(0, n_frames, 2))
+
+
+# ---- real pHash math (round 4): pixel-level properties, no codec needed ----
+
+def _ham(h1: str, h2: str) -> int:
+    return bin(int(h1, 16) ^ int(h2, 16)).count("1")
+
+
+def test_phash_pixels_contract_and_determinism():
+    import numpy as np
+
+    from etl_process_spark.multimodal.codecs import phash_from_pixels
+
+    rng = np.random.default_rng(42)
+    g = rng.uniform(0, 255, size=(48, 64))
+    h1, h2 = phash_from_pixels(g), phash_from_pixels(g.copy())
+    assert h1 == h2 and len(h1) == 16
+    int(h1, 16)  # valid hex
+
+
+def test_phash_affine_luma_invariance():
+    """DC is pinned and AC coefficients scale by a > 0, so a·g + b maps
+    to the IDENTICAL hash — brightness/contrast shifts are free."""
+    import numpy as np
+
+    from etl_process_spark.multimodal.codecs import phash_from_pixels
+
+    rng = np.random.default_rng(7)
+    g = rng.uniform(0, 255, size=(40, 40))
+    assert phash_from_pixels(g) == phash_from_pixels(1.5 * g + 10.0)
+
+
+def test_phash_near_duplicate_small_hamming():
+    import numpy as np
+
+    from etl_process_spark.multimodal.codecs import phash_from_pixels
+
+    rng = np.random.default_rng(3)
+    g = rng.uniform(0, 255, size=(64, 64))
+    noisy = g + rng.normal(0, 2.0, size=g.shape)
+    assert _ham(phash_from_pixels(g), phash_from_pixels(noisy)) <= 10
+
+
+def test_phash_distinct_images_far_apart():
+    import numpy as np
+
+    from etl_process_spark.multimodal.codecs import phash_from_pixels
+
+    rng = np.random.default_rng(11)
+    a = rng.uniform(0, 255, size=(64, 64))
+    b = rng.uniform(0, 255, size=(64, 64))
+    assert _ham(phash_from_pixels(a), phash_from_pixels(b)) >= 16
+
+
+def test_phash_pixel_doubling_exact():
+    """Mean-pooling a 2x pixel-doubled image reproduces the original
+    32x32 plane exactly, so the hash is bit-identical — the resize rule
+    is a real contract, not an approximation."""
+    import numpy as np
+
+    from etl_process_spark.multimodal.codecs import phash_from_pixels
+
+    rng = np.random.default_rng(5)
+    g = rng.uniform(0, 255, size=(32, 32))
+    doubled = np.kron(g, np.ones((2, 2)))
+    assert phash_from_pixels(g) == phash_from_pixels(doubled)
