@@ -187,7 +187,7 @@ def ivf_search(
 
 def _knn_cells_arrow(
     corpus: DataFrame, probes: DataFrame, k: int, dim: int,
-    cell_col: str, vec_col: str, id_col: str,
+    cell_col: str, vec_col: str, id_col: str, cell_chunks: int = 1,
 ) -> DataFrame:
     """Cell-cogrouped Arrow kNN scoring (see knn_join impl='arrow').
 
@@ -198,6 +198,15 @@ def _knn_cells_arrow(
     single IEEE ops on identical inputs. Per-(query, cell) top-k with
     (e6 desc, id asc) lexsort matches the SQL rank tie-break, and the
     global top-k equals the top-k of the union of per-cell top-k lists.
+
+    ``cell_chunks`` bounds executor memory at scale: every cell's corpus
+    rows hash-split into that many chunks, each cogroup block scores one
+    (cell, chunk) against the cell's queries, and the same union-of-
+    chunk-top-k identity keeps the result EXACTLY invariant for any
+    chunk count (each per-pair score is computed identically; only which
+    block computes it moves). A hot IVF cell therefore costs
+    O(|cell|/chunks · |queries|) per task instead of one giant block —
+    the skew story for a 100 TB corpus side.
     """
     import pandas as pd  # noqa: F401  (applyInPandas contract)
 
@@ -245,13 +254,17 @@ def _knn_cells_arrow(
 
     corp = corpus.select(
         F.col(cell_col).alias("ccell"),
+        (F.crc32(F.col(id_col).cast("string")) % cell_chunks).alias("chunk"),
         F.col(id_col).cast("long").alias("nid"),
         _dbl(F.col(vec_col)).alias("vec"),
     )
-    qp = probes.select("cell", "qid", "qvec")
+    qp = probes.select(
+        "cell", "qid", "qvec",
+        F.explode(F.sequence(F.lit(0), F.lit(cell_chunks - 1))).alias("chunk"),
+    )
     shortlist = (
-        corp.groupBy("ccell")
-        .cogroup(qp.groupBy("cell"))
+        corp.groupBy("ccell", "chunk")
+        .cogroup(qp.groupBy("cell", "chunk"))
         .applyInPandas(score_cell, "qid long, nid long, cos_sim_e6 long")
     )
     w = Window.partitionBy("qid").orderBy(
@@ -271,7 +284,7 @@ def knn_join(
     corpus: DataFrame, queries: DataFrame, k: int = 5, nprobe: int | None = None,
     cell_col: str = "label", vec_col: str = "embedding",
     id_col: str = "vec_id", qid_col: str = "qid", qvec_col: str = "qvec",
-    dim: int | None = None, impl: str = "sql",
+    dim: int | None = None, impl: str = "sql", cell_chunks: int = 1,
 ) -> DataFrame:
     """Batched ANN: top-k corpus neighbors for EVERY query vector in one
     plan — the production shape of similarity search (a retrieval batch,
@@ -348,7 +361,8 @@ def knn_join(
             if dim is None:
                 raise ValueError("impl='arrow' requires a static dim")
             return _knn_cells_arrow(
-                corpus, probes, k, dim, cell_col, vec_col, id_col
+                corpus, probes, k, dim, cell_col, vec_col, id_col,
+                cell_chunks=cell_chunks,
             )
         if dim is not None:
             probes = probes.drop("qvec")

@@ -36,6 +36,9 @@ SAMPLE = [
     "packed_training_sequences_sharded",  # windowed cumsum lanes
     "event_transition_probs",     # lead ties + tiny-table normalize
     "cms_user_event_counts",      # sketch cell aggregation
+    "margin_bitext_pairs",        # Arrow cell blocks: row order into numpy
+    "simhash_dup_pairs",          # codegen bit tallies + bucket explosion
+    "tokenizer_bpe_apply",        # winner broadcast + per-doc rewrites
 ]
 
 

@@ -95,3 +95,14 @@ def test_knn_join_arrow_equals_sql_path(spark):
     )
     assert sql_rows == arrow_rows
     assert len(sql_rows) > 0
+    # cell chunking (the hot-cell memory bound) must not move a single
+    # row: union-of-chunk-top-k == top-k for any chunk count
+    chunked = sorted(
+        map(
+            tuple,
+            sim.knn_join(
+                corpus, queries, impl="arrow", cell_chunks=3, **kw
+            ).collect(),
+        )
+    )
+    assert chunked == sql_rows
