@@ -247,16 +247,28 @@ def bpe_merge_rounds(
 
 def _bpe_rewrite(stream: DataFrame, winner: DataFrame) -> DataFrame:
     """Merge the winning pair everywhere in a wrapped-symbol stream: the
-    1-row winner broadcasts into a per-row framed string replace (exact —
-    see bpe_wrap). All non-`s` columns pass through untouched."""
+    ≤1-row winner broadcasts into a per-row framed string replace (exact
+    — see bpe_wrap). All non-`s` columns pass through untouched.
+
+    LEFT join, not crossJoin: a corpus of single-symbol tokens has no
+    adjacent pairs at all, so the winner frame is EMPTY — a cross join
+    would annihilate the stream (found by the naive-reference property
+    test); the left join keeps every row and the rewrite no-ops on the
+    NULL pair."""
     keep = [c for c in stream.columns if c not in ("s", "pair", "n")]
-    return stream.crossJoin(F.broadcast(winner)).select(
+    joined = stream.join(
+        F.broadcast(winner.select("pair")), F.lit(True), "left"
+    )
+    rewritten = F.replace(
+        F.col("s"),
+        F.concat(F.lit(" "), F.replace(F.col("pair"), F.lit(" "), F.lit("  ")), F.lit(" ")),
+        F.concat(F.lit(" "), F.replace(F.col("pair"), F.lit(" "), F.lit("")), F.lit(" ")),
+    )
+    return joined.select(
         *keep,
-        F.replace(
-            F.col("s"),
-            F.concat(F.lit(" "), F.replace(F.col("pair"), F.lit(" "), F.lit("  ")), F.lit(" ")),
-            F.concat(F.lit(" "), F.replace(F.col("pair"), F.lit(" "), F.lit("")), F.lit(" ")),
-        ).alias("s"),
+        F.when(F.col("pair").isNull(), F.col("s"))
+        .otherwise(rewritten)
+        .alias("s"),
     )
 
 

@@ -1,0 +1,92 @@
+"""Property tests: distributed BPE train+apply ≡ a naive Python reference.
+
+`tokenizer_bpe_apply`'s DuckDB oracle replays the SAME framed-replace
+formulation, so a shared bug would pass the differential. This reference
+implements BPE the textbook way (symbol lists, no string framing) and
+must agree exactly — merges, tie-breaks, per-doc symbol counts — on
+hypothesis-generated corpora including the nasty cases (repeated chars,
+single-char docs, duplicate docs, whitespace runs).
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pyspark.sql.functions as F
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from etl_process_spark.operators.text import bpe_apply, bpe_merge_rounds
+
+words = st.text(alphabet="abcz", min_size=1, max_size=5)
+docs_strategy = st.lists(
+    st.lists(words, min_size=1, max_size=4).map(" ".join),
+    min_size=1,
+    max_size=6,
+)
+
+
+def _ref_bpe(texts: list[str], rounds: int):
+    """Naive BPE: tokenize on whitespace (lowercased), each token a list
+    of symbols; per round count adjacent pairs corpus-wide, merge the
+    (count desc, pair asc) winner everywhere (left-to-right, as the
+    non-overlapping framed replace does). Returns (merges, per-doc
+    symbol counts before, after)."""
+    corpus = [
+        [list(tok) for tok in t.strip().lower().split()] if t.strip() else [[""]]
+        for t in texts
+    ]
+    before = [sum(len(s) for s in doc) for doc in corpus]
+    merges = []
+    for _ in range(rounds):
+        counts: Counter = Counter()
+        for doc in corpus:
+            for sym in doc:
+                for a, b in zip(sym, sym[1:]):
+                    counts[(a, b)] += 1
+        if not counts:
+            merges.append(None)
+            continue
+        pair = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(pair)
+        for doc in corpus:
+            for i, sym in enumerate(doc):
+                out, j = [], 0
+                while j < len(sym):
+                    if j + 1 < len(sym) and (sym[j], sym[j + 1]) == pair:
+                        out.append(sym[j] + sym[j + 1])
+                        j += 2
+                    else:
+                        out.append(sym[j])
+                        j += 1
+                doc[i] = out
+    after = [sum(len(s) for s in doc) for doc in corpus]
+    return merges, before, after
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=docs_strategy)
+def test_bpe_apply_matches_naive_reference(spark, texts):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges, before, after = _ref_bpe(list(texts), rounds=2)
+
+    got = {
+        r["doc_id"]: (r["char_syms"], r["bpe_syms"])
+        for r in bpe_apply(df, "text", "doc_id", rounds=2).collect()
+    }
+    want = {i: (b, a) for i, (b, a) in enumerate(zip(before, after))}
+    assert got == want
+
+    trained = {
+        r["merge_round"]: r["pair"]
+        for r in bpe_merge_rounds(df, "text", rounds=2).collect()
+    }
+    for rnd, pair in enumerate(merges, start=1):
+        if pair is not None:
+            assert trained[rnd] == f"{pair[0]} {pair[1]}"
