@@ -3417,6 +3417,47 @@ def tokenizer_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "tokenizer_bpe_deep_merges",
+    f"""
+    WITH tok AS (SELECT unnest({_TOKS}) AS t FROM documents),
+    d1 AS (SELECT {_BPE_WRAP} AS s FROM tok),
+    {_bpe_round_sql(1)},
+    {_bpe_round_sql(2)},
+    {_bpe_round_sql(3)},
+    {_bpe_round_sql(4)},
+    {_bpe_round_sql(5)},
+    {_bpe_round_sql(6)}
+    SELECT CAST(1 AS INT) AS merge_round, pair, n FROM w1
+    UNION ALL SELECT CAST(2 AS INT) AS merge_round, pair, n FROM w2
+    UNION ALL SELECT CAST(3 AS INT) AS merge_round, pair, n FROM w3
+    UNION ALL SELECT CAST(4 AS INT) AS merge_round, pair, n FROM w4
+    UNION ALL SELECT CAST(5 AS INT) AS merge_round, pair, n FROM w5
+    UNION ALL SELECT CAST(6 AS INT) AS merge_round, pair, n FROM w6
+    """,
+)
+def tokenizer_bpe_deep_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Six BPE merge rounds via DELTA pair-count maintenance
+    (operators/text.py::bpe_merge_rounds_delta): only the rows
+    containing each round's framed winner re-explode their adjacencies,
+    with ∓1 weights folded into the running (pair, n) table — per-round
+    shuffle is O(affected pairs), the asymmetry that makes a 50k-merge
+    tokenizer trainable at 100 TB. The oracle is the full RECOUNT
+    formulation (re-derive every round's counts from the rewritten
+    corpus), so this differential is a cross-ALGORITHM check, not a
+    replay: the two paths share no code shape, only the BPE definition.
+
+    Local-bench note: at sf0.1 the per-round fixed costs (winner job,
+    checkpoint of the rewritten stream) dominate and early-round merges
+    touch nearly every row, so wall-clock ≈ the recount version — the
+    delta's O(affected) shuffle advantage appears when merges get rare,
+    i.e. deep vocabularies over real corpus sizes (same cost profile as
+    the iterative graph family).
+    """
+    docs = tbl(spark, sf_dir, "documents")
+    return tx.bpe_merge_rounds_delta(docs, "text", rounds=6)
+
+
+@query(
     "iterative_bpe_merges",
     f"""
     WITH tok AS (SELECT unnest({_TOKS}) AS t FROM documents),

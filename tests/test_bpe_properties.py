@@ -90,3 +90,43 @@ def test_bpe_apply_matches_naive_reference(spark, texts):
     for rnd, pair in enumerate(merges, start=1):
         if pair is not None:
             assert trained[rnd] == f"{pair[0]} {pair[1]}"
+
+
+def test_delta_rounds_equal_recount_rounds(spark):
+    """Cross-algorithm agreement on real data: delta pair-count
+    maintenance must reproduce the recount trainer's merges and counts
+    exactly, round for round."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    from etl_process_spark.operators.text import bpe_merge_rounds_delta
+
+    rec = [
+        (r["merge_round"], r["pair"], r["n"])
+        for r in bpe_merge_rounds(docs, "text", rounds=6).collect()
+    ]
+    dlt = [
+        (r["merge_round"], r["pair"], r["n"])
+        for r in bpe_merge_rounds_delta(docs, "text", rounds=6).collect()
+    ]
+    assert rec == dlt and len(rec) == 6
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=docs_strategy)
+def test_delta_rounds_match_naive_reference(spark, texts):
+    from etl_process_spark.operators.text import bpe_merge_rounds_delta
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges, _, _ = _ref_bpe(list(texts), rounds=3)
+    trained = {
+        r["merge_round"]: r["pair"]
+        for r in bpe_merge_rounds_delta(df, "text", rounds=3).collect()
+    }
+    for rnd, pair in enumerate(merges, start=1):
+        if pair is not None:
+            assert trained[rnd] == f"{pair[0]} {pair[1]}"
