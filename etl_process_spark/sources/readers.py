@@ -248,3 +248,47 @@ def read_jdbc_incremental(
     )
     opts.update(extra_options)
     return spark.read.format("jdbc").options(**opts).load()
+
+
+def write_jdbc_append(
+    df: DataFrame,
+    url: str,
+    table: str,
+    dedup_keys: list[str] | None = None,
+    batchsize: int = 10_000,
+    **extra_options: str,
+) -> None:
+    """Reference report sink (report.py:63: ``INSERT INTO …rep_fraud …
+    SELECT``) as a Spark primitive: append a DataFrame through JDBC with
+    executor-side batched inserts.
+
+    With ``dedup_keys``, re-runs are idempotent: the existing key tuples
+    are read back (key columns only — a pruned dbtable subquery, never
+    the full table) and anti-joined away before the write, the same
+    left_anti discipline as the parquet report sink. ``batchsize`` rows
+    go per driver round-trip on each partition's cursor — the
+    row-at-a-time ``execute`` loop of the reference is the classic
+    single-cursor ingestion bottleneck; Spark's JDBC writer keeps one
+    batched cursor PER PARTITION, so write parallelism scales with the
+    upstream partitioning.
+    """
+    out = df
+    if dedup_keys:
+        spark = df.sparkSession
+        cols = ", ".join(dedup_keys)
+        existing = (
+            spark.read.format("jdbc")
+            .options(
+                url=url,
+                dbtable=f"(SELECT DISTINCT {cols} FROM {table}) AS existing_keys",
+                **extra_options,
+            )
+            .load()
+        )
+        out = df.join(existing, on=dedup_keys, how="left_anti")
+    (
+        out.write.format("jdbc")
+        .options(url=url, dbtable=table, batchsize=str(batchsize), **extra_options)
+        .mode("append")
+        .save()
+    )

@@ -105,3 +105,54 @@ def test_partitioned_read_parallel_ranges(spark, derby_url):
     )
     assert df.rdd.getNumPartitions() == 2
     assert {r.CARD_ID for r in df.collect()} == {1, 2, 3, 4}
+
+
+def test_write_jdbc_append_idempotent(spark, derby_url):
+    """The reference's report sink shape: append through JDBC, and a
+    re-run with the same rows inserts nothing (anti-join against the
+    sink's existing keys), while genuinely new rows still land."""
+    from etl_process_spark.sources.readers import write_jdbc_append
+
+    jvm = spark._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(derby_url)
+    st = conn.createStatement()
+    st.executeUpdate(
+        "CREATE TABLE rep_fraud (trans_id VARCHAR(20), event_type INT, "
+        "event_dt TIMESTAMP, passport VARCHAR(20))"
+    )
+    st.close()
+    conn.close()
+
+    rows = [
+        ("t1", 1, "2021-01-01 10:00:00", "P1"),
+        ("t2", 1, "2021-01-01 11:00:00", "P2"),
+        ("t3", 3, "2021-01-01 12:00:00", "P3"),
+    ]
+
+    def _df(data):
+        df = spark.createDataFrame(
+            data, "trans_id string, event_type int, event_dt string, passport string"
+        )
+        return df.withColumn("event_dt", df["event_dt"].cast("timestamp"))
+
+    def _count():
+        return (
+            spark.read.format("jdbc")
+            .options(url=derby_url, dbtable="rep_fraud", driver=DRIVER)
+            .load()
+            .count()
+        )
+
+    keys = ["trans_id", "event_type"]
+    write_jdbc_append(_df(rows), derby_url, "rep_fraud", dedup_keys=keys,
+                      driver=DRIVER)
+    assert _count() == 3
+    # exact re-run: nothing new lands
+    write_jdbc_append(_df(rows), derby_url, "rep_fraud", dedup_keys=keys,
+                      driver=DRIVER)
+    assert _count() == 3
+    # one replayed + one new row: only the new one lands
+    more = [rows[0], ("t4", 2, "2021-01-02 09:00:00", "P4")]
+    write_jdbc_append(_df(more), derby_url, "rep_fraud", dedup_keys=keys,
+                      driver=DRIVER)
+    assert _count() == 4
