@@ -105,6 +105,144 @@ def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "neardup_method_agreement",
+    f"""
+    WITH sh AS ({_SHINGLES}),
+         sig AS ({_SIGS}),
+         bands AS ({_BANDS}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+                   AND a.doc_id < b.doc_id),
+    gr AS (SELECT doc_id, unnest(s) AS gram FROM sh),
+    dfq AS (SELECT gram, count(*) AS dfc FROM gr GROUP BY 1),
+    ordered AS (
+      SELECT gr.doc_id, list(gr.gram ORDER BY dfq.dfc, gr.gram) AS t
+      FROM gr JOIN dfq USING (gram) GROUP BY gr.doc_id),
+    pref AS (
+      SELECT doc_id,
+             unnest(t[1 : len(t) - (3 * len(t) + 4) // 5 + 1]) AS gram
+      FROM ordered),
+    candx AS (
+      SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+      FROM pref a JOIN pref b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+    v AS (
+      SELECT c.da, c.db, len(list_intersect(x.t, y.t)) AS i,
+             len(x.t) + len(y.t) - len(list_intersect(x.t, y.t)) AS u
+      FROM candx c JOIN ordered x ON x.doc_id = c.da
+                   JOIN ordered y ON y.doc_id = c.db),
+    truth AS (SELECT da, db FROM v WHERE 5 * i >= 3 * u),
+    hits AS (
+      SELECT t.da, CASE WHEN c.doc_a IS NULL THEN 0 ELSE 1 END AS hit
+      FROM truth t LEFT JOIN cand c ON t.da = c.doc_a AND t.db = c.doc_b)
+    SELECT CAST(count(*) AS BIGINT) AS n_true,
+           (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_lsh_candidates,
+           CAST(sum(hit) AS BIGINT) AS n_found,
+           CAST(CASE WHEN count(*) = 0 THEN 0
+                     ELSE (1000000 * sum(hit)) // count(*) END
+                AS BIGINT) AS recall_ppm
+    FROM hits
+    """,
+)
+def neardup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-quality observability: measure MinHash-LSH banding's recall
+    against exact ground truth — the AllPairs/PPJoin complete pair set
+    at Jaccard ≥ 3/5 — on the same corpus. At 100 TB this is the audit a
+    pipeline runs on a sample before trusting probabilistic dedup: LSH
+    banding trades recall for the bucket join (tunable via the S-curve
+    tuner); this query makes the trade measurable instead of assumed.
+    One row: (n_true, n_lsh_candidates, n_found, recall_ppm), all exact
+    integers.
+    """
+    docs = tbl(spark, sf_dir, "documents")
+    truth = dd.allpairs_jaccard(docs, "text", "doc_id").select("doc_a", "doc_b")
+    lsh = dd.lsh_candidate_pairs(
+        docs, "text", "doc_id", num_hashes=4, band_size=2, k=3
+    )
+    n_cand = lsh.agg(
+        F.count(F.lit(1)).cast("long").alias("n_lsh_candidates")
+    )
+    hits = truth.join(
+        lsh.withColumn("hit", F.lit(1)), ["doc_a", "doc_b"], "left"
+    ).select(F.coalesce(F.col("hit"), F.lit(0)).alias("hit"))
+    return (
+        hits.agg(
+            F.count(F.lit(1)).cast("long").alias("n_true"),
+            F.sum("hit").cast("long").alias("n_found"),
+        )
+        .crossJoin(F.broadcast(n_cand))
+        .select(
+            "n_true", "n_lsh_candidates", "n_found",
+            F.expr(
+                "CAST(CASE WHEN n_true = 0 THEN 0"
+                " ELSE (1000000 * n_found) DIV n_true END AS BIGINT)"
+            ).alias("recall_ppm"),
+        )
+    )
+
+
+@query(
+    "spearman_chars_tokens",
+    f"""
+    WITH base AS (
+      SELECT doc_id, CAST(n_chars AS BIGINT) AS x,
+             CAST(len({_TOKS}) AS BIGINT) AS y
+      FROM documents),
+    r AS (SELECT row_number() OVER (ORDER BY x, doc_id) AS rx,
+                 row_number() OVER (ORDER BY y, doc_id) AS ry
+          FROM base),
+    s AS (SELECT count(*) AS n,
+                 CAST(sum((rx - ry) * (rx - ry)) AS BIGINT) AS sum_d2
+          FROM r)
+    SELECT CAST(n AS BIGINT) AS n_docs, sum_d2,
+           CAST(CASE WHEN n < 2 THEN 0
+                     ELSE (1000000 * (n * (n * n - 1) - 6 * sum_d2))
+                          // (n * (n * n - 1)) END
+                AS BIGINT) AS rho_ppm
+    FROM s
+    """,
+)
+def spearman_chars_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation as an exact-integer distributed
+    statistic: ranks come from ``operators/ordinals.py::global_ordinals``
+    (bucket prefix-sums — the total order WITHOUT a one-reducer window,
+    the plan that survives 100 TB), ties broken by doc_id so both
+    engines rank identically, and ρ leaves as ppm via one integer
+    division. The oracle ranks with a plain window — a cross-plan check
+    of the ordinal machinery as a by-product.
+    """
+    from etl_process_spark.operators.ordinals import global_ordinals
+
+    docs = tbl(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("x"),
+        F.size(tx.tokens(F.col("text"))).cast("bigint").alias("y"),
+    )
+    rx = global_ordinals(
+        base, [F.col("x"), F.col("doc_id")],
+        F.floor(F.col("x") / 256).cast("bigint"), "rx",
+    )
+    rxy = global_ordinals(
+        rx, [F.col("y"), F.col("doc_id")],
+        F.floor(F.col("y") / 16).cast("bigint"), "ry",
+    )
+    agg = rxy.select((F.col("rx") - F.col("ry")).alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.col("d") * F.col("d")).cast("long").alias("sum_d2"),
+    )
+    return agg.select(
+        "n_docs", "sum_d2",
+        F.expr(
+            "CAST(CASE WHEN n_docs < 2 THEN 0"
+            " ELSE (1000000 * (n_docs * (n_docs * n_docs - 1) - 6 * sum_d2))"
+            " DIV (n_docs * (n_docs * n_docs - 1)) END AS BIGINT)"
+        ).alias("rho_ppm"),
+    )
+
+
+@query(
     "ngram_jaccard_pairs",
     f"""
     WITH sh AS ({_SHINGLES}),
