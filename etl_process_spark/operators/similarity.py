@@ -211,6 +211,17 @@ def _knn_cells_arrow(
     import pandas as pd  # noqa: F401  (applyInPandas contract)
 
     from pyspark.sql import Window
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    id_type = corpus.schema[id_col].dataType
+    if not isinstance(id_type, (ByteType, ShortType, IntegerType, LongType)):
+        # the block scorer carries ids as int64; a silent cast of e.g.
+        # string ids would NULL them all out (non-ANSI) — refuse instead
+        raise ValueError(
+            f"knn_join impl='arrow' requires an integral {id_col!r} "
+            f"(got {id_type.simpleString()}); use impl='sql' for "
+            "non-numeric ids"
+        )
 
     def score_cell(_key, corpus_pdf, query_pdf):
         import numpy as np
@@ -237,6 +248,15 @@ def _knn_cells_arrow(
             va += ai * ai
             vq += qi * qi
         cos = S / (np.sqrt(va)[None, :] * np.sqrt(vq)[:, None])
+        if not np.isfinite(cos).all():
+            # 0/0 from a zero-norm vector: the SQL path renders that
+            # cosine as NULL (non-ANSI cast) while int64 would wrap to
+            # INT64_MIN garbage — refuse loudly instead of diverging.
+            raise ValueError(
+                "knn_join impl='arrow': non-finite cosine (zero-norm "
+                "embedding in the block); clean zero vectors upstream "
+                "or use impl='sql'"
+            )
         e6 = np.floor(cos * 1000000.0).astype(np.int64)
         take = min(k, len(A))
         out_q, out_id, out_s = [], [], []
@@ -327,6 +347,11 @@ def knn_join(
     """
     from pyspark.sql import Window
 
+    if impl == "arrow" and (nprobe is None or dim is None):
+        raise ValueError(
+            "impl='arrow' requires both nprobe and a static dim — the "
+            "cell-cogrouped fast path only exists for probed search"
+        )
     q = queries.select(F.col(qid_col).alias("qid"), _dbl(F.col(qvec_col)).alias("qvec"))
 
     def _flat(prefix: str, arr: str) -> list[Column]:

@@ -196,7 +196,7 @@ def neardup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
                  CAST(sum((rx - ry) * (rx - ry)) AS BIGINT) AS sum_d2
           FROM r)
     SELECT CAST(n AS BIGINT) AS n_docs, sum_d2,
-           CAST(CASE WHEN n < 2 THEN 0
+           CAST(CASE WHEN n < 2 OR n > 20000 THEN NULL
                      ELSE (1000000 * (n * (n * n - 1) - 6 * sum_d2))
                           // (n * (n * n - 1)) END
                 AS BIGINT) AS rho_ppm
@@ -211,6 +211,15 @@ def spearman_chars_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines rank identically, and ρ leaves as ppm via one integer
     division. The oracle ranks with a plain window — a cross-plan check
     of the ordinal machinery as a by-product.
+
+    Exactness bound: the ppm numerator is ~10⁶·n³, which exceeds BIGINT
+    at n ≈ 21k rows, so rho_ppm guards to NULL above n = 20,000 on BOTH
+    engines (Spark would wrap silently under ANSI-off, DuckDB would
+    raise — either is a differential break). At corpus scale, compute ρ
+    on a deterministic md5-gate sample (operators/sampling.py): rank
+    correlation is a statistic, and a 20k-row uniform sample pins it to
+    about ±1% — the ranks machinery itself (global_ordinals) has no such
+    bound.
     """
     from etl_process_spark.operators.ordinals import global_ordinals
 
@@ -235,7 +244,7 @@ def spearman_chars_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "n_docs", "sum_d2",
         F.expr(
-            "CAST(CASE WHEN n_docs < 2 THEN 0"
+            "CAST(CASE WHEN n_docs < 2 OR n_docs > 20000 THEN NULL"
             " ELSE (1000000 * (n_docs * (n_docs * n_docs - 1) - 6 * sum_d2))"
             " DIV (n_docs * (n_docs * n_docs - 1)) END AS BIGINT)"
         ).alias("rho_ppm"),
@@ -3509,7 +3518,10 @@ def _bpe_round_sql(r: int) -> str:
 def _bpe_apply_round_sql(r: int) -> str:
     """One unrolled BPE round over the doc-keyed stream d{r}: counts
     ignore doc_id (identical winner sequence to _bpe_round_sql), the
-    rewrite carries (doc_id, n0) through."""
+    rewrite carries (doc_id, n0) through. LEFT JOIN mirrors the Spark
+    side's _bpe_rewrite fix: a round with no pairs has an EMPTY w{r},
+    and a cross join would annihilate every document row — the left
+    join keeps them and no-ops the rewrite on the NULL pair."""
     return f"""
     p{r} AS (SELECT pair, count(*) AS n FROM (
                SELECT unnest([y[i] || ' ' || y[i+1] for i in range(1, len(y))]) AS pair
@@ -3517,9 +3529,11 @@ def _bpe_apply_round_sql(r: int) -> str:
              GROUP BY pair),
     w{r} AS (SELECT pair FROM p{r} ORDER BY n DESC, pair LIMIT 1),
     d{r + 1} AS (SELECT doc_id, n0,
-                        replace(s, ' ' || replace(w.pair, ' ', '  ') || ' ',
-                                   ' ' || replace(w.pair, ' ', '') || ' ') AS s
-                 FROM d{r}, w{r} w)"""
+                        CASE WHEN w.pair IS NULL THEN s
+                             ELSE replace(s, ' ' || replace(w.pair, ' ', '  ') || ' ',
+                                             ' ' || replace(w.pair, ' ', '') || ' ')
+                        END AS s
+                 FROM d{r} LEFT JOIN w{r} w ON TRUE)"""
 
 
 @query(

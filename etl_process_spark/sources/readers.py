@@ -263,7 +263,8 @@ def write_jdbc_append(
     executor-side batched inserts.
 
     With ``dedup_keys``, re-runs are idempotent: the existing key tuples
-    are read back (key columns only — a pruned dbtable subquery, never
+    are read back (key columns only — the projection pushes into the
+    source query with dialect-correct identifier quoting, never
     the full table) and anti-joined away before the write, the same
     left_anti discipline as the parquet report sink. ``batchsize`` rows
     go per driver round-trip on each partition's cursor — the
@@ -275,17 +276,30 @@ def write_jdbc_append(
     out = df
     if dedup_keys:
         spark = df.sparkSession
-        cols = ", ".join(dedup_keys)
-        existing = (
-            spark.read.format("jdbc")
-            .options(
-                url=url,
-                dbtable=f"(SELECT DISTINCT {cols} FROM {table}) AS existing_keys",
-                **extra_options,
+        try:
+            existing = (
+                spark.read.format("jdbc")
+                .options(url=url, dbtable=table, **extra_options)
+                .load()  # resolves the schema eagerly: fails HERE if absent
             )
-            .load()
-        )
-        out = df.join(existing, on=dedup_keys, how="left_anti")
+        except Exception:
+            # First run against a fresh sink: the table does not exist
+            # yet, so there are no keys to dedup against — fall through
+            # to the plain append (Spark's JDBC writer creates the
+            # table). Any other connection problem resurfaces on the
+            # write below, which uses the same url/options.
+            existing = None
+        if existing is not None:
+            # select + distinct AFTER load: the JDBC reader prunes the
+            # projection into the source query with dialect-correct
+            # identifier quoting (a hand-built subquery broke on
+            # engines with case-folding identifier rules, e.g. Derby),
+            # so only the key columns cross the wire.
+            out = df.join(
+                existing.select(*dedup_keys).distinct(),
+                on=dedup_keys,
+                how="left_anti",
+            )
     (
         out.write.format("jdbc")
         .options(url=url, dbtable=table, batchsize=str(batchsize), **extra_options)

@@ -156,3 +156,26 @@ def test_write_jdbc_append_idempotent(spark, derby_url):
     write_jdbc_append(_df(more), derby_url, "rep_fraud", dedup_keys=keys,
                       driver=DRIVER)
     assert _count() == 4
+
+
+def test_write_jdbc_append_creates_sink_on_first_run(spark, derby_url):
+    """First run against a fresh database: the existing-keys dedup read
+    has no table to probe — the sink must still get created and loaded
+    (the reader falls back to a plain append)."""
+    from etl_process_spark.sources.readers import write_jdbc_append
+
+    df = spark.createDataFrame(
+        [("x1", 1), ("x2", 2)], "trans_id string, event_type int"
+    )
+    write_jdbc_append(df, derby_url, "rep_fresh", dedup_keys=["trans_id"],
+                      driver=DRIVER)
+    got = (
+        spark.read.format("jdbc")
+        .options(url=derby_url, dbtable="rep_fresh", driver=DRIVER)
+        .load()
+    )
+    assert got.count() == 2
+    # and the second run now dedups against the created table
+    write_jdbc_append(df, derby_url, "rep_fresh", dedup_keys=["trans_id"],
+                      driver=DRIVER)
+    assert got.count() == 2
