@@ -39,6 +39,8 @@ SAMPLE = [
     "margin_bitext_pairs",        # Arrow cell blocks: row order into numpy
     "simhash_dup_pairs",          # codegen bit tallies + bucket explosion
     "tokenizer_bpe_apply",        # winner broadcast + per-doc rewrites
+    "spearman_chars_tokens",      # bucket-prefix-sum global ordinals
+    "neardup_method_agreement",   # LSH bucket join vs prefix-filter truth
 ]
 
 
