@@ -173,3 +173,75 @@ def test_phash_pixel_doubling_exact():
     g = rng.uniform(0, 255, size=(32, 32))
     doubled = np.kron(g, np.ones((2, 2)))
     assert phash_from_pixels(g) == phash_from_pixels(doubled)
+
+
+# ---- real audio-fingerprint math (round 4): sample-level properties ----
+
+def _tone(freq, n=8192, sr=16000, amp=1.0):
+    import numpy as np
+
+    t = np.arange(n) / sr
+    return amp * np.sin(2 * np.pi * freq * t)
+
+
+def test_audio_fingerprint_deterministic_and_shaped():
+    from etl_process_spark.multimodal.codecs import audio_fingerprint_from_samples
+
+    s = _tone(440.0)
+    f1 = audio_fingerprint_from_samples(s)
+    f2 = audio_fingerprint_from_samples(s.copy())
+    assert f1 == f2 and len(f1) > 4
+    assert all(0 <= w < 2 ** 32 for w in f1)
+
+
+def test_audio_fingerprint_amplitude_invariance():
+    """Every band energy scales by a² under a·x, so no difference sign
+    flips — gain changes are free, exactly like pHash's luma pin."""
+    from etl_process_spark.multimodal.codecs import audio_fingerprint_from_samples
+
+    s = _tone(440.0)
+    assert audio_fingerprint_from_samples(s) == audio_fingerprint_from_samples(3.7 * s)
+
+
+def test_audio_fingerprint_distinct_tones_differ():
+    import numpy as np
+
+    from etl_process_spark.multimodal.codecs import audio_fingerprint_from_samples
+
+    a = audio_fingerprint_from_samples(_tone(440.0))
+    b = audio_fingerprint_from_samples(_tone(1760.0))
+    ham = sum(bin(x ^ y).count("1") for x, y in zip(a, b))
+    assert ham > 8 * len(a) / 4  # many bits differ across the stream
+
+
+def _broadband(n=8192, sr=16000):
+    """Amplitude-modulated multi-tone: energy in MANY bands with strong
+    temporal structure — the kind of signal the difference-of-differences
+    scheme is designed for (a pure tone leaves most bands near zero
+    energy, where signs are meaninglessly noise-fragile)."""
+    import numpy as np
+
+    t = np.arange(n) / sr
+    s = np.zeros(n)
+    f = 110.0
+    k = 1
+    while f < sr / 2.2:
+        am = 1.0 + 0.8 * np.sin(2 * np.pi * (1.5 + 0.7 * k) * t + 0.3 * k)
+        s += am * np.sin(2 * np.pi * f * t + 0.11 * k) / np.sqrt(k)
+        f *= 1.3
+        k += 1
+    return s
+
+
+def test_audio_fingerprint_noise_robustness():
+    import numpy as np
+
+    from etl_process_spark.multimodal.codecs import audio_fingerprint_from_samples
+
+    rng = np.random.default_rng(9)
+    s = _broadband()
+    noisy = s + rng.normal(0, 0.003, size=s.shape)
+    a = audio_fingerprint_from_samples(s)
+    b = audio_fingerprint_from_samples(noisy)
+    ham = sum(bin(x ^ y).count("1") for x, y in zip(a, b))
+    assert ham < 0.1 * 32 * len(a), (ham, 32 * len(a))
