@@ -2024,8 +2024,8 @@ def nation_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
                      coalesce(CAST(CAST(o_orderdate AS DATE) AS VARCHAR), '\\N'),
                      coalesce(o_orderpriority, '\\N'))), 1, 15)) AS BIGINT))
              AS xor_sig,
-           CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2))
-             AS total_price
+           CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT)
+             AS total_price_cents
     FROM orders
     """,
 )
@@ -2050,14 +2050,24 @@ def orders_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     od = tbl(spark, sf_dir, "orders").withColumn(
         "o_orderday", F.col("o_orderdate").cast("date")
     )
-    return table_checksum(
-        od,
-        cols=[
-            "o_orderkey", "o_custkey", "o_orderstatus",
-            "o_totalprice", "o_orderday", "o_orderpriority",
-        ],
-        decimal_cols=["o_totalprice"],
-    ).withColumnRenamed("sum_o_totalprice", "total_price")
+    return (
+        table_checksum(
+            od,
+            cols=[
+                "o_orderkey", "o_custkey", "o_orderstatus",
+                "o_totalprice", "o_orderday", "o_orderpriority",
+            ],
+            decimal_cols=["o_totalprice"],
+        )
+        # exact integer cents at the boundary: a DECIMAL(18,2) renders
+        # '…,60' as Decimal but '…,6' through a float64 pandas path —
+        # trailing-zero hash hazard; BIGINT cents cannot diverge
+        .withColumn(
+            "total_price_cents",
+            (F.col("sum_o_totalprice") * 100).cast("long"),
+        )
+        .drop("sum_o_totalprice")
+    )
 
 
 @query(
@@ -2068,8 +2078,10 @@ def orders_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
              ntile(8) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
       FROM orders)
     SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n_rows,
-           CAST(min(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(12,2)) AS lo,
-           CAST(max(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(12,2)) AS hi
+           CAST(min(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT)
+             AS lo_cents,
+           CAST(max(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT)
+             AS hi_cents
     FROM t GROUP BY bucket
     """,
 )
@@ -2098,8 +2110,8 @@ def price_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("bucket").cast("bigint").alias("bucket"))
         .agg(
             F.count("*").alias("n_rows"),
-            F.min("p").alias("lo"),
-            F.max("p").alias("hi"),
+            (F.min("p") * 100).cast("long").alias("lo_cents"),
+            (F.max("p") * 100).cast("long").alias("hi_cents"),
         )
     )
 
@@ -2117,8 +2129,8 @@ def price_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                      coalesce(CAST(CAST(o_orderdate AS DATE) AS VARCHAR), '\\N'),
                      coalesce(o_orderpriority, '\\N'))), 1, 15)) AS BIGINT))
              AS xor_sig,
-           CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2))
-             AS total_price
+           CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT)
+             AS total_price_cents
     FROM orders
     """,
 )
@@ -2149,8 +2161,13 @@ def orders_checksum_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
             cols=cols, decimal_cols=["o_totalprice"],
         )
         parts = ck if parts is None else parts.unionByName(ck)
-    return combine_checksums(parts).withColumnRenamed(
-        "sum_o_totalprice", "total_price"
+    return (
+        combine_checksums(parts)
+        .withColumn(
+            "total_price_cents",
+            (F.col("sum_o_totalprice") * 100).cast("long"),
+        )
+        .drop("sum_o_totalprice")
     )
 
 

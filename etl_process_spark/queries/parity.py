@@ -484,32 +484,10 @@ def fraud_rules_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r1.unionByName(r2).unionByName(r3)
 
 
-@query(
-    "scd2_versions_from_events",
-    f"""
-    WITH changes AS (
-      SELECT user_id, event_type AS state, ts, event_id
-      FROM (
-        SELECT user_id, event_type, ts, event_id,
-               lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
-        FROM events
-      )
-      WHERE prev IS NULL OR event_type <> prev
-    )
-    SELECT user_id, state, ts AS effective_from,
-           coalesce(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                      - INTERVAL 1 SECOND,
-                    TIMESTAMP '{INF_TS}') AS effective_to
-    FROM changes
-    """,
-)
-def scd2_versions_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SCD2 version timeline as a query (P4/P5/F8 semantics, cards.py:106-141).
-
-    Collapse consecutive identical states per user, then close each version
-    one second before its successor opens — the reference's `-1 second`
-    close (terminals.py:134) — leaving one open version per user.
-    """
+def _scd2_version_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCD2 timeline with TIMESTAMP boundaries (internal: as-of
+    filters need comparable timestamps; query boundaries format to
+    strings — see scd2_versions_from_events)."""
     ev = tbl(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     changes = (
@@ -526,6 +504,50 @@ def scd2_versions_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lead("ts").over(w) - F.expr("INTERVAL 1 SECOND"),
             F.lit(INF_TS).cast("timestamp"),
         ).alias("effective_to"),
+    )
+
+
+@query(
+    "scd2_versions_from_events",
+    f"""
+    WITH changes AS (
+      SELECT user_id, event_type AS state, ts, event_id
+      FROM (
+        SELECT user_id, event_type, ts, event_id,
+               lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        FROM events
+      )
+      WHERE prev IS NULL OR event_type <> prev
+    )
+    SELECT user_id, state,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS effective_from,
+           strftime(coalesce(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                               - INTERVAL 1 SECOND,
+                             TIMESTAMP '{INF_TS}'),
+                    '%Y-%m-%d %H:%M:%S') AS effective_to
+    FROM changes
+    """,
+)
+def scd2_versions_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 version timeline as a query (P4/P5/F8 semantics, cards.py:106-141).
+
+    Collapse consecutive identical states per user, then close each version
+    one second before its successor opens — the reference's `-1 second`
+    close (terminals.py:134) — leaving one open version per user.
+
+    Boundary columns leave as formatted STRINGS: the open version's
+    9999-12-31 sentinel (reference parity) overflows pandas
+    timestamp[ns] on a Spark→Arrow→pandas materialization (verified:
+    ArrowInvalid at 253402214400000000µs), so a driver hashing through
+    pandas would crash on the TIMESTAMP form. Both engines format
+    identically; the timeline with comparable timestamps stays available
+    internally (_scd2_version_timeline).
+    """
+    ts_fmt = "yyyy-MM-dd HH:mm:ss"
+    return _scd2_version_timeline(spark, sf_dir).select(
+        "user_id", "state",
+        F.date_format("effective_from", ts_fmt).alias("effective_from"),
+        F.date_format("effective_to", ts_fmt).alias("effective_to"),
     )
 
 
@@ -954,7 +976,9 @@ def props_map_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
                         - INTERVAL 1 SECOND,
                       TIMESTAMP '{INF_TS}') AS effective_to
       FROM changes)
-    SELECT user_id, state, effective_from, effective_to
+    SELECT user_id, state,
+           strftime(effective_from, '%Y-%m-%d %H:%M:%S') AS effective_from,
+           strftime(effective_to, '%Y-%m-%d %H:%M:%S') AS effective_to
     FROM versions
     WHERE effective_from <= TIMESTAMP '2024-01-15 00:00:00'
       AND TIMESTAMP '2024-01-15 00:00:00' <= effective_to
@@ -976,9 +1000,14 @@ def scd2_asof_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from etl_process_spark.operators.scd2 import scd2_asof
 
-    versions = scd2_versions_from_events(spark, sf_dir).withColumn(
+    versions = _scd2_version_timeline(spark, sf_dir).withColumn(
         "deleted_flg", F.lit("N")
     )
+    ts_fmt = "yyyy-MM-dd HH:mm:ss"
     return scd2_asof(versions, "2024-01-15 00:00:00").select(
-        "user_id", "state", "effective_from", "effective_to"
+        "user_id", "state",
+        # string boundary: the open-version 9999 sentinel breaks a
+        # pandas[ns] materialization (see scd2_versions_from_events)
+        F.date_format("effective_from", ts_fmt).alias("effective_from"),
+        F.date_format("effective_to", ts_fmt).alias("effective_to"),
     )

@@ -198,11 +198,9 @@ ORACLE_FLOAT64_ALLOWLIST = {
     "daily_quality_drift": ["value_drift_ppm", "volume_drift_ppm"],
     "nation_balance_nullsafe": ["supp_total_cents"],
     "resampled_user_values": ["value_interp_e6"],
-    # class: decimal<53 — DECIMAL(18,2)/(12,2) exact sums; cents magnitude
-    # < 2^53 at every test SF so float64 shortest-repr == Decimal str
-    "orders_checksum_batched": ["total_price"],
-    "orders_table_checksum": ["total_price"],
-    "price_equidepth_histogram": ["hi", "lo"],
+    # (the former decimal<53 class — checksum total_price, equi-depth
+    # lo/hi — was converted to exact BIGINT cents in round 4: a float64
+    # pandas path drops DECIMAL trailing zeros, '…,60' vs '…,6')
 }
 
 
