@@ -520,11 +520,10 @@ def _scd2_version_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE prev IS NULL OR event_type <> prev
     )
     SELECT user_id, state,
-           strftime(ts, '%Y-%m-%d %H:%M:%S') AS effective_from,
-           strftime(coalesce(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                               - INTERVAL 1 SECOND,
-                             TIMESTAMP '{INF_TS}'),
-                    '%Y-%m-%d %H:%M:%S') AS effective_to
+           CAST(ts AS STRING) AS effective_from,
+           CAST(coalesce(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                           - INTERVAL 1 SECOND,
+                         TIMESTAMP '{INF_TS}') AS STRING) AS effective_to
     FROM changes
     """,
 )
@@ -535,19 +534,19 @@ def scd2_versions_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     one second before its successor opens — the reference's `-1 second`
     close (terminals.py:134) — leaving one open version per user.
 
-    Boundary columns leave as formatted STRINGS: the open version's
-    9999-12-31 sentinel (reference parity) overflows pandas
-    timestamp[ns] on a Spark→Arrow→pandas materialization (verified:
-    ArrowInvalid at 253402214400000000µs), so a driver hashing through
-    pandas would crash on the TIMESTAMP form. Both engines format
-    identically; the timeline with comparable timestamps stays available
-    internally (_scd2_version_timeline).
+    Boundary columns leave as STRINGS (CAST — verified to render
+    byte-identically in both engines, including microsecond
+    trailing-zero trimming): the open version's 9999-12-31 sentinel
+    (reference parity) overflows pandas timestamp[ns] on a
+    Spark→Arrow→pandas materialization (verified: ArrowInvalid at
+    253402214400000000µs), so a driver hashing through pandas would
+    crash on the TIMESTAMP form. The timeline with comparable
+    timestamps stays available internally (_scd2_version_timeline).
     """
-    ts_fmt = "yyyy-MM-dd HH:mm:ss"
     return _scd2_version_timeline(spark, sf_dir).select(
         "user_id", "state",
-        F.date_format("effective_from", ts_fmt).alias("effective_from"),
-        F.date_format("effective_to", ts_fmt).alias("effective_to"),
+        F.col("effective_from").cast("string").alias("effective_from"),
+        F.col("effective_to").cast("string").alias("effective_to"),
     )
 
 
@@ -977,8 +976,8 @@ def props_map_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
                       TIMESTAMP '{INF_TS}') AS effective_to
       FROM changes)
     SELECT user_id, state,
-           strftime(effective_from, '%Y-%m-%d %H:%M:%S') AS effective_from,
-           strftime(effective_to, '%Y-%m-%d %H:%M:%S') AS effective_to
+           CAST(effective_from AS STRING) AS effective_from,
+           CAST(effective_to AS STRING) AS effective_to
     FROM versions
     WHERE effective_from <= TIMESTAMP '2024-01-15 00:00:00'
       AND TIMESTAMP '2024-01-15 00:00:00' <= effective_to
@@ -1003,11 +1002,10 @@ def scd2_asof_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     versions = _scd2_version_timeline(spark, sf_dir).withColumn(
         "deleted_flg", F.lit("N")
     )
-    ts_fmt = "yyyy-MM-dd HH:mm:ss"
     return scd2_asof(versions, "2024-01-15 00:00:00").select(
         "user_id", "state",
         # string boundary: the open-version 9999 sentinel breaks a
         # pandas[ns] materialization (see scd2_versions_from_events)
-        F.date_format("effective_from", ts_fmt).alias("effective_from"),
-        F.date_format("effective_to", ts_fmt).alias("effective_to"),
+        F.col("effective_from").cast("string").alias("effective_from"),
+        F.col("effective_to").cast("string").alias("effective_to"),
     )
