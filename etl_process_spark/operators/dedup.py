@@ -859,7 +859,13 @@ def simhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """
     tok = df.select(
         F.col(id_col).alias("doc"),
-        F.explode(F.transform(tokens(F.col(text_col)), F.md5)).alias("h"),
+        # explode_OUTER: a NULL/empty text must keep its doc row (one
+        # NULL token → all tallies NULL → every majority test false →
+        # zero signature), matching the per-row oracle formulation where
+        # NULL votes fall to ELSE 0. Plain explode would silently DROP
+        # such docs from the signature table — a latent cross-engine
+        # divergence on corpora with NULL text.
+        F.explode_outer(F.transform(tokens(F.col(text_col)), F.md5)).alias("h"),
     ).select(
         "doc",
         *[

@@ -222,6 +222,16 @@ def _knn_cells_arrow(
             f"(got {id_type.simpleString()}); use impl='sql' for "
             "non-numeric ids"
         )
+    qid_type = probes.schema["qid"].dataType
+    if not isinstance(qid_type, (ByteType, ShortType, IntegerType, LongType)):
+        # same contract on the probe side: the 'qid long' applyInPandas
+        # schema would otherwise fail with an opaque Arrow error (or
+        # silently NULL the ids) for string/decimal query ids
+        raise ValueError(
+            "knn_join impl='arrow' requires an integral query id "
+            f"(got {qid_type.simpleString()}); use impl='sql' for "
+            "non-numeric ids"
+        )
 
     def score_cell(_key, corpus_pdf, query_pdf):
         import numpy as np

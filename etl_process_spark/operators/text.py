@@ -273,7 +273,7 @@ def _bpe_rewrite(stream: DataFrame, winner: DataFrame) -> DataFrame:
 
 
 def bpe_merge_rounds_delta(
-    df: DataFrame, text_col: str, rounds: int = 6, checkpoint_every: int = 1,
+    df: DataFrame, text_col: str, rounds: int = 6,
 ) -> DataFrame:
     """Deep BPE training with DELTA pair-count maintenance — the
     production trainer shape for many merge rounds. Same output contract
@@ -291,8 +291,11 @@ def bpe_merge_rounds_delta(
     O(corpus pairs); exactly the asymmetry that makes a 50k-merge
     tokenizer trainable over 100 TB. The corpus rewrite itself stays a
     full map (replace is a no-op on untouched rows). localCheckpoint
-    every ``checkpoint_every`` rounds keeps the two iterated lineages
-    (stream + counts) flat, as the graph operators do.
+    EVERY round keeps the two iterated lineages (stream + counts) flat
+    — mandatory here, not a knob: an un-checkpointed round references
+    the prior counts lineage twice (directly in the unionAll and again
+    through winner→aff→delta), so sparse checkpointing would grow the
+    plan exponentially in the round count.
     """
     wrapped = df.select(
         F.explode(tokens(F.col(text_col))).alias("tok")
@@ -357,9 +360,8 @@ def bpe_merge_rounds_delta(
             .filter(F.col("n") > 0)
         )
         wrapped = _bpe_rewrite(wrapped, winner)
-        if r % checkpoint_every == 0:
-            wrapped = wrapped.localCheckpoint(eager=False)
-            counts = counts.localCheckpoint(eager=False)
+        wrapped = wrapped.localCheckpoint(eager=False)
+        counts = counts.localCheckpoint(eager=False)
     assert out is not None
     return out
 

@@ -250,6 +250,31 @@ def read_jdbc_incremental(
     return spark.read.format("jdbc").options(**opts).load()
 
 
+_MISSING_TABLE_MARKERS = (
+    "42x05",                    # Derby: table/view does not exist (SQLState)
+    "42p01",                    # Postgres: undefined_table
+    "42s02",                    # MySQL/ODBC: base table or view not found
+    "does not exist",           # Derby/Postgres message text
+    "doesn't exist",            # MySQL message text
+    "table or view not found",  # Spark's own analysis phrasing
+    "no such table",            # SQLite
+)
+
+
+def _is_missing_table_error(exc: BaseException) -> bool:
+    """True iff the exception chain looks like a missing-relation error
+    (vs. a transient connection/auth failure that must be re-raised).
+    Walks the Py4J/Spark exception text, which embeds the JDBC driver's
+    SQLState and message."""
+    seen: list[str] = []
+    e: BaseException | None = exc
+    while e is not None and len(seen) < 8:
+        seen.append(str(e).lower())
+        e = e.__cause__ or e.__context__
+    text = " ".join(seen)
+    return any(marker in text for marker in _MISSING_TABLE_MARKERS)
+
+
 def write_jdbc_append(
     df: DataFrame,
     url: str,
@@ -282,12 +307,16 @@ def write_jdbc_append(
                 .options(url=url, dbtable=table, **extra_options)
                 .load()  # resolves the schema eagerly: fails HERE if absent
             )
-        except Exception:
-            # First run against a fresh sink: the table does not exist
-            # yet, so there are no keys to dedup against — fall through
-            # to the plain append (Spark's JDBC writer creates the
-            # table). Any other connection problem resurfaces on the
-            # write below, which uses the same url/options.
+        except Exception as exc:
+            # Only a MISSING TABLE may fall through to the plain append
+            # (first run against a fresh sink: Spark's JDBC writer
+            # creates it). Any other failure — auth, network, timeout —
+            # must NOT be swallowed: silently skipping the anti-join
+            # and then appending would duplicate rows, defeating the
+            # idempotence contract. Match the missing-relation SQLStates
+            # / messages across common dialects instead of guessing.
+            if not _is_missing_table_error(exc):
+                raise
             existing = None
         if existing is not None:
             # select + distinct AFTER load: the JDBC reader prunes the
@@ -295,11 +324,17 @@ def write_jdbc_append(
             # identifier quoting (a hand-built subquery broke on
             # engines with case-folding identifier rules, e.g. Derby),
             # so only the key columns cross the wire.
-            out = df.join(
-                existing.select(*dedup_keys).distinct(),
-                on=dedup_keys,
-                how="left_anti",
-            )
+            #
+            # Null-safe key equality (<=>): a plain equality anti-join
+            # never matches NULL keys, so NULL-keyed rows would
+            # re-insert on every run — exactly the silent-duplication
+            # bug the dedup exists to prevent.
+            keyed = existing.select(*dedup_keys).distinct()
+            cond = None
+            for kcol in dedup_keys:
+                c = df[kcol].eqNullSafe(keyed[kcol])
+                cond = c if cond is None else cond & c
+            out = df.join(keyed, on=cond, how="left_anti")
     (
         out.write.format("jdbc")
         .options(url=url, dbtable=table, batchsize=str(batchsize), **extra_options)

@@ -179,3 +179,90 @@ def test_write_jdbc_append_creates_sink_on_first_run(spark, derby_url):
     write_jdbc_append(df, derby_url, "rep_fresh", dedup_keys=["trans_id"],
                       driver=DRIVER)
     assert got.count() == 2
+
+
+def test_missing_table_error_classifier():
+    """Only missing-relation failures may skip the dedup read; anything
+    transient (auth, network, a dead database) must re-raise so a
+    successful append can never silently duplicate rows (round-4 advice)."""
+    from etl_process_spark.sources.readers import _is_missing_table_error
+
+    missing = [
+        Exception("java.sql.SQLSyntaxErrorException: Table/View "
+                  "'REP_FRAUD' does not exist."),
+        Exception("ERROR: relation \"rep_fraud\" does not exist "
+                  "(SQLSTATE 42P01)"),
+        Exception("Table 'db.rep_fraud' doesn't exist (SQLState: 42S02)"),
+        Exception("[TABLE_OR_VIEW_NOT_FOUND] The table or view not found"),
+        Exception("no such table: rep_fraud"),
+    ]
+    transient = [
+        Exception("java.sql.SQLException: Database '/tmp/x/db' not found."),
+        Exception("Connection refused: connect"),
+        Exception("FATAL: password authentication failed for user \"etl\""),
+        Exception("java.net.SocketTimeoutException: Read timed out"),
+    ]
+    assert all(_is_missing_table_error(e) for e in missing)
+    assert not any(_is_missing_table_error(e) for e in transient)
+    # chained causes are walked
+    outer = Exception("py4j.protocol.Py4JJavaError: o42.load failed")
+    outer.__cause__ = missing[0]
+    assert _is_missing_table_error(outer)
+    outer2 = Exception("py4j.protocol.Py4JJavaError: o42.load failed")
+    outer2.__cause__ = transient[1]
+    assert not _is_missing_table_error(outer2)
+
+
+def test_write_jdbc_append_reraises_transient_probe_failure(spark, derby_url):
+    """A dedup-keyed append against a DEAD database must raise from the
+    existence probe, not fall through to a dedup-less append."""
+    import pytest as _pytest
+
+    from etl_process_spark.sources.readers import write_jdbc_append
+
+    df = spark.createDataFrame([("t9", 1)], "trans_id string, event_type int")
+    dead_url = "jdbc:derby:/nonexistent/db/path"  # no ;create=true
+    with _pytest.raises(Exception) as exc_info:
+        write_jdbc_append(df, dead_url, "rep_fraud",
+                          dedup_keys=["trans_id"], driver=DRIVER)
+    assert "not found" in str(exc_info.value).lower()
+
+
+def test_write_jdbc_append_null_keys_dedup(spark, derby_url):
+    """NULL dedup-key values must still dedup on re-run (null-safe
+    equality in the anti-join) — plain equality never matches NULLs, so
+    NULL-keyed rows would re-insert every run (round-4 advice)."""
+    from etl_process_spark.sources.readers import write_jdbc_append
+
+    jvm = spark._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(derby_url)
+    st = conn.createStatement()
+    st.executeUpdate(
+        "CREATE TABLE rep_nullkey (trans_id VARCHAR(20), event_type INT)"
+    )
+    st.close()
+    conn.close()
+
+    # NULL key on the INT column (a NULL StringType would hit Derby's
+    # dialect quirk of setNull(CLOB) into VARCHAR — orthogonal to the
+    # null-safe join under test)
+    df = spark.createDataFrame(
+        [("t1", 1), ("t2", None), ("t3", None)],
+        "trans_id string, event_type int",
+    )
+
+    def _count():
+        return (
+            spark.read.format("jdbc")
+            .options(url=derby_url, dbtable="rep_nullkey", driver=DRIVER)
+            .load()
+            .count()
+        )
+
+    keys = ["trans_id", "event_type"]
+    write_jdbc_append(df, derby_url, "rep_nullkey", dedup_keys=keys,
+                      driver=DRIVER)
+    assert _count() == 3
+    write_jdbc_append(df, derby_url, "rep_nullkey", dedup_keys=keys,
+                      driver=DRIVER)
+    assert _count() == 3  # NULL-keyed rows did NOT re-insert

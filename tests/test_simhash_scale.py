@@ -106,3 +106,37 @@ def test_knn_join_arrow_equals_sql_path(spark):
         )
     )
     assert chunked == sql_rows
+
+
+def test_simhash_keeps_null_text_docs_with_zero_signature(spark):
+    """A NULL-text document must keep its signature row (zero signature,
+    bucketed like any other doc) — the per-row oracle formulation keeps
+    it (NULL votes fall to ELSE 0), so the explode path must too. Plain
+    explode silently dropped such docs (round-4 advice)."""
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, None)], "doc_id long, text string"
+    )
+    rows = {
+        r["doc"]: list(r["shs"])
+        for r in dd.simhash_signatures(df, "text", "doc_id").collect()
+    }
+    assert set(rows) == {1, 2}
+    assert rows[2] == [0, 0, 0, 0]
+    assert rows[1] != [0, 0, 0, 0]
+    # and the banded view buckets the NULL doc in all four bands
+    bands = dd.simhash_bands(df, "text", "doc_id").filter(F.col("doc") == 2)
+    assert bands.count() == 4
+
+
+def test_knn_join_arrow_refuses_non_integral_qid(spark):
+    """The probe side gets the same integral-id guard as the corpus side:
+    a string qid must fail with a clear ValueError, not an opaque Arrow
+    error or silently NULLed ids (round-4 advice)."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    corpus = emb.filter(F.col("label") % 2 == 1)
+    queries = emb.filter(F.col("label") % 2 == 0).select(
+        F.col("vec_id").cast("string").alias("qid"),
+        F.col("embedding").alias("qvec"),
+    )
+    with pytest.raises(ValueError, match="integral query id"):
+        sim.knn_join(corpus, queries, impl="arrow", k=4, nprobe=3, dim=64)
