@@ -14,8 +14,28 @@ Schema contract: one row per media asset —
                    decodes an image).
 
 The test/bench corpus is synthesized deterministically from the driver's
-``documents`` table: content = utf-8 bytes of the text, metadata derived
-from its md5 — reproducible in any engine, no media libraries needed.
+``documents`` table. Round 5 adds REAL containers with zero new
+dependencies:
+
+* ``synthesize_image_assets`` — actual PNGs (stdlib zlib codec), pixels
+  from an exact integer rule on md5 hex, so the DuckDB oracle recomputes
+  pixel-derived features (luma, pooled means, even the DCT sign bits)
+  from SQL while Spark derives them by DECODING THE BYTES.
+* ``synthesize_audio_assets`` — actual mono 16-bit PCM WAVs whose sample
+  values are the document's byte stream centered at 128 (lossless, so
+  the audio-feature oracle is unchanged from the byte-level era).
+* ``synthesize_video_assets`` — a packed container of length-prefixed
+  PNG frames: frame sampling seeks by prefix, sampled frames decode for
+  real.
+
+``synthesize_assets`` (utf-8 text bytes + md5-derived meta) remains the
+format-agnostic corpus for plumbing-level queries.
+
+The shared pixel rule (one md5 per image row, then exact integer
+mixing) keeps Python-side synthesis vectorized and SQL-side recompute
+cheap: pair groups (gid = doc_id − doc_id % 2) give every even doc an
+IDENTICAL twin — ground-truth duplicate pairs for the perceptual-hash
+near-dup join.
 """
 
 from __future__ import annotations
@@ -79,5 +99,224 @@ def synthesize_assets(
                 "channels"
             ),
             F.length(content).cast("long").alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Real-container corpora (round 5): PNG images, PCM WAVs, packed-PNG video.
+# Every constant below is part of the oracle contract — the DuckDB side
+# recomputes features from the SAME rule, so change both or neither.
+# ---------------------------------------------------------------------------
+
+IMG_DIM_MIN, IMG_DIM_SPAN = 32, 65          # h, w ∈ [32, 96]
+VID_FRAME_DIM = 24                          # video frames are 24×24 gray
+
+
+def image_group(doc_id: int) -> int:
+    """Every even doc and its successor share one image (dup ground truth)."""
+    return doc_id - (doc_id % 2)
+
+
+def image_pixels(gid: int):
+    """The exact-integer pixel rule for image group ``gid``.
+
+    dims:   hx = md5(str(gid)); h = 32 + hx[0:2] % 65, w = 32 + hx[2:4] % 65
+    pixels: rs[r] = md5(f"{gid}:{r}")[0:4] (one md5 PER ROW, so synthesis
+            stays vectorized); g[r][c] = (rs[r]·(c+7) + 3r) mod 256
+
+    All integers — DuckDB reproduces every pixel with string md5 + '0x'
+    casts, which is what lets the decode/pHash/resize oracles verify the
+    REAL codec path end-to-end.
+    """
+    import hashlib
+
+    import numpy as np
+
+    hx = hashlib.md5(str(gid).encode()).hexdigest()
+    h = IMG_DIM_MIN + int(hx[0:2], 16) % IMG_DIM_SPAN
+    w = IMG_DIM_MIN + int(hx[2:4], 16) % IMG_DIM_SPAN
+    rs = np.array(
+        [
+            int(hashlib.md5(f"{gid}:{r}".encode()).hexdigest()[:4], 16)
+            for r in range(h)
+        ],
+        dtype=np.int64,
+    )
+    c = np.arange(w, dtype=np.int64)
+    g = (rs[:, None] * (c[None, :] + 7) + 3 * np.arange(h, dtype=np.int64)[:, None]) % 256
+    return g.astype("uint8")
+
+
+def frame_pixels(doc_id: int, f: int):
+    """Video-frame pixel rule: fs[r] = md5(f"{doc_id}:{f}:{r}")[0:4];
+    g[r][c] = (fs[r]·(c+5) + 7r) mod 256 over a 24×24 frame."""
+    import hashlib
+
+    import numpy as np
+
+    d = VID_FRAME_DIM
+    fs = np.array(
+        [
+            int(hashlib.md5(f"{doc_id}:{f}:{r}".encode()).hexdigest()[:4], 16)
+            for r in range(d)
+        ],
+        dtype=np.int64,
+    )
+    c = np.arange(d, dtype=np.int64)
+    g = (fs[:, None] * (c[None, :] + 5) + 7 * np.arange(d, dtype=np.int64)[:, None]) % 256
+    return g.astype("uint8")
+
+
+def _docs_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_process_spark.operators.dedup import ensure_parallelism
+
+    return ensure_parallelism(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )
+
+
+def synthesize_image_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One REAL PNG per document (pair-grouped pixels, see image_pixels).
+
+    The encoder cycles scanline filters (row % 5), so decoding the corpus
+    exercises ALL five PNG un-filter paths — None/Sub/Up/Average/Paeth —
+    not just the trivial one.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from etl_process_spark.multimodal.pngcodec import encode_png
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, contents, widths, heights = [], [], [], []
+            for doc_id in pdf["doc_id"]:
+                px = image_pixels(image_group(int(doc_id)))
+                ids.append(int(doc_id))
+                contents.append(encode_png(px))
+                heights.append(px.shape[0])
+                widths.append(px.shape[1])
+            yield pd.DataFrame(
+                {
+                    "asset_id": ids,
+                    "media_type": "image/png",
+                    "content": contents,
+                    "width": widths,
+                    "height": heights,
+                }
+            )
+
+    raw = _docs_ids(spark, sf_dir).select("doc_id").mapInPandas(
+        fn,
+        "asset_id long, media_type string, content binary, "
+        "width int, height int",
+    )
+    return raw.select(
+        "asset_id",
+        "media_type",
+        "content",
+        F.struct(
+            "width",
+            "height",
+            F.lit(1).alias("channels"),
+            F.length("content").cast("long").alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+def synthesize_audio_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One REAL mono 16-bit PCM WAV per document: sample i is the
+    document's i-th utf-8 byte minus 128 (the same centered values the
+    byte-level era used, so the feature oracle carries over verbatim —
+    WAV PCM is lossless)."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from etl_process_spark.multimodal.wavcodec import encode_wav
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, contents, counts = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                b = np.frombuffer(
+                    (text or "").encode("utf-8"), dtype=np.uint8
+                ).astype(np.int16)
+                wav = encode_wav(b - 128)
+                ids.append(int(doc_id))
+                contents.append(wav)
+                counts.append(int(b.size))
+            yield pd.DataFrame(
+                {
+                    "asset_id": ids,
+                    "media_type": "audio/wav",
+                    "content": contents,
+                    "n_samples": counts,
+                }
+            )
+
+    raw = _docs_ids(spark, sf_dir).select("doc_id", "text").mapInPandas(
+        fn, "asset_id long, media_type string, content binary, n_samples int"
+    )
+    return raw.select(
+        "asset_id",
+        "media_type",
+        "content",
+        F.struct(
+            F.col("n_samples").alias("width"),
+            F.lit(1).alias("height"),
+            F.lit(1).alias("channels"),
+            F.length("content").cast("long").alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+def synthesize_video_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One packed-PNG video per document: 2 + (doc_id mod 3) frames of
+    24×24 gray (frame_pixels rule), each a real PNG, length-prefixed in
+    the container (codecs.pack_frames)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from etl_process_spark.multimodal.codecs import pack_frames
+    from etl_process_spark.multimodal.pngcodec import encode_png
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, contents, nframes = [], [], []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                nf = 2 + did % 3
+                frames = [
+                    encode_png(frame_pixels(did, f)) for f in range(nf)
+                ]
+                ids.append(did)
+                contents.append(pack_frames(frames))
+                nframes.append(nf)
+            yield pd.DataFrame(
+                {
+                    "asset_id": ids,
+                    "media_type": "video/x-packed-png",
+                    "content": contents,
+                    "n_frames": nframes,
+                }
+            )
+
+    raw = _docs_ids(spark, sf_dir).select("doc_id").mapInPandas(
+        fn, "asset_id long, media_type string, content binary, n_frames int"
+    )
+    return raw.select(
+        "asset_id",
+        "media_type",
+        "content",
+        F.struct(
+            F.lit(VID_FRAME_DIM).alias("width"),
+            F.lit(VID_FRAME_DIM).alias("height"),
+            F.col("n_frames").alias("channels"),
+            F.length("content").cast("long").alias("n_bytes"),
         ).alias("meta"),
     )

@@ -1,126 +1,169 @@
-"""Decoders — the ONE swap point between real codecs and the stand-in.
+"""Decoders — the dispatch point between container formats and features.
 
-The container has no Pillow/ffmpeg/librosa, so each decode function
-gates on an import-try: with the real library present it decodes real
-bytes; without it falls back to a DETERMINISTIC FAKE that derives the
-observable properties from the md5 of the content. The fake is not a
-mock-object shortcut — it is a pure function of the bytes, reproducible
-in any engine (the DuckDB oracle recomputes it), so the full Spark
-plumbing around it (schemas, Arrow batches, partitioning) is exercised
-for real.
+Round ≤4 shipped a deterministic md5 stand-in here because the container
+has no Pillow/ffmpeg. Round 5 retires it for the test corpus: PNG images
+decode for REAL via the pure-stdlib codec (``pngcodec``: zlib inflate +
+per-scanline un-filtering) and WAV audio decodes for REAL via stdlib
+``wave`` (``wavcodec``) — so pHash, luma stats, amplitude/RMS features
+and the Haitsma–Kalker fingerprint all run end-to-end on actual media
+content with zero non-baked dependencies.
+
+Dispatch is by magic bytes. Unknown formats (a JPEG, an MP3) still fall
+back to the documented md5-derived stand-in rather than mis-decoding —
+that branch is dead code for the synthetic corpus (pinned by test) and
+is the single place a JPEG/Opus codec would slot in on a real cluster.
 """
 
 from __future__ import annotations
 
 import hashlib
 
-try:  # pragma: no cover - not installed in this container
-    from PIL import Image  # type: ignore
+from etl_process_spark.multimodal.pngcodec import (
+    PNG_SIGNATURE,
+    decode_png,
+    encode_png,
+)
+from etl_process_spark.multimodal.wavcodec import decode_wav, is_wav
 
-    HAVE_PIL = True
-except ImportError:
-    HAVE_PIL = False
+FRAME_BYTES = 256  # legacy fake video container: fixed-size frame chunks
 
-FRAME_BYTES = 256  # fake video container: fixed-size frame chunks
+
+def _luma_plane(channels: int, pixels):
+    """Grayscale plane of a decoded image as int64: identity for gray,
+    integer ITU-R 601-2 ((299R + 587G + 114B) // 1000) for RGB — exact
+    integer math, so every downstream feature is engine-reproducible."""
+    import numpy as np
+
+    if channels == 1:
+        return pixels.astype(np.int64)
+    px = pixels.astype(np.int64)
+    return (299 * px[..., 0] + 587 * px[..., 1] + 114 * px[..., 2]) // 1000
 
 
 def decode_image(content: bytes) -> dict:
-    """Decode an image to (width, height, channels, mean_luma).
+    """Decode an image to (width, height, channels, luma_ppm).
 
-    Real path: Pillow. Fake path: md5-derived — width = 16 + hex[0:2],
-    height = 16 + hex[2:4], channels = 1 + hex[4] % 3, mean_luma =
-    hex[6:8] / 255 (all hex pairs read as base-16 ints).
+    PNG: REAL decode (pngcodec), luma_ppm = floor(1e6 · Σluma / (255·n))
+    — an exact integer, so Spark and the SQL oracle can only agree or
+    both be wrong. Non-PNG: the legacy md5-derived stand-in (width =
+    16 + hex[0:2], height = 16 + hex[2:4], channels = 1 + hex[4] % 3,
+    luma_ppm = hex[6:8]·1e6 // 255), kept for unknown formats only.
     """
-    if HAVE_PIL:  # pragma: no cover
-        import io
-
-        with Image.open(io.BytesIO(content)) as img:
-            import numpy as np
-
-            arr = np.asarray(img.convert("L"), dtype="float64")
-            return {
-                "width": img.width,
-                "height": img.height,
-                "channels": len(img.getbands()),
-                "mean_luma": _round6_half_up(float(arr.mean()) / 255.0),
-            }
+    if content[:8] == PNG_SIGNATURE:
+        w, h, c, px = decode_png(content)
+        luma = _luma_plane(c, px)
+        n = int(luma.size)
+        return {
+            "width": w,
+            "height": h,
+            "channels": c,
+            "luma_ppm": (1_000_000 * int(luma.sum())) // (255 * n),
+        }
     h = hashlib.md5(content).hexdigest()
     return {
         "width": 16 + int(h[0:2], 16),
         "height": 16 + int(h[2:4], 16),
         "channels": 1 + int(h[4], 16) % 3,
-        "mean_luma": _round6_half_up(int(h[6:8], 16) / 255.0),
+        "luma_ppm": (1_000_000 * int(h[6:8], 16)) // 255,
     }
 
 
 def resize_image(content: bytes, width: int, height: int) -> bytes:
     """Resize an image's bytes to (width, height).
 
-    Real path: Pillow re-encode. Without a codec there is nothing
-    meaningful to produce, so the fake path is an explicit stub: a tagged
-    header + the original bytes, letting downstream plumbing (schema,
-    sizes, lineage) be tested while making the substitution impossible to
-    miss in data.
-    """
-    if HAVE_PIL:  # pragma: no cover
-        import io
-
-        with Image.open(io.BytesIO(content)) as img:
-            out = io.BytesIO()
-            img.resize((width, height)).save(out, format=img.format or "PNG")
-            return out.getvalue()
-    return b"FAKERESIZE:%dx%d:" % (width, height) + content
-
-
-def _round6_half_up(x: float) -> float:
-    """round(x, 6) with ties AWAY from zero (x >= 0), matching SQL round.
-
-    Python/numpy round half-to-even, but both DuckDB and Spark round
-    doubles half-away-from-zero. mean_amp is an integer sum divided by a
-    power-of-two sample count, so exact 6-decimal ties (…0625 → …063)
-    genuinely occur and the two conventions diverge on real data.
-    """
-    import math
-
-    return math.floor(x * 1e6 + 0.5) / 1e6
-
-
-def decode_audio(content: bytes) -> dict:
-    """Audio features from raw bytes treated as unsigned 8-bit PCM.
-
-    (With librosa/soundfile present this would parse the container; the
-    byte-level features below are themselves deterministic and real.)
+    PNG: REAL area (mean-pool) resample per channel — each output cell
+    averages its index bin, rounded half-up to uint8 — re-encoded as
+    PNG. The bin means are exact-integer sums over exact counts, so the
+    resampled pixels are engine-reproducible (the resize oracle query
+    recomputes them in SQL). Non-PNG: explicit tagged stub (no codec →
+    nothing meaningful to produce; impossible to mistake for real data).
     """
     import numpy as np
 
+    if content[:8] == PNG_SIGNATURE:
+        _, _, c, px = decode_png(content)
+        if c == 1:
+            planes = [_area_resize(px.astype(np.float64), height, width)]
+        else:
+            planes = [
+                _area_resize(px[:, :, i].astype(np.float64), height, width)
+                for i in range(c)
+            ]
+        pooled = np.stack(planes, axis=-1)
+        out = np.floor(pooled + 0.5).clip(0, 255).astype(np.uint8)
+        return encode_png(out[:, :, 0] if c == 1 else out)
+    return b"FAKERESIZE:%dx%d:" % (width, height) + content
+
+
+def decode_audio(content: bytes) -> dict:
+    """Audio features: (n_samples, mean amplitude in ppm-of-fullscale-ish
+    integer units, RMS ×1e6 floored).
+
+    WAV: REAL decode (stdlib ``wave``) to signed PCM samples; features
+    are exact integer sums over those samples. Non-WAV: the legacy
+    byte-level path (bytes as unsigned 8-bit PCM, centered at 128).
+    Both paths emit integer ppm/e6 values — no engine round() can
+    diverge them.
+    """
     import math
 
-    samples = np.frombuffer(content, dtype=np.uint8).astype("int64")
+    import numpy as np
+
+    if is_wav(content):
+        samples, _rate = decode_wav(content)
+    else:
+        samples = np.frombuffer(content, dtype=np.uint8).astype("int64") - 128
     if samples.size == 0:
         return {"n_samples": 0, "mean_amp_ppm": 0, "rms_e6": 0}
-    centered = samples - 128
     n = int(samples.size)
-    # exact integer sums (|x| <= 128), so the boundary values are pure
-    # integer ppm / floor(x*1e6) — no engine round() can diverge them
-    abs_sum = int(np.abs(centered).sum())
-    sq_sum = int((centered * centered).sum())
+    abs_sum = int(np.abs(samples).sum())
+    sq_sum = int((samples * samples).sum())
     return {
         "n_samples": n,
-        "mean_amp_ppm": (1000000 * abs_sum) // n,
-        "rms_e6": math.floor(math.sqrt(sq_sum / n) * 1000000.0),
+        "mean_amp_ppm": (1_000_000 * abs_sum) // n,
+        "rms_e6": math.floor(math.sqrt(sq_sum / n) * 1_000_000.0),
     }
 
 
 def iter_frames(content: bytes, every_n: int = 1):
-    """Frame iterator over the fake fixed-chunk video container.
+    """Frame iterator over the legacy fixed-chunk video container.
 
     Yields (frame_idx, frame_bytes) for every ``every_n``-th FRAME_BYTES
-    chunk. A real container would seek keyframes via ffmpeg; the chunk
-    walk preserves the exact access pattern (sequential, bounded memory).
+    chunk — the sequential, bounded-memory access pattern of a container
+    walk. For the real packed-PNG container see ``iter_packed_frames``.
     """
     n_frames = max(1, -(-len(content) // FRAME_BYTES))
     for idx in range(0, n_frames, every_n):
         yield idx, content[idx * FRAME_BYTES : (idx + 1) * FRAME_BYTES]
+
+
+def pack_frames(frames: list[bytes]) -> bytes:
+    """The synthetic video container: frames as length-prefixed blobs
+    (4-byte big-endian length + payload, concatenated). A real container
+    (MP4/MKV) indexes keyframes; this preserves the essential property —
+    a frame is seekable without decoding its neighbors."""
+    import struct
+
+    return b"".join(struct.pack(">I", len(f)) + f for f in frames)
+
+
+def iter_packed_frames(content: bytes, every_n: int = 1):
+    """Walk a ``pack_frames`` container, yielding (frame_idx, frame_bytes)
+    for every ``every_n``-th frame. Skipped frames are seeked over by
+    their length prefix — never decoded, never copied."""
+    import struct
+
+    pos = 0
+    idx = 0
+    while pos + 4 <= len(content):
+        (length,) = struct.unpack(">I", content[pos : pos + 4])
+        end = pos + 4 + length
+        if end > len(content):
+            raise ValueError("packed-frame container truncated")
+        if idx % every_n == 0:
+            yield idx, content[pos + 4 : end]
+        pos = end
+        idx += 1
 
 
 def _dct_matrix(n: int):
@@ -135,43 +178,48 @@ def _dct_matrix(n: int):
     return m
 
 
-def _area_resize_32(gray):
-    """Mean-pool an arbitrary (h, w) float array to 32×32: each output
-    cell averages its index bin — deterministic, no interpolation
-    library. Inputs smaller than 32 on a side repeat rows/cols (bin
-    width 1)."""
+def _area_resize(gray, th: int, tw: int):
+    """Mean-pool an arbitrary (h, w) float array to (th, tw): each output
+    cell averages its index bin (bin of row r = r·th // h) —
+    deterministic, no interpolation library. Inputs smaller than the
+    target on a side repeat the nearest populated row/col."""
     import numpy as np
 
     g = np.asarray(gray, dtype=np.float64)
     h, w = g.shape
-    rb = (np.arange(h) * 32 // max(h, 1)).clip(max=31)
-    cb = (np.arange(w) * 32 // max(w, 1)).clip(max=31)
-    out = np.zeros((32, 32))
-    cnt = np.zeros((32, 32))
+    rb = (np.arange(h) * th // max(h, 1)).clip(max=th - 1)
+    cb = (np.arange(w) * tw // max(w, 1)).clip(max=tw - 1)
+    out = np.zeros((th, tw))
+    cnt = np.zeros((th, tw))
     np.add.at(out, (rb[:, None].repeat(w, 1), cb[None, :].repeat(h, 0)), g)
     np.add.at(cnt, (rb[:, None].repeat(w, 1), cb[None, :].repeat(h, 0)), 1.0)
-    cnt[cnt == 0] = 1.0  # padded bins (input < 32 px): nearest row/col
+    cnt[cnt == 0] = 1.0  # padded bins (input < target): nearest row/col
     out = out / cnt
-    # fill empty bins from the nearest populated one (only when h or w < 32)
-    if h < 32:
-        filled = np.zeros(32, dtype=bool)
+    # fill empty bins from the nearest populated one (only when h or w < target)
+    if h < th:
+        filled = np.zeros(th, dtype=bool)
         filled[rb] = True
         last = 0
-        for r in range(32):
+        for r in range(th):
             if filled[r]:
                 last = r
             else:
                 out[r] = out[last]
-    if w < 32:
-        filledc = np.zeros(32, dtype=bool)
+    if w < tw:
+        filledc = np.zeros(tw, dtype=bool)
         filledc[cb] = True
         lastc = 0
-        for c in range(32):
+        for c in range(tw):
             if filledc[c]:
                 lastc = c
             else:
                 out[:, c] = out[:, lastc]
     return out
+
+
+def _area_resize_32(gray):
+    """Mean-pool to 32×32 — the pHash front-end."""
+    return _area_resize(gray, 32, 32)
 
 
 def phash_from_pixels(gray) -> str:
@@ -202,23 +250,14 @@ def phash_from_pixels(gray) -> str:
 def perceptual_hash(content: bytes) -> str:
     """64-bit perceptual hash as 16 hex chars.
 
-    Real path: decode (Pillow) -> grayscale -> ``phash_from_pixels``
-    (the DCT math itself is implemented and unit-tested HERE, codec or
-    not — see test_multimodal.py's pixel-level property tests). Fake
-    path, when no decoder exists to produce pixels: the first 16 hex
-    chars of the content md5 — NOT perceptual (no near-match behavior),
-    but the same 64-bit contract, so the banding / hamming-verify
-    plumbing downstream is real and oracle-checkable.
+    PNG: REAL end-to-end — stdlib decode → integer luma plane →
+    ``phash_from_pixels`` (mean-pool → DCT-II → AC-median sign bits).
+    Non-PNG fallback: the first 16 hex chars of the content md5 — NOT
+    perceptual, same 64-bit contract, dead code for the test corpus.
     """
-    if HAVE_PIL:  # pragma: no cover - codec not in this container
-        import io
-
-        import numpy as np
-
-        with Image.open(io.BytesIO(content)) as img:
-            return phash_from_pixels(
-                np.asarray(img.convert("L"), dtype="float64")
-            )
+    if content[:8] == PNG_SIGNATURE:
+        _, _, c, px = decode_png(content)
+        return phash_from_pixels(_luma_plane(c, px))
     return hashlib.md5(content).hexdigest()[:16]
 
 
@@ -238,10 +277,6 @@ def audio_fingerprint_from_samples(samples, frame: int = 1024, hop: int = 512,
     mild noise flips few bits. Returns a list of per-frame 32-bit ints
     (the fingerprint stream a matcher would band-bucket exactly like
     the SimHash/pHash Hamming joins).
-
-    Only the bytes→samples DECODE is codec-gated elsewhere; this math is
-    exercised directly by the pixel/sample-level unit tests, codec or
-    not.
     """
     import numpy as np
 
@@ -275,3 +310,16 @@ def audio_fingerprint_from_samples(samples, frame: int = 1024, hop: int = 512,
             w = (w << 1) | int(b)
         words.append(w)
     return words
+
+
+def audio_fingerprint(content: bytes, frame: int = 1024, hop: int = 512,
+                      n_bands: int = 33):
+    """Container-level fingerprint: REAL WAV decode → Haitsma–Kalker
+    words. Non-WAV bytes go through the legacy unsigned-8-bit view."""
+    import numpy as np
+
+    if is_wav(content):
+        samples, _ = decode_wav(content)
+    else:
+        samples = np.frombuffer(content, dtype=np.uint8).astype("int64") - 128
+    return audio_fingerprint_from_samples(samples, frame, hop, n_bands)

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame
 from etl_process_spark.multimodal import codecs
 
 IMAGE_STATS_SCHEMA = (
-    "asset_id long, width int, height int, channels int, mean_luma double"
+    "asset_id long, width int, height int, channels int, luma_ppm long"
 )
 AUDIO_FEATURES_SCHEMA = (
     "asset_id long, n_samples int, mean_amp_ppm long, rms_e6 long"
@@ -114,6 +114,70 @@ def sample_frames(assets: DataFrame, every_n: int = 2) -> DataFrame:
             )
 
     return assets.select("asset_id", "content").mapInPandas(fn, FRAME_SCHEMA)
+
+
+def sample_packed_frames(assets: DataFrame, every_n: int = 2) -> DataFrame:
+    """Sample every n-th frame of a packed-PNG video container
+    (codecs.pack_frames): skipped frames are seeked over by their length
+    prefix, never decoded or copied — the keyframe-walk access pattern."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from etl_process_spark.multimodal.codecs import iter_packed_frames
+
+        for pdf in batches:
+            ids: list[int] = []
+            idxs: list[int] = []
+            lens: list[int] = []
+            frames: list[bytes] = []
+            for aid, content in zip(pdf["asset_id"], pdf["content"]):
+                for idx, chunk in iter_packed_frames(bytes(content), every_n):
+                    ids.append(aid)
+                    idxs.append(idx)
+                    lens.append(len(chunk))
+                    frames.append(chunk)
+            yield pd.DataFrame(
+                {
+                    "asset_id": ids,
+                    "frame_idx": idxs,
+                    "frame_len": lens,
+                    "frame_bytes": frames,
+                }
+            )
+
+    return assets.select("asset_id", "content").mapInPandas(fn, FRAME_SCHEMA)
+
+
+FRAME_LUMA_SCHEMA = "asset_id long, frame_idx int, luma_ppm long"
+
+
+def packed_frame_luma(assets: DataFrame, every_n: int = 2) -> DataFrame:
+    """Sample every n-th packed frame AND decode it (real PNG decode):
+    per-frame exact-integer mean luma — the decode-sampled-frames shape
+    of a video feature pipeline, fused into one Python stage so frame
+    bytes never cross the Arrow boundary at all."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from etl_process_spark.multimodal.codecs import (
+            decode_image,
+            iter_packed_frames,
+        )
+
+        for pdf in batches:
+            ids: list[int] = []
+            idxs: list[int] = []
+            lumas: list[int] = []
+            for aid, content in zip(pdf["asset_id"], pdf["content"]):
+                for idx, chunk in iter_packed_frames(bytes(content), every_n):
+                    ids.append(aid)
+                    idxs.append(idx)
+                    lumas.append(decode_image(chunk)["luma_ppm"])
+            yield pd.DataFrame(
+                {"asset_id": ids, "frame_idx": idxs, "luma_ppm": lumas}
+            )
+
+    return assets.select("asset_id", "content").mapInPandas(
+        fn, FRAME_LUMA_SCHEMA
+    )
 
 
 PHASH_SCHEMA = "asset_id long, phash string"

@@ -1,150 +1,227 @@
 """Multimodal-column queries (binary assets + mapInPandas decode path).
 
-The asset corpus is synthesized deterministically from ``documents``
-(assets.py), and the stand-in decoder is a pure function of the bytes'
-md5 (codecs.py) — so even the Python-side mapInPandas path gets a full
-DuckDB oracle: the oracle recomputes the decode from md5(text).
+Round 5: the image/audio/video corpora are REAL containers — actual
+PNGs (stdlib zlib codec, all five scanline filters exercised), actual
+mono 16-bit PCM WAVs (stdlib ``wave``), and a packed container of
+length-prefixed PNG frames. Spark derives every feature by DECODING THE
+BYTES; the DuckDB oracle recomputes the same features from the exact
+integer pixel/sample synthesis rule (multimodal/assets.py) — so the
+codec path itself is differentially verified end-to-end, not just the
+plumbing around it.
+
+Cross-engine exactness discipline: dims/luma/amplitude features are
+exact integers (ppm / e6, BIGINT); the pHash oracle's only floating
+stage is the DCT basis product, whose SIGN comparisons sit O(1) away
+from zero against ~1e-13 cross-engine noise (margins asserted by
+tools/phash_margin_check.py).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from etl_process_spark.multimodal.assets import synthesize_assets
-from etl_process_spark.multimodal.ops import decode_image_stats, sample_frames
+from etl_process_spark.multimodal.assets import (
+    synthesize_assets,
+    synthesize_audio_assets,
+    synthesize_image_assets,
+    synthesize_video_assets,
+)
+from etl_process_spark.multimodal.ops import (
+    decode_image_stats,
+    packed_frame_luma,
+    sample_frames,
+)
 from etl_process_spark.queries.registry import query, tbl  # noqa: F401
 
-_HEXD = "0123456789abcdef"
+# ---- shared SQL fragments for the synthetic pixel rule -------------------
+# gid = doc_id - doc_id % 2 (pair groups); hx = md5(gid); h/w = 32 + byte % 65;
+# rs[r] = first 4 hex of md5('gid:r'); g[r][c] = (rs*(c+7) + 3r) mod 256.
 
-
-def _pair(pos: int) -> str:
-    """SQL for int value of md5-hex chars [pos, pos+1] (1-based, 0..255)."""
-    return (
-        f"((strpos('{_HEXD}', substr(hx, {pos}, 1)) - 1) * 16"
-        f" + strpos('{_HEXD}', substr(hx, {pos + 1}, 1)) - 1)"
-    )
+_IMG_DIMS = """
+  grp AS (SELECT DISTINCT doc_id - doc_id % 2 AS gid FROM documents),
+  dims AS (
+    SELECT gid,
+           32 + CAST('0x' || substr(md5(CAST(gid AS VARCHAR)), 1, 2) AS BIGINT) % 65 AS h,
+           32 + CAST('0x' || substr(md5(CAST(gid AS VARCHAR)), 3, 2) AS BIGINT) % 65 AS w
+    FROM grp
+  ),
+  rows_ AS (
+    SELECT gid, h, w, r,
+           CAST('0x' || substr(md5(CAST(gid AS VARCHAR) || ':' || CAST(r AS VARCHAR)), 1, 4) AS BIGINT) AS rs
+    FROM dims, unnest(range(0, h)) AS tr(r)
+  ),
+  px AS (
+    SELECT gid, h, w, r, c, (rs * (c + 7) + 3 * r) % 256 AS gv
+    FROM rows_, unnest(range(0, w)) AS tc(c)
+  )
+"""
 
 
 @query(
     "image_decode_stats",
     f"""
-    WITH h AS (SELECT doc_id, md5(text) AS hx FROM documents)
-    SELECT doc_id AS asset_id,
-           CAST(16 + {_pair(1)} AS INT) AS width,
-           CAST(16 + {_pair(3)} AS INT) AS height,
-           CAST(1 + (strpos('{_HEXD}', substr(hx, 5, 1)) - 1) % 3 AS INT) AS channels,
-           round({_pair(7)} / 255.0, 6) AS mean_luma
-    FROM h
+    WITH {_IMG_DIMS},
+    agg AS (
+      SELECT gid, any_value(h) AS h, any_value(w) AS w,
+             sum(gv) AS s, count(*) AS n
+      FROM px GROUP BY gid
+    )
+    SELECT d.doc_id AS asset_id,
+           CAST(a.w AS INT) AS width,
+           CAST(a.h AS INT) AS height,
+           CAST(1 AS INT) AS channels,
+           CAST((1000000 * a.s) // (255 * a.n) AS BIGINT) AS luma_ppm
+    FROM documents d
+    JOIN agg a ON a.gid = d.doc_id - d.doc_id % 2
     """,
 )
 def image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image decode via Arrow-batched mapInPandas: binary content in,
-    intrinsic stats out (bytes never leave the executor). The deterministic
-    stand-in decoder makes the Python path oracle-checkable."""
-    return decode_image_stats(synthesize_assets(spark, sf_dir))
+    """REAL image decode via Arrow-batched mapInPandas: actual PNG bytes
+    in (stdlib zlib codec: inflate + un-filter all five filter types),
+    intrinsic stats out — width/height from IHDR, mean luma as an exact
+    integer ppm over the decoded pixels. The oracle recomputes the same
+    integers from the pixel synthesis rule, so a single mis-decoded
+    byte anywhere in the codec would hash-mismatch."""
+    return decode_image_stats(synthesize_image_assets(spark, sf_dir))
 
 
 @query(
-    "video_frame_sample",
-    """
-    WITH v AS (
-      SELECT doc_id, octet_length(encode(text)) AS nb,
-             greatest(1, CAST(ceil(octet_length(encode(text)) / 256.0) AS INT)) AS nf
-      FROM documents
-    )
-    SELECT doc_id AS asset_id,
-           CAST(idx AS INT) AS frame_idx,
-           CAST(greatest(0, least(256, nb - idx * 256)) AS INT) AS frame_len
-    FROM v, unnest(range(0, nf, 2)) AS t(idx)
+    "image_resize_luma",
+    f"""
+    WITH {_IMG_DIMS},
+    pooled AS (
+      SELECT gid, (r * 32) // h AS p, (c * 32) // w AS q,
+             CAST(floor(CAST(sum(gv) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS rp
+      FROM px GROUP BY gid, p, q
+    ),
+    agg AS (SELECT gid, sum(rp) AS s FROM pooled GROUP BY gid)
+    SELECT d.doc_id AS asset_id,
+           CAST(32 AS INT) AS width,
+           CAST(32 AS INT) AS height,
+           CAST((1000000 * a.s) // (255 * 1024) AS BIGINT) AS luma_ppm
+    FROM documents d
+    JOIN agg a ON a.gid = d.doc_id - d.doc_id % 2
     """,
 )
-def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame sampling over the fake fixed-chunk video container: one asset
-    row fans out to every 2nd frame inside the Arrow batch — the
-    row-explosion shape of video pipelines, with bounded memory."""
-    return sample_frames(synthesize_assets(spark, sf_dir), every_n=2).select(
-        "asset_id", "frame_idx", "frame_len"
+def image_resize_luma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL resize round-trip: decode PNG → area (mean-pool) resample to
+    32×32 with half-up rounding → re-encode PNG → decode THAT and take
+    exact-integer luma. Verifies decoder, resampler, rounding, and
+    encoder in one chain — the oracle recomputes each pooled bin as
+    floor(sum/count + 0.5) over exact integer sums (IEEE-identical in
+    both engines because every operand is exact)."""
+    from etl_process_spark.multimodal.ops import resize_images
+
+    resized = resize_images(synthesize_image_assets(spark, sf_dir), 32, 32)
+    return decode_image_stats(resized).select(
+        "asset_id", "width", "height", "luma_ppm"
     )
 
 
-@query(
-    "audio_feature_stats",
-    """
-    WITH b AS (
-      SELECT doc_id,
-             [ascii(substr(text, i, 1)) - 128
-              for i in range(1, length(text) + 1)] AS cs
-      FROM documents
-    )
-    SELECT doc_id AS asset_id,
-           CAST(len(cs) AS INTEGER) AS n_samples,
-           CAST((1000000 * list_sum([abs(x) for x in cs])) // len(cs) AS BIGINT)
-               AS mean_amp_ppm,
-           CAST(floor(sqrt(list_sum([CAST(x AS DOUBLE) * x for x in cs])
-                           / len(cs)) * 1000000) AS BIGINT)
-               AS rms_e6
-    FROM b
-    """,
-)
-def audio_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Audio feature extraction over binary columns via Arrow-batched
-    mapInPandas (multimodal/ops.py::audio_features): bytes → sample count,
-    mean amplitude, RMS, computed vectorized per batch. The stand-in
-    decoder treats bytes as unsigned 8-bit PCM — deterministic, so the
-    Python path is fully oracle-checked (the oracle recomputes the same
-    features from the UTF-8 code points)."""
-    from etl_process_spark.multimodal.ops import audio_features
+# ---- pHash: the DCT-sign oracle -------------------------------------------
+# The 8×32 orthonormal DCT-II basis, pooled bin means (bit-identical across
+# engines: exact integer sums / exact counts, one IEEE division), two basis
+# contractions, AC-median threshold — rebuilding the 64 sign bits in SQL.
 
-    return audio_features(synthesize_assets(spark, sf_dir))
+_PHASH_BANDS = f"""
+  {_IMG_DIMS},
+  pooled AS (
+    SELECT gid, (r * 32) // h AS p, (c * 32) // w AS q,
+           CAST(sum(gv) AS DOUBLE) / count(*) AS vbar
+    FROM px GROUP BY gid, p, q
+  ),
+  basis AS (
+    SELECT k, i,
+           (CASE WHEN k = 0 THEN sqrt(1.0 / 32.0) ELSE sqrt(2.0 / 32.0) END)
+             * cos(pi() * (2 * i + 1) * k / 64.0) AS m
+    FROM unnest(range(0, 8)) AS a(k), unnest(range(0, 32)) AS b(i)
+  ),
+  t1 AS (
+    SELECT pooled.gid, pooled.p, basis.k AS v, sum(pooled.vbar * basis.m) AS tv
+    FROM pooled JOIN basis ON basis.i = pooled.q
+    GROUP BY pooled.gid, pooled.p, basis.k
+  ),
+  blk AS (
+    SELECT t1.gid, basis.k AS u, t1.v, sum(t1.tv * basis.m) AS coef
+    FROM t1 JOIN basis ON basis.i = t1.p
+    GROUP BY t1.gid, basis.k, t1.v
+  ),
+  med AS (
+    SELECT gid, median(coef) AS med FROM blk
+    WHERE NOT (u = 0 AND v = 0) GROUP BY gid
+  ),
+  bits AS (
+    SELECT b.gid, b.u * 8 + b.v AS j,
+           CASE WHEN (b.u = 0 AND b.v = 0) THEN 0
+                WHEN b.coef > m.med THEN 1 ELSE 0 END AS bit
+    FROM blk b JOIN med m USING (gid)
+  ),
+  bands AS (
+    SELECT gid, j // 16 AS band,
+           sum(bit * (1 << (15 - (j % 16)))) AS code
+    FROM bits GROUP BY gid, j // 16
+  )
+"""
 
 
 @query(
     "image_phash_dup_pairs",
-    """
-    WITH h AS (SELECT doc_id AS asset_id, substr(md5(text), 1, 16) AS ph
-               FROM documents),
-    p AS (SELECT asset_id,
-                 CAST('0x' || substr(ph, 1, 8) AS BIGINT) AS h1,
-                 CAST('0x' || substr(ph, 9, 8) AS BIGINT) AS h2,
-                 ph
-          FROM h),
-    b AS (SELECT asset_id, i AS band, substr(ph, 1 + 4 * i, 4) AS code
-          FROM h, unnest(range(0, 4)) AS t(i)),
-    cand AS (SELECT DISTINCT a.asset_id AS asset_a, b2.asset_id AS asset_b
-             FROM b a JOIN b b2
-               ON a.band = b2.band AND a.code = b2.code
-              AND a.asset_id < b2.asset_id)
+    f"""
+    WITH {_PHASH_BANDS},
+    ph AS (
+      SELECT gid,
+             max(CASE WHEN band = 0 THEN code END) * 65536
+               + max(CASE WHEN band = 1 THEN code END) AS h1,
+             max(CASE WHEN band = 2 THEN code END) * 65536
+               + max(CASE WHEN band = 3 THEN code END) AS h2
+      FROM bands GROUP BY gid
+    ),
+    docs2 AS (SELECT doc_id, doc_id - doc_id % 2 AS gid FROM documents),
+    ab AS (
+      SELECT d2.doc_id AS asset_id, b.band, b.code
+      FROM docs2 d2 JOIN bands b USING (gid)
+    ),
+    cand AS (
+      SELECT DISTINCT a.asset_id AS asset_a, b2.asset_id AS asset_b
+      FROM ab a JOIN ab b2
+        ON a.band = b2.band AND a.code = b2.code
+       AND a.asset_id < b2.asset_id
+    ),
+    p2 AS (SELECT d2.doc_id AS asset_id, ph.h1, ph.h2
+           FROM docs2 d2 JOIN ph USING (gid))
     SELECT c.asset_a, c.asset_b,
            CAST(bit_count(xor(pa.h1, pb.h1))
                 + bit_count(xor(pa.h2, pb.h2)) AS INT) AS hamming,
            bit_count(xor(pa.h1, pb.h1)) + bit_count(xor(pa.h2, pb.h2)) <= 6
              AS is_dup
     FROM cand c
-    JOIN p pa ON c.asset_a = pa.asset_id
-    JOIN p pb ON c.asset_b = pb.asset_id
+    JOIN p2 pa ON c.asset_a = pa.asset_id
+    JOIN p2 pb ON c.asset_b = pb.asset_id
     """,
 )
 def image_phash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image near-dup detection: per-asset 64-bit perceptual hash
-    (mapInPandas decode stage), 4×16-bit band buckets for candidate
-    generation, exact hamming-distance verify on candidates only.
+    """Image near-dup detection, REAL end-to-end: decode actual PNG
+    bytes → 64-bit perceptual hash (mean-pool 32×32 → DCT-II → AC-median
+    sign bits) → 4×16-bit band buckets for candidate generation → exact
+    hamming verify on candidates only.
 
     The pigeonhole guarantee: any pair within hamming ≤ 3 of the full
     hash shares at least one untouched band, so banding loses nothing
     at that radius; the ≤ 6 verify fence is then exact bit math
     (bit_count of xor on two 32-bit halves — pure codegen). Candidates
     come from an equi join on (band, code): the asset corpus is never
-    all-paired, the same LSH shape as the text and embedding dedup
-    paths. The stand-in hash has no near-match behavior (codecs.py), so
-    pairs here are band collisions scored honestly — with a real pHash
-    the SAME plan performs corpus-level image near-dup removal.
+    all-paired — the same LSH shape as the text and embedding dedup
+    paths. The pair-grouped corpus guarantees ground-truth duplicates
+    (identical twin images → hamming 0); the oracle REBUILDS the DCT
+    sign bits in SQL from the pixel rule, so the whole chain — zlib
+    inflate, un-filtering, pooling, DCT, median threshold, banding —
+    is hash-verified against an independent engine.
     """
     from pyspark.sql import functions as F
 
-    from etl_process_spark.multimodal.assets import synthesize_assets
     from etl_process_spark.multimodal.ops import phash_images
 
-    ph = phash_images(synthesize_assets(spark, sf_dir))
+    ph = phash_images(synthesize_image_assets(spark, sf_dir))
     p = ph.select(
         "asset_id",
         F.conv(F.substring("phash", 1, 8), 16, 10).cast("long").alias("h1"),
@@ -189,3 +266,90 @@ def image_phash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (hamming <= 6).alias("is_dup"),
         )
     )
+
+
+@query(
+    "video_frame_sample",
+    """
+    WITH v AS (
+      SELECT doc_id, octet_length(encode(text)) AS nb,
+             greatest(1, CAST(ceil(octet_length(encode(text)) / 256.0) AS INT)) AS nf
+      FROM documents
+    )
+    SELECT doc_id AS asset_id,
+           CAST(idx AS INT) AS frame_idx,
+           CAST(greatest(0, least(256, nb - idx * 256)) AS INT) AS frame_len
+    FROM v, unnest(range(0, nf, 2)) AS t(idx)
+    """,
+)
+def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over the fixed-chunk container: one asset row fans
+    out to every 2nd frame inside the Arrow batch — the row-explosion
+    shape of video pipelines, with bounded memory. (The REAL-decode
+    variant over the packed-PNG container is ``video_frame_luma``.)"""
+    return sample_frames(synthesize_assets(spark, sf_dir), every_n=2).select(
+        "asset_id", "frame_idx", "frame_len"
+    )
+
+
+@query(
+    "video_frame_luma",
+    """
+    WITH v AS (SELECT doc_id, 2 + doc_id % 3 AS nf FROM documents),
+    fr AS (SELECT doc_id, f FROM v, unnest(range(0, nf, 2)) AS t(f)),
+    rows_ AS (
+      SELECT doc_id, f, r,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                  || CAST(f AS VARCHAR) || ':' || CAST(r AS VARCHAR)), 1, 4)
+                  AS BIGINT) AS fs
+      FROM fr, unnest(range(0, 24)) AS tr(r)
+    ),
+    agg AS (
+      SELECT doc_id, f, sum((fs * (c + 5) + 7 * r) % 256) AS s
+      FROM rows_, unnest(range(0, 24)) AS tc(c)
+      GROUP BY doc_id, f
+    )
+    SELECT doc_id AS asset_id, CAST(f AS INT) AS frame_idx,
+           CAST((1000000 * s) // (255 * 576) AS BIGINT) AS luma_ppm
+    FROM agg
+    """,
+)
+def video_frame_luma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video path: walk the packed-PNG container by length prefix
+    (skipped frames are seeked over, never decoded), decode every 2nd
+    frame with the stdlib PNG codec, emit exact-integer mean luma per
+    sampled frame — decode-sampled-frames, the core access pattern of a
+    video feature pipeline, fused into one Arrow stage."""
+    return packed_frame_luma(synthesize_video_assets(spark, sf_dir), every_n=2)
+
+
+@query(
+    "audio_feature_stats",
+    """
+    WITH b AS (
+      SELECT doc_id,
+             [ascii(substr(text, i, 1)) - 128
+              for i in range(1, length(text) + 1)] AS cs
+      FROM documents
+    )
+    SELECT doc_id AS asset_id,
+           CAST(len(cs) AS INTEGER) AS n_samples,
+           CAST((1000000 * list_sum([abs(x) for x in cs])) // len(cs) AS BIGINT)
+               AS mean_amp_ppm,
+           CAST(floor(sqrt(list_sum([CAST(x AS DOUBLE) * x for x in cs])
+                           / len(cs)) * 1000000) AS BIGINT)
+               AS rms_e6
+    FROM b
+    """,
+)
+def audio_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature extraction over REAL WAV containers via Arrow-batched
+    mapInPandas (multimodal/ops.py::audio_features): mono 16-bit PCM
+    bytes → stdlib ``wave`` decode → sample count, mean amplitude, RMS,
+    computed vectorized per batch. The corpus samples are the document's
+    centered byte stream and PCM is lossless, so the oracle recomputes
+    the identical integers from the UTF-8 code points — the contract
+    that held for the byte-level decoder now verifies the WAV codec."""
+    from etl_process_spark.multimodal.ops import audio_features
+
+    return audio_features(synthesize_audio_assets(spark, sf_dir))

@@ -1,0 +1,278 @@
+"""Real stdlib codecs (round 5): PNG (zlib + scanline filters), WAV
+(stdlib wave), packed-PNG video container — round-trips, hand-computed
+fixtures, and the corpus-takes-the-real-path pins that make the round-4
+md5 stand-in dead code for the synthetic media corpus.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from etl_process_spark.multimodal.codecs import (
+    decode_audio,
+    decode_image,
+    iter_packed_frames,
+    pack_frames,
+    perceptual_hash,
+    phash_from_pixels,
+    resize_image,
+)
+from etl_process_spark.multimodal.pngcodec import (
+    PNG_SIGNATURE,
+    decode_png,
+    encode_png,
+)
+from etl_process_spark.multimodal.wavcodec import (
+    decode_wav,
+    encode_wav,
+    is_wav,
+    wav_header_meta,
+)
+
+
+# ---------------------------- PNG ----------------------------------------
+
+def test_png_roundtrip_every_filter_and_size():
+    rng = np.random.RandomState(7)
+    for h, w in [(1, 1), (2, 3), (7, 5), (33, 64), (96, 41)]:
+        px = rng.randint(0, 256, size=(h, w), dtype=np.uint8)
+        for ft in [0, 1, 2, 3, 4, "cycle"]:
+            ww, hh, c, out = decode_png(encode_png(px, filter_type=ft))
+            assert (ww, hh, c) == (w, h, 1)
+            assert np.array_equal(out, px), (h, w, ft)
+
+
+def test_png_roundtrip_rgb():
+    rng = np.random.RandomState(3)
+    px = rng.randint(0, 256, size=(17, 9, 3), dtype=np.uint8)
+    w, h, c, out = decode_png(encode_png(px))
+    assert (w, h, c) == (9, 17, 3)
+    assert np.array_equal(out, px)
+
+
+def test_png_decode_hand_built_fixture():
+    """Decode a PNG assembled BY HAND (struct + zlib, no encoder help):
+    2×3 grayscale, row 0 with filter 0 (None), row 1 with filter 2 (Up)
+    — filtered bytes computed on paper: up-filter stores x − above
+    mod 256."""
+    pixels = np.array([[10, 200, 30], [250, 100, 7]], dtype=np.uint8)
+    row0 = bytes([0, 10, 200, 30])                      # filter None
+    row1 = bytes([2, (250 - 10) % 256, (100 - 200) % 256, (7 - 30) % 256])
+    raw = row0 + row1
+
+    def chunk(tag, payload):
+        return (
+            struct.pack(">I", len(payload)) + tag + payload
+            + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+        )
+
+    data = (
+        PNG_SIGNATURE
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 2, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    w, h, c, out = decode_png(data)
+    assert (w, h, c) == (3, 2, 1)
+    assert np.array_equal(out, pixels)
+
+
+def test_png_decode_rejects_corruption_and_bad_profiles():
+    px = np.zeros((4, 4), dtype=np.uint8)
+    good = encode_png(px)
+    with pytest.raises(ValueError, match="signature"):
+        decode_png(b"JFIF" + good)
+    flipped = bytearray(good)
+    flipped[40] ^= 0xFF  # inside IDAT payload -> CRC mismatch
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(flipped))
+    # 16-bit depth is outside the supported profile: must refuse loudly
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 16, 0, 0, 0, 0)
+
+    def chunk(tag, payload):
+        return (
+            struct.pack(">I", len(payload)) + tag + payload
+            + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+        )
+
+    bad = PNG_SIGNATURE + chunk(b"IHDR", ihdr) + chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="unsupported"):
+        decode_png(bad)
+
+
+def test_decode_image_real_png_exact_stats():
+    """width/height from IHDR; luma_ppm = floor(1e6·Σ/(255·n)) — checked
+    against integers computed by hand."""
+    px = np.array([[0, 255], [128, 64], [32, 16]], dtype=np.uint8)
+    d = decode_image(encode_png(px))
+    assert (d["width"], d["height"], d["channels"]) == (2, 3, 1)
+    assert d["luma_ppm"] == (1_000_000 * (0 + 255 + 128 + 64 + 32 + 16)) // (255 * 6)
+
+
+def test_decode_image_rgb_uses_integer_itu_luma():
+    px = np.zeros((1, 2, 3), dtype=np.uint8)
+    px[0, 0] = [255, 0, 0]   # luma (299*255)//1000 = 76
+    px[0, 1] = [0, 255, 0]   # luma (587*255)//1000 = 149
+    d = decode_image(encode_png(px))
+    assert d["channels"] == 3
+    assert d["luma_ppm"] == (1_000_000 * (76 + 149)) // (255 * 2)
+
+
+def test_resize_image_real_png_mean_pool_half_up():
+    """2×2 → 1×1: the single output pixel is floor(mean + 0.5)."""
+    px = np.array([[10, 11], [12, 14]], dtype=np.uint8)  # mean 11.75 -> 12
+    out = resize_image(encode_png(px), 1, 1)
+    w, h, c, dec = decode_png(out)
+    assert (w, h, c) == (1, 1, 1)
+    assert dec[0, 0] == 12
+    px2 = np.array([[10, 11], [12, 13]], dtype=np.uint8)  # mean 11.5 -> 12 (half-up)
+    _, _, _, dec2 = decode_png(resize_image(encode_png(px2), 1, 1))
+    assert dec2[0, 0] == 12
+
+
+def test_perceptual_hash_png_is_real_phash():
+    rng = np.random.RandomState(5)
+    px = rng.randint(0, 256, size=(40, 56), dtype=np.uint8)
+    assert perceptual_hash(encode_png(px)) == phash_from_pixels(
+        px.astype(np.float64)
+    )
+
+
+# ---------------------------- WAV ----------------------------------------
+
+def test_wav_roundtrip_and_header_meta():
+    rng = np.random.RandomState(11)
+    samples = rng.randint(-32768, 32768, size=777).astype(np.int16)
+    wav = encode_wav(samples, rate=8000)
+    assert is_wav(wav)
+    dec, rate = decode_wav(wav)
+    assert rate == 8000
+    assert np.array_equal(dec, samples.astype(np.int64))
+    assert wav_header_meta(wav) == (777, 8000, 2)
+
+
+def test_wav_8bit_recentered():
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)
+        w.setframerate(4000)
+        w.writeframes(bytes([0, 128, 255]))
+    dec, rate = decode_wav(buf.getvalue())
+    assert rate == 4000
+    assert dec.tolist() == [-128, 0, 127]
+
+
+def test_wav_rejects_unsupported_profiles():
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(b"\x00\x00\x00\x00")
+    with pytest.raises(ValueError, match="unsupported WAV"):
+        decode_wav(buf.getvalue())
+
+
+def test_decode_audio_wav_exact_features():
+    samples = np.array([-128, 0, 127, 50], dtype=np.int16)
+    d = decode_audio(encode_wav(samples))
+    assert d["n_samples"] == 4
+    assert d["mean_amp_ppm"] == (1_000_000 * (128 + 0 + 127 + 50)) // 4
+    import math
+
+    sq = 128 * 128 + 0 + 127 * 127 + 50 * 50
+    assert d["rms_e6"] == math.floor(math.sqrt(sq / 4) * 1_000_000.0)
+
+
+# ------------------------ packed-frame container --------------------------
+
+def test_packed_frames_roundtrip_and_sampling():
+    frames = [b"alpha", b"", b"gamma-gamma", b"d"]
+    packed = pack_frames(frames)
+    assert [(i, f) for i, f in iter_packed_frames(packed)] == list(
+        enumerate(frames)
+    )
+    assert [(i, f) for i, f in iter_packed_frames(packed, every_n=2)] == [
+        (0, b"alpha"), (2, b"gamma-gamma")
+    ]
+    with pytest.raises(ValueError, match="truncated"):
+        list(iter_packed_frames(packed[:-1]))
+
+
+# -------------------- the corpus takes the REAL path ----------------------
+
+def test_image_corpus_is_real_png_and_standin_dead(spark):
+    """Every synthesized image asset is an actual PNG; its decode equals
+    its ingest meta; and its perceptual hash is the DCT hash of its own
+    decoded pixels — NOT the md5 stand-in. The fallback branch is dead
+    code for the corpus."""
+    import hashlib
+
+    from etl_process_spark.multimodal.assets import (
+        image_group,
+        image_pixels,
+        synthesize_image_assets,
+    )
+
+    rows = synthesize_image_assets(spark, "/root/testdata/sf0.001").limit(
+        8
+    ).collect()
+    assert rows
+    for r in rows:
+        content = bytes(r["content"])
+        assert content[:8] == PNG_SIGNATURE
+        d = decode_image(content)
+        assert d["width"] == r["meta"]["width"]
+        assert d["height"] == r["meta"]["height"]
+        px = image_pixels(image_group(int(r["asset_id"])))
+        _, _, _, dec = decode_png(content)
+        assert np.array_equal(dec, px)  # decode == synthesis rule, exactly
+        ph = perceptual_hash(content)
+        assert ph == phash_from_pixels(px.astype(np.float64))
+        assert ph != hashlib.md5(content).hexdigest()[:16]
+
+
+def test_audio_corpus_is_real_wav(spark):
+    from etl_process_spark.multimodal.assets import synthesize_audio_assets
+
+    rows = synthesize_audio_assets(spark, "/root/testdata/sf0.001").limit(
+        4
+    ).collect()
+    assert rows
+    for r in rows:
+        content = bytes(r["content"])
+        assert is_wav(content)
+        n, rate, width = wav_header_meta(content)
+        assert (rate, width) == (8000, 2)
+        assert n == r["meta"]["width"]  # meta carries n_samples
+
+
+def test_video_corpus_frames_are_real_pngs(spark):
+    from etl_process_spark.multimodal.assets import (
+        frame_pixels,
+        synthesize_video_assets,
+    )
+
+    rows = synthesize_video_assets(spark, "/root/testdata/sf0.001").limit(
+        3
+    ).collect()
+    assert rows
+    for r in rows:
+        content = bytes(r["content"])
+        frames = list(iter_packed_frames(content))
+        assert len(frames) == 2 + int(r["asset_id"]) % 3
+        for idx, fb in frames:
+            assert fb[:8] == PNG_SIGNATURE
+            _, _, _, dec = decode_png(fb)
+            assert np.array_equal(dec, frame_pixels(int(r["asset_id"]), idx))

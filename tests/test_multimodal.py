@@ -47,7 +47,9 @@ def test_asset_schema_and_meta_consistency(spark, assets):
     assert bad.count() == 0
 
 
-def test_fake_decoder_is_pure_md5(assets):
+def test_legacy_fallback_decoder_is_pure_md5(assets):
+    # non-PNG bytes (the format-agnostic text corpus) take the documented
+    # md5-derived stand-in — deterministic and oracle-recomputable
     row = assets.first()
     content = bytes(row["content"])
     h = hashlib.md5(content).hexdigest()
@@ -55,7 +57,7 @@ def test_fake_decoder_is_pure_md5(assets):
     assert d["width"] == 16 + int(h[0:2], 16)
     assert d["height"] == 16 + int(h[2:4], 16)
     assert d["channels"] == 1 + int(h[4], 16) % 3
-    assert d["mean_luma"] == round(int(h[6:8], 16) / 255.0, 6)
+    assert d["luma_ppm"] == (1_000_000 * int(h[6:8], 16)) // 255
 
 
 def test_decode_preserves_partitioning(spark):
@@ -70,6 +72,8 @@ def test_decode_preserves_partitioning(spark):
 
 
 def test_resize_stub_is_tagged_and_schema_stable(assets):
+    # non-PNG bytes: no codec -> explicit tagged stub (real PNG resize is
+    # covered in test_codecs.py and by the image_resize_luma oracle)
     out = resize_images(assets.limit(5), 32, 32)
     rows = out.collect()
     assert [f.name for f in out.schema.fields] == ["asset_id", "content", "width", "height"]

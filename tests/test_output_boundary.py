@@ -108,7 +108,6 @@ ALLOWED_DOUBLE_OUTPUTS = {
     "exact_value_median": ["median"],  # quantile_disc source value
     "filtered_projection": ["disc_price"],  # row product, < 2^53 unscaled
     "forward_fill_user_values": ["filled_value"],  # pass-through LOCF
-    "image_decode_stats": ["mean_luma"],  # Python codec, both sides
     "large_quantity_orders": ["total_qty"],  # integer-valued double sum
     "order_price_histogram": ["lo", "hi"],  # min/max pass-through
     "pareto_frontier_orders": ["o_totalprice"],  # pass-through
@@ -181,7 +180,6 @@ ORACLE_FLOAT64_ALLOWLIST = {
     "exact_value_median": ["median"],
     "filtered_projection": ["disc_price"],
     "forward_fill_user_values": ["filled_value"],
-    "image_decode_stats": ["mean_luma"],
     "large_quantity_orders": ["total_qty"],
     "order_price_histogram": ["hi", "lo"],
     "pareto_frontier_orders": ["o_totalprice"],

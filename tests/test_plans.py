@@ -31,6 +31,9 @@ SF_DIR = "/root/testdata/sf0.001"
 # the n == 0 branch below verifies.
 PYTHON_OK = {"image_decode_stats", "video_frame_sample", "audio_feature_stats",
              "image_phash_dup_pairs",
+             # round 5: real-codec corpus synthesis (PNG/WAV encode) +
+             # decode both run in declared mapInPandas stages
+             "image_resize_luma", "video_frame_luma",
              # declared vectorized-UDF fast path: cell-cogrouped Arrow kNN
              # scoring (numpy over blocks, order-exact vs the JVM plan;
              # similarity.py::_knn_cells_arrow) — never row-at-a-time

@@ -83,7 +83,7 @@ cl = enrich_transactions(fact, dim, cards, accounts, clients, blacklist)
 report = build_fraud_report(cl, "2024-03-02 23:59:59")
 print("== fraud report =="); report.orderBy("event_dt", "event_type").show(truncate=False)
 out = [(str(r["event_dt"]), r["event_type"], r["fio"]) for r in report.collect()]
-assert ("2024-03-02 09:30:00", 3, "Ivanov Ivan") in out, out          # rule 3, concat_ws drops NULL patronymic
+assert ("2024-03-02 09:30:00", 3, "Ivanov Ivan ") in out, out         # rule 3, exact-PG concat: NULL patronymic -> empty, space kept
 assert ("2024-03-02 11:00:00", 1, "Petrov Petr Petrovich") in out, out  # rule 1
 assert not any(t == 2 for _, t, _ in out), out
 
