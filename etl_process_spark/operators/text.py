@@ -274,6 +274,7 @@ def _bpe_rewrite(stream: DataFrame, winner: DataFrame) -> DataFrame:
 
 def bpe_merge_rounds_delta(
     df: DataFrame, text_col: str, rounds: int = 6,
+    affected_counts: list | None = None,
 ) -> DataFrame:
     """Deep BPE training with DELTA pair-count maintenance — the
     production trainer shape for many merge rounds. Same output contract
@@ -296,6 +297,13 @@ def bpe_merge_rounds_delta(
     the prior counts lineage twice (directly in the unionAll and again
     through winner→aff→delta), so sparse checkpointing would grow the
     plan exponentially in the round count.
+
+    ``affected_counts`` (diagnostic): pass a list to receive the
+    per-round affected-stream-row count — the quantity that BOUNDS each
+    round's delta shuffle and whose decay as merges rarify is the whole
+    argument for the delta design (tools/bench_bpe_decay.py measures it
+    at production round counts). Counting forces one extra action per
+    round against the checkpointed stream; leave None in production.
     """
     wrapped = df.select(
         F.explode(tokens(F.col(text_col))).alias("tok")
@@ -328,6 +336,8 @@ def bpe_merge_rounds_delta(
             )
             .filter(F.col("s").contains(F.col("framed")))
         )
+        if affected_counts is not None:
+            affected_counts.append(aff.count())
         rewritten = aff.select(
             F.replace(
                 F.col("s"),

@@ -3,6 +3,8 @@ dated-inbox discovery/archival, watermark protocol."""
 
 import datetime as dt
 import os
+
+import pytest
 from decimal import Decimal
 
 from pyspark.sql import functions as F
@@ -540,3 +542,64 @@ def test_compaction_with_clustering_restores_skipping(spark, tmp_path):
         assert hi <= lo, "clustered compaction must yield disjoint ranges"
     # data intact
     assert sorted(r["id"] for r in cat.read("ev").collect()) == list(range(500))
+
+
+def test_catalog_compaction_stress_200_files(spark, tmp_path):
+    """~200-small-file stress (round-5 verdict item): an accreted append
+    table compacts to exactly the byte-target-derived file count, reads
+    scan ONLY the live version directory (version pruning at the file
+    listing level — a reader never pays for history), and vacuum drops
+    the stale snapshots while the live read keeps working."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from etl_process_spark.sources.tables import TableCatalog
+
+    cat = TableCatalog(spark, str(tmp_path / "wh"))
+    df = spark.range(0, 20_000).select(
+        F.col("id"),
+        (F.col("id") % 97).alias("k"),
+        F.md5(F.col("id").cast("string")).alias("payload"),
+    )
+    # one accreting append sink: 50 files, then 3 more appends of 50 -> 200
+    cat.append("ev", df.repartition(50))
+    for _ in range(3):
+        cat.append("ev", df.repartition(50))
+
+    live = cat._current_dir("ev")
+    n_before = sum(
+        1 for f in os.listdir(live) if f.endswith(".parquet")
+    )
+    assert n_before == 200
+
+    total_bytes = sum(
+        os.path.getsize(os.path.join(live, f))
+        for f in os.listdir(live)
+        if f.endswith(".parquet")
+    )
+    target = 1024 * 1024
+    n_after = cat.compact("ev", target_file_bytes=target)
+    expected = max(1, -(-total_bytes // target))
+    assert n_after == expected, (n_before, total_bytes, n_after, expected)
+    assert n_after < n_before / 10
+
+    # row fidelity across the rewrite
+    assert cat.read("ev").count() == 80_000
+
+    # version pruning: the scan must list files ONLY from the live
+    # (post-compaction) version directory — history costs readers nothing
+    live_after = cat._current_dir("ev")
+    assert live_after != live
+    scanned = cat.read("ev").inputFiles()
+    assert scanned and all(live_after in f for f in scanned)
+    assert not any(live in f for f in scanned)
+
+    # vacuum drops the stale 200-file snapshot; live read unaffected
+    versions = cat.versions("ev")
+    assert len(versions) == 2
+    dropped = cat.vacuum("ev", keep_last=1)
+    assert dropped == versions[:-1]
+    assert cat.read("ev").count() == 80_000
+    with pytest.raises(FileNotFoundError):
+        cat.read_version("ev", dropped[0])
