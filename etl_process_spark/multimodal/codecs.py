@@ -261,6 +261,22 @@ def perceptual_hash(content: bytes) -> str:
     return hashlib.md5(content).hexdigest()[:16]
 
 
+def band_edges(frame: int, n_bands: int):
+    """Band-edge bins for the Haitsma–Kalker fingerprint: log-spaced over
+    [1, frame//2) (DC excluded), falling back to linear edges when the
+    log grid collapses at small frame sizes. Exposed so the SQL oracle
+    can embed the EXACT same integer edges as literals."""
+    import numpy as np
+
+    lo, hi = 1, frame // 2
+    edges = np.unique(
+        np.floor(lo * (hi / lo) ** (np.arange(n_bands + 1) / n_bands)).astype(int)
+    )
+    if len(edges) < n_bands + 1:  # tiny frame: fall back to linear edges
+        edges = np.linspace(lo, hi, n_bands + 1).astype(int)
+    return edges
+
+
 def audio_fingerprint_from_samples(samples, frame: int = 1024, hop: int = 512,
                                    n_bands: int = 33):
     """REAL audio-fingerprint math (Haitsma & Kalker 2002, the
@@ -293,13 +309,9 @@ def audio_fingerprint_from_samples(samples, frame: int = 1024, hop: int = 512,
     im = frames @ np.sin(ang).T
     power = re * re + im * im
     # log-spaced band edges over bins [1, frame//2): DC excluded
-    lo, hi = 1, frame // 2
-    edges = np.unique(
-        np.floor(lo * (hi / lo) ** (np.arange(n_bands + 1) / n_bands)).astype(int)
-    )
-    if len(edges) < n_bands + 1:  # tiny frame: fall back to linear edges
-        edges = np.linspace(lo, hi, n_bands + 1).astype(int)
-    energies = np.add.reduceat(power[:, lo:hi], edges[:-1] - lo, axis=1)
+    lo = 1
+    edges = band_edges(frame, n_bands)
+    energies = np.add.reduceat(power[:, lo:frame // 2], edges[:-1] - lo, axis=1)
     d = energies[:, :-1] - energies[:, 1:]           # (frames, n_bands-1)
     dd = d[1:] - d[:-1]                              # diff across time
     bits = dd > 0

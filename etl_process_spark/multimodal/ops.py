@@ -180,6 +180,41 @@ def packed_frame_luma(assets: DataFrame, every_n: int = 2) -> DataFrame:
     )
 
 
+FINGERPRINT_SCHEMA = "asset_id long, word_idx int, word long"
+
+
+def audio_fingerprint_words(
+    assets: DataFrame, frame: int = 128, hop: int = 128, n_bands: int = 33,
+) -> DataFrame:
+    """Per-asset Haitsma–Kalker fingerprint stream: REAL WAV decode →
+    framed DFT band energies → per-frame sign words (codecs.py). One row
+    per (asset, word); ``word_idx`` j is the sign word between frames j
+    and j+1. Only integers cross the Arrow boundary — the downstream
+    matcher band-buckets these words exactly like the SimHash join."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from etl_process_spark.multimodal.codecs import audio_fingerprint
+
+        for pdf in batches:
+            ids: list[int] = []
+            idxs: list[int] = []
+            words: list[int] = []
+            for aid, content in zip(pdf["asset_id"], pdf["content"]):
+                ws = audio_fingerprint(
+                    bytes(content), frame=frame, hop=hop, n_bands=n_bands
+                )
+                ids.extend([aid] * len(ws))
+                idxs.extend(range(len(ws)))
+                words.extend(ws)
+            yield pd.DataFrame(
+                {"asset_id": ids, "word_idx": idxs, "word": words}
+            )
+
+    return assets.select("asset_id", "content").mapInPandas(
+        fn, FINGERPRINT_SCHEMA
+    )
+
+
 PHASH_SCHEMA = "asset_id long, phash string"
 
 

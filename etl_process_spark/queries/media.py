@@ -27,6 +27,7 @@ from etl_process_spark.multimodal.assets import (
     synthesize_video_assets,
 )
 from etl_process_spark.multimodal.ops import (
+    audio_fingerprint_words,
     decode_image_stats,
     packed_frame_luma,
     sample_frames,
@@ -321,6 +322,93 @@ def video_frame_luma(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampled frame — decode-sampled-frames, the core access pattern of a
     video feature pipeline, fused into one Arrow stage."""
     return packed_frame_luma(synthesize_video_assets(spark, sf_dir), every_n=2)
+
+
+# ---- Haitsma–Kalker fingerprint oracle ------------------------------------
+# frame=128, hop=128 (non-overlapping frames keep the SQL DFT tractable),
+# 33 bands over bins [1, 64) with the EXACT edges the codec computes
+# (codecs.band_edges — embedded below as literals), 32 sign bits per word.
+
+_FP_FRAME, _FP_HOP, _FP_NBANDS = 128, 128, 33
+
+
+def _fp_edges_sql() -> str:
+    from etl_process_spark.multimodal.codecs import band_edges
+
+    e = band_edges(_FP_FRAME, _FP_NBANDS).tolist()
+    rows = ", ".join(
+        f"({b}, {e[b]}, {e[b + 1]})" for b in range(len(e) - 1)
+    )
+    return f"be(b, klo, khi) AS (VALUES {rows})"
+
+
+@query(
+    "wav_fingerprint_words",
+    f"""
+    WITH d0 AS (
+      SELECT doc_id, text, length(text) AS n FROM documents
+      WHERE length(text) >= {2 * _FP_FRAME}
+    ),
+    fr AS (
+      SELECT doc_id, t
+      FROM d0, unnest(range(0, 1 + (n - {_FP_FRAME}) // {_FP_HOP})) AS tt(t)
+    ),
+    sv AS (
+      SELECT doc_id, i, ascii(substr(text, i + 1, 1)) - 128 AS v
+      FROM d0, unnest(range(0, n)) AS ti(i)
+    ),
+    dft AS (
+      SELECT fr.doc_id, fr.t, kk.k,
+             sum(sv.v * cos(2 * pi() * kk.k * (sv.i - fr.t * {_FP_HOP}) / {_FP_FRAME}.0)) AS re,
+             sum(sv.v * sin(2 * pi() * kk.k * (sv.i - fr.t * {_FP_HOP}) / {_FP_FRAME}.0)) AS im
+      FROM fr
+      JOIN sv ON sv.doc_id = fr.doc_id
+             AND sv.i >= fr.t * {_FP_HOP} AND sv.i < fr.t * {_FP_HOP} + {_FP_FRAME}
+      CROSS JOIN unnest(range(1, {_FP_FRAME // 2})) AS kk(k)
+      GROUP BY fr.doc_id, fr.t, kk.k
+    ),
+    {_fp_edges_sql()},
+    eb AS (
+      SELECT dft.doc_id, dft.t, be.b, sum(re * re + im * im) AS e
+      FROM dft JOIN be ON dft.k >= be.klo AND dft.k < be.khi
+      GROUP BY dft.doc_id, dft.t, be.b
+    ),
+    dv AS (
+      SELECT doc_id, t, b,
+             e - lead(e) OVER (PARTITION BY doc_id, t ORDER BY b) AS d
+      FROM eb
+    ),
+    ddv AS (
+      SELECT doc_id, t, b,
+             d - lag(d) OVER (PARTITION BY doc_id, b ORDER BY t) AS dd
+      FROM dv WHERE d IS NOT NULL
+    ),
+    w AS (
+      SELECT doc_id, t,
+             sum(CASE WHEN dd > 0 THEN CAST(1 AS BIGINT) ELSE 0 END
+                 * (CAST(1 AS BIGINT) << (31 - b))) AS word
+      FROM ddv WHERE dd IS NOT NULL AND b < 32
+      GROUP BY doc_id, t
+    )
+    SELECT doc_id AS asset_id, CAST(t - 1 AS INT) AS word_idx,
+           CAST(word AS BIGINT) AS word
+    FROM w
+    """,
+)
+def wav_fingerprint_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio fingerprint end-to-end: decode actual WAV bytes →
+    framed DFT band energies → Haitsma–Kalker difference-of-differences
+    sign words (one 32-bit word per frame transition). The DuckDB oracle
+    REBUILDS the DFT, the log band energies (exact same integer edges as
+    the codec via ``band_edges``), and every sign bit in SQL — so the
+    whole chain from RIFF container to fingerprint word is
+    cross-engine-verified, the audio twin of the pHash DCT oracle. Sign
+    margins vs engine noise are audited corpus-wide by
+    tools/fingerprint_margin_check.py."""
+    return audio_fingerprint_words(
+        synthesize_audio_assets(spark, sf_dir),
+        frame=_FP_FRAME, hop=_FP_HOP, n_bands=_FP_NBANDS,
+    )
 
 
 @query(

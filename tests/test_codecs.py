@@ -276,3 +276,37 @@ def test_video_corpus_frames_are_real_pngs(spark):
             assert fb[:8] == PNG_SIGNATURE
             _, _, _, dec = decode_png(fb)
             assert np.array_equal(dec, frame_pixels(int(r["asset_id"]), idx))
+
+
+def test_band_edges_shared_contract():
+    """The SQL oracle embeds band_edges() output as literals — pin the
+    frame=128/33-band grid the wav_fingerprint_words query uses: 34
+    strictly increasing integer edges from 1 to 64 (the linear fallback,
+    since the log grid collapses at this frame size)."""
+    from etl_process_spark.multimodal.codecs import band_edges
+
+    e = band_edges(128, 33)
+    assert len(e) == 34 and e[0] == 1 and e[-1] == 64
+    assert all(int(b) > int(a) for a, b in zip(e, e[1:]))
+
+
+def test_audio_fingerprint_wav_equals_samples_path():
+    """Container-level fingerprint == sample-level fingerprint of the
+    same PCM data (WAV decode is lossless)."""
+    import numpy as np
+
+    from etl_process_spark.multimodal.codecs import (
+        audio_fingerprint,
+        audio_fingerprint_from_samples,
+    )
+
+    rng = np.random.RandomState(23)
+    samples = rng.randint(-2000, 2000, size=700).astype(np.int16)
+    via_wav = audio_fingerprint(
+        encode_wav(samples), frame=128, hop=128, n_bands=33
+    )
+    direct = audio_fingerprint_from_samples(
+        samples.astype(np.float64), frame=128, hop=128, n_bands=33
+    )
+    # n_frames = 1 + (700 - 128) // 128 = 5 -> 4 difference words
+    assert via_wav == direct and len(via_wav) == 4
