@@ -40,6 +40,8 @@ near-dup join.
 
 from __future__ import annotations
 
+import functools as _functools
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -176,6 +178,18 @@ def _docs_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_functools.lru_cache(maxsize=8192)
+def _png_for_gid(gid: int) -> tuple[bytes, int, int]:
+    """(png_bytes, height, width) for an image group — memoized per
+    worker process (pure function of gid): every pair group is asked
+    for twice per corpus pass, and the synthesis queries re-derive the
+    corpus on each run. ~3 KB per entry; 8192 entries ≲ 25 MB/worker."""
+    from etl_process_spark.multimodal.pngcodec import encode_png
+
+    px = image_pixels(gid)
+    return encode_png(px), px.shape[0], px.shape[1]
+
+
 def synthesize_image_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One REAL PNG per document (pair-grouped pixels, see image_pixels).
 
@@ -187,17 +201,15 @@ def synthesize_image_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import pandas as pd
 
-    from etl_process_spark.multimodal.pngcodec import encode_png
-
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, contents, widths, heights = [], [], [], []
             for doc_id in pdf["doc_id"]:
-                px = image_pixels(image_group(int(doc_id)))
+                png, h, w = _png_for_gid(image_group(int(doc_id)))
                 ids.append(int(doc_id))
-                contents.append(encode_png(px))
-                heights.append(px.shape[0])
-                widths.append(px.shape[1])
+                contents.append(png)
+                heights.append(h)
+                widths.append(w)
             yield pd.DataFrame(
                 {
                     "asset_id": ids,
