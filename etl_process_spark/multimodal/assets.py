@@ -33,9 +33,11 @@ format-agnostic corpus for plumbing-level queries.
 
 The shared pixel rule (one md5 per image row, then exact integer
 mixing) keeps Python-side synthesis vectorized and SQL-side recompute
-cheap: pair groups (gid = doc_id − doc_id % 2) give every even doc an
-IDENTICAL twin — ground-truth duplicate pairs for the perceptual-hash
-near-dup join.
+cheap. Pair groups (gid = doc_id − doc_id % 2): the even doc carries
+the BASE image (values 0..127), the odd doc its exact affine-luma twin
+2·g + 1 — byte-DIFFERENT but perceptually identical, ground-truth
+duplicate pairs the pHash near-dup join must recover (pHash is exactly
+invariant under a·g + b with a > 0).
 """
 
 from __future__ import annotations
@@ -116,20 +118,26 @@ VID_FRAME_DIM = 24                          # video frames are 24×24 gray
 
 
 def image_group(doc_id: int) -> int:
-    """Every even doc and its successor share one image (dup ground truth)."""
+    """Every even doc and its odd successor form one image GROUP: the
+    even doc carries the base image, the odd doc carries its exact
+    affine-luma twin (2·g + 1) — DIFFERENT bytes, PERCEPTUALLY identical
+    (pHash is exactly invariant under a·g + b, a > 0), the honest ground
+    truth for perceptual near-dup detection."""
     return doc_id - (doc_id % 2)
 
 
 def image_pixels(gid: int):
-    """The exact-integer pixel rule for image group ``gid``.
+    """The exact-integer BASE pixel rule for image group ``gid``.
 
     dims:   hx = md5(str(gid)); h = 32 + hx[0:2] % 65, w = 32 + hx[2:4] % 65
     pixels: rs[r] = md5(f"{gid}:{r}")[0:4] (one md5 PER ROW, so synthesis
-            stays vectorized); g[r][c] = (rs[r]·(c+7) + 3r) mod 256
+            stays vectorized); g[r][c] = (rs[r]·(c+7) + 3r) mod 128
 
-    All integers — DuckDB reproduces every pixel with string md5 + '0x'
-    casts, which is what lets the decode/pHash/resize oracles verify the
-    REAL codec path end-to-end.
+    Base values live in [0, 127] so the odd twin's affine transform
+    2·g + 1 stays inside uint8 ([1, 255]) EXACTLY — both engines
+    reproduce every pixel with integer math (DuckDB: string md5 + '0x'
+    casts), which is what lets the decode/pHash/resize oracles verify
+    the REAL codec path end-to-end.
     """
     import hashlib
 
@@ -146,8 +154,17 @@ def image_pixels(gid: int):
         dtype=np.int64,
     )
     c = np.arange(w, dtype=np.int64)
-    g = (rs[:, None] * (c[None, :] + 7) + 3 * np.arange(h, dtype=np.int64)[:, None]) % 256
+    g = (rs[:, None] * (c[None, :] + 7) + 3 * np.arange(h, dtype=np.int64)[:, None]) % 128
     return g.astype("uint8")
+
+
+def doc_image_pixels(doc_id: int):
+    """The ACTUAL pixels of a document's image: the group base for even
+    docs, the exact affine-luma twin 2·g + 1 for odd docs."""
+    base = image_pixels(image_group(doc_id))
+    if doc_id % 2 == 0:
+        return base
+    return (2 * base.astype("int64") + 1).astype("uint8")
 
 
 def frame_pixels(doc_id: int, f: int):
@@ -178,20 +195,23 @@ def _docs_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_functools.lru_cache(maxsize=8192)
-def _png_for_gid(gid: int) -> tuple[bytes, int, int]:
-    """(png_bytes, height, width) for an image group — memoized per
-    worker process (pure function of gid): every pair group is asked
-    for twice per corpus pass, and the synthesis queries re-derive the
-    corpus on each run. ~3 KB per entry; 8192 entries ≲ 25 MB/worker."""
+@_functools.lru_cache(maxsize=16384)
+def _png_for_doc(doc_id: int) -> tuple[bytes, int, int]:
+    """(png_bytes, height, width) for a document's image — memoized per
+    worker process (pure function of doc_id: base image for even docs,
+    affine twin for odd; the synthesis queries re-derive the corpus on
+    each run). ~3 KB per entry; 16384 entries ≲ 50 MB/worker."""
     from etl_process_spark.multimodal.pngcodec import encode_png
 
-    px = image_pixels(gid)
+    px = doc_image_pixels(doc_id)
     return encode_png(px), px.shape[0], px.shape[1]
 
 
 def synthesize_image_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One REAL PNG per document (pair-grouped pixels, see image_pixels).
+    """One REAL PNG per document: even docs carry the group base image,
+    odd docs its exact affine-luma twin (doc_image_pixels) — so every
+    pair is BYTE-DIFFERENT but perceptually identical, the ground truth
+    the pHash near-dup join must recover.
 
     The encoder cycles scanline filters (row % 5), so decoding the corpus
     exercises ALL five PNG un-filter paths — None/Sub/Up/Average/Paeth —
@@ -205,7 +225,7 @@ def synthesize_image_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             ids, contents, widths, heights = [], [], [], []
             for doc_id in pdf["doc_id"]:
-                png, h, w = _png_for_gid(image_group(int(doc_id)))
+                png, h, w = _png_for_doc(int(doc_id))
                 ids.append(int(doc_id))
                 contents.append(png)
                 heights.append(h)

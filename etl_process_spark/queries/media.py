@@ -36,7 +36,10 @@ from etl_process_spark.queries.registry import query, tbl  # noqa: F401
 
 # ---- shared SQL fragments for the synthetic pixel rule -------------------
 # gid = doc_id - doc_id % 2 (pair groups); hx = md5(gid); h/w = 32 + byte % 65;
-# rs[r] = first 4 hex of md5('gid:r'); g[r][c] = (rs*(c+7) + 3r) mod 256.
+# BASE pixels g[r][c] = (rs*(c+7) + 3r) mod 128 with rs[r] = md5('gid:r')[0:4].
+# The even doc carries the base image; the odd doc carries the exact affine
+# twin 2·g + 1 — per-doc aggregates derive from per-gid integer sums via
+# s_odd = 2·s + n (Σ(2g+1) over n pixels), never re-unnesting per doc.
 
 _IMG_DIMS = """
   grp AS (SELECT DISTINCT doc_id - doc_id % 2 AS gid FROM documents),
@@ -52,7 +55,7 @@ _IMG_DIMS = """
     FROM dims, unnest(range(0, h)) AS tr(r)
   ),
   px AS (
-    SELECT gid, h, w, r, c, (rs * (c + 7) + 3 * r) % 256 AS gv
+    SELECT gid, h, w, r, c, (rs * (c + 7) + 3 * r) % 128 AS gv
     FROM rows_, unnest(range(0, w)) AS tc(c)
   )
 """
@@ -71,7 +74,9 @@ _IMG_DIMS = """
            CAST(a.w AS INT) AS width,
            CAST(a.h AS INT) AS height,
            CAST(1 AS INT) AS channels,
-           CAST((1000000 * a.s) // (255 * a.n) AS BIGINT) AS luma_ppm
+           CAST((1000000 * (CASE WHEN d.doc_id % 2 = 1
+                                 THEN 2 * a.s + a.n ELSE a.s END))
+                // (255 * a.n) AS BIGINT) AS luma_ppm
     FROM documents d
     JOIN agg a ON a.gid = d.doc_id - d.doc_id % 2
     """,
@@ -90,18 +95,28 @@ def image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "image_resize_luma",
     f"""
     WITH {_IMG_DIMS},
-    pooled AS (
+    bins AS (
       SELECT gid, (r * 32) // h AS p, (c * 32) // w AS q,
-             CAST(floor(CAST(sum(gv) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS rp
+             sum(gv) AS bs, count(*) AS bn
       FROM px GROUP BY gid, p, q
     ),
-    agg AS (SELECT gid, sum(rp) AS s FROM pooled GROUP BY gid)
-    SELECT d.doc_id AS asset_id,
+    -- per-doc rounded pixel from per-gid integer bin sums: the odd twin's
+    -- bin sum is exactly 2·bs + bn (Σ(2g+1)); floor(x/cnt + 0.5) on exact
+    -- integer operands is IEEE-identical in both engines
+    pooled AS (
+      SELECT d.doc_id, b.p, b.q,
+             CAST(floor(CAST(CASE WHEN d.doc_id % 2 = 1
+                                  THEN 2 * b.bs + b.bn ELSE b.bs END AS DOUBLE)
+                        / b.bn + 0.5) AS BIGINT) AS rp
+      FROM documents d
+      JOIN bins b ON b.gid = d.doc_id - d.doc_id % 2
+    ),
+    agg AS (SELECT doc_id, sum(rp) AS s FROM pooled GROUP BY doc_id)
+    SELECT doc_id AS asset_id,
            CAST(32 AS INT) AS width,
            CAST(32 AS INT) AS height,
-           CAST((1000000 * a.s) // (255 * 1024) AS BIGINT) AS luma_ppm
-    FROM documents d
-    JOIN agg a ON a.gid = d.doc_id - d.doc_id % 2
+           CAST((1000000 * s) // (255 * 1024) AS BIGINT) AS luma_ppm
+    FROM agg
     """,
 )
 def image_resize_luma(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -212,11 +227,17 @@ def image_phash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (bit_count of xor on two 32-bit halves — pure codegen). Candidates
     come from an equi join on (band, code): the asset corpus is never
     all-paired — the same LSH shape as the text and embedding dedup
-    paths. The pair-grouped corpus guarantees ground-truth duplicates
-    (identical twin images → hamming 0); the oracle REBUILDS the DCT
-    sign bits in SQL from the pixel rule, so the whole chain — zlib
-    inflate, un-filtering, pooling, DCT, median threshold, banding —
-    is hash-verified against an independent engine.
+    paths. The pair-grouped corpus guarantees ground-truth PERCEPTUAL
+    duplicates: the odd twin is the even base under the exact affine
+    luma map 2·g + 1 — byte-different images whose pHashes coincide
+    (hamming 0) because AC coefficients scale by a > 0 and DC is
+    pinned; the detector must recover the pair from the MATH, not from
+    byte equality. The oracle REBUILDS the DCT sign bits in SQL from
+    the base pixel rule (one hash per group — exactly what affine
+    invariance licenses; twin-vs-base sign margins are audited by
+    tools/phash_margin_check.py), so the whole chain — zlib inflate,
+    un-filtering, pooling, DCT, median threshold, banding — is
+    hash-verified against an independent engine.
     """
     from pyspark.sql import functions as F
 

@@ -220,8 +220,7 @@ def test_image_corpus_is_real_png_and_standin_dead(spark):
     import hashlib
 
     from etl_process_spark.multimodal.assets import (
-        image_group,
-        image_pixels,
+        doc_image_pixels,
         synthesize_image_assets,
     )
 
@@ -235,12 +234,33 @@ def test_image_corpus_is_real_png_and_standin_dead(spark):
         d = decode_image(content)
         assert d["width"] == r["meta"]["width"]
         assert d["height"] == r["meta"]["height"]
-        px = image_pixels(image_group(int(r["asset_id"])))
+        px = doc_image_pixels(int(r["asset_id"]))
         _, _, _, dec = decode_png(content)
         assert np.array_equal(dec, px)  # decode == synthesis rule, exactly
         ph = perceptual_hash(content)
         assert ph == phash_from_pixels(px.astype(np.float64))
         assert ph != hashlib.md5(content).hexdigest()[:16]
+
+
+def test_affine_twin_pairs_byte_different_hash_identical():
+    """The odd doc's image is the even base under 2·g + 1: different
+    bytes, different luma, IDENTICAL pHash — the perceptual ground
+    truth image_phash_dup_pairs must recover."""
+    from etl_process_spark.multimodal.assets import doc_image_pixels
+    from etl_process_spark.multimodal.pngcodec import encode_png
+
+    for gid in (0, 2, 14, 36):
+        base, twin = doc_image_pixels(gid), doc_image_pixels(gid + 1)
+        assert not np.array_equal(base, twin)
+        assert np.array_equal(twin, 2 * base.astype(np.int64) + 1)
+        assert encode_png(base) != encode_png(twin)
+        assert phash_from_pixels(
+            base.astype(np.float64)
+        ) == phash_from_pixels(twin.astype(np.float64))
+        # and the decode-level luma genuinely differs (brightness shift)
+        assert decode_image(encode_png(base))["luma_ppm"] != decode_image(
+            encode_png(twin)
+        )["luma_ppm"]
 
 
 def test_audio_corpus_is_real_wav(spark):

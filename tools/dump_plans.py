@@ -50,7 +50,9 @@ SHOWCASE: list[tuple[str, str]] = [
     ("packed_training_sequences_sharded", "k-way packing reuses the window's (lang, shard) partitioning — whole query is one exchange"),
     ("orders_table_checksum", "commutative fingerprint: one scan into a 1-row aggregate, all partials map-side"),
     ("salted_hot_key_join", "hot-key lanes: fact sharded, dim replicated — skew never lands on one reducer"),
-    ("image_decode_stats", "the ONE declared Python stage: Arrow-batched mapInPandas decode, everything after is JVM"),
+    ("image_decode_stats", "declared Python stages only: Arrow-batched mapInPandas synthesis + REAL PNG decode, everything after is JVM"),
+    ("image_phash_dup_pairs", "real-decode pHash near-dup: mapInPandas emits 16-char digests only (bytes never cross a shuffle); candidates from a (band, code) equi-join, integer popcount verify in codegen"),
+    ("wav_fingerprint_words", "real WAV decode -> framed DFT fingerprint entirely inside one mapInPandas stage; only (asset_id, word_idx, word) integers cross Arrow — no audio bytes in any exchange"),
     ("allpairs_jaccard_dups", "complete Jaccard join: candidates from a prefix-only equi-join (rarest-first order), dictionary-encoded verify"),
     ("weekly_distinct_rollup_hll", "COUNT DISTINCT lattice: weekly estimates merge DAILY sketches — raw events never re-scanned per grain"),
     ("trending_types_per_window", "rank window reuses the counts aggregate's partitioning — top-k adds no corpus-sized exchange"),

@@ -28,7 +28,11 @@ def margins_for_sf(sf_dir: str) -> tuple[float, int]:
     import duckdb
 
     from etl_process_spark.multimodal.assets import image_group, image_pixels
-    from etl_process_spark.multimodal.codecs import _area_resize_32, _dct_matrix
+    from etl_process_spark.multimodal.codecs import (
+        _area_resize_32,
+        _dct_matrix,
+        phash_from_pixels,
+    )
 
     doc_ids = (
         duckdb.sql(f"SELECT doc_id FROM '{sf_dir}/documents.parquet'")
@@ -40,14 +44,19 @@ def margins_for_sf(sf_dir: str) -> tuple[float, int]:
     m = _dct_matrix(32)
     worst = float("inf")
     for gid in gids:
-        g32 = _area_resize_32(image_pixels(gid).astype(np.float64))
-        block = (m @ g32 @ m.T)[:8, :8].reshape(64)
-        ac = block[1:]
-        med = float(np.median(ac))
-        gaps = np.abs(block - med)
-        gaps[0] = np.inf                       # DC bit is pinned, not compared
-        gaps[gaps == 0.0] = np.inf             # the median element itself
-        worst = min(worst, float(gaps.min()))
+        base = image_pixels(gid).astype(np.float64)
+        for px in (base, 2.0 * base + 1.0):   # base AND the odd twin
+            g32 = _area_resize_32(px)
+            block = (m @ g32 @ m.T)[:8, :8].reshape(64)
+            ac = block[1:]
+            med = float(np.median(ac))
+            gaps = np.abs(block - med)
+            gaps[0] = np.inf                   # DC bit is pinned, not compared
+            gaps[gaps == 0.0] = np.inf         # the median element itself
+            worst = min(worst, float(gaps.min()))
+        # the oracle assigns ONE hash per group — affine invariance must
+        # hold not just in theory but on these exact floats
+        assert phash_from_pixels(base) == phash_from_pixels(2.0 * base + 1.0), gid
     return worst, len(gids)
 
 
