@@ -352,3 +352,85 @@ def synthesize_video_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.length("content").cast("long").alias("n_bytes"),
         ).alias("meta"),
     )
+
+
+RGB_DIM_MIN, RGB_DIM_SPAN = 16, 33          # rgb h, w ∈ [16, 48]
+
+
+def rgb_image_pixels(doc_id: int):
+    """Exact-integer RGB pixel rule (one md5 per row, three channel
+    mixes): rs[r] = md5(f"{doc_id}:rgb:{r}")[0:4];
+    R = (rs·(c+7) + 3r) mod 256, G = (rs·(c+11) + 5r) mod 256,
+    B = (rs·(c+13) + r) mod 256. Dims from md5(f"{doc_id}:rgb")."""
+    import hashlib
+
+    import numpy as np
+
+    hx = hashlib.md5(f"{doc_id}:rgb".encode()).hexdigest()
+    h = RGB_DIM_MIN + int(hx[0:2], 16) % RGB_DIM_SPAN
+    w = RGB_DIM_MIN + int(hx[2:4], 16) % RGB_DIM_SPAN
+    rs = np.array(
+        [
+            int(hashlib.md5(f"{doc_id}:rgb:{r}".encode()).hexdigest()[:4], 16)
+            for r in range(h)
+        ],
+        dtype=np.int64,
+    )
+    c = np.arange(w, dtype=np.int64)
+    r = np.arange(h, dtype=np.int64)[:, None]
+    red = (rs[:, None] * (c[None, :] + 7) + 3 * r) % 256
+    grn = (rs[:, None] * (c[None, :] + 11) + 5 * r) % 256
+    blu = (rs[:, None] * (c[None, :] + 13) + r) % 256
+    return np.stack([red, grn, blu], axis=-1).astype("uint8")
+
+
+@_functools.lru_cache(maxsize=16384)
+def _rgb_png_for_doc(doc_id: int) -> tuple[bytes, int, int]:
+    from etl_process_spark.multimodal.pngcodec import encode_png
+
+    px = rgb_image_pixels(doc_id)
+    return encode_png(px), px.shape[0], px.shape[1]
+
+
+def synthesize_rgb_image_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One REAL RGB PNG (color type 2) per document — the 3-channel
+    decode path exercised at corpus scale, same cycling-filter encoder."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, contents, widths, heights = [], [], [], []
+            for doc_id in pdf["doc_id"]:
+                png, h, w = _rgb_png_for_doc(int(doc_id))
+                ids.append(int(doc_id))
+                contents.append(png)
+                heights.append(h)
+                widths.append(w)
+            yield pd.DataFrame(
+                {
+                    "asset_id": ids,
+                    "media_type": "image/png",
+                    "content": contents,
+                    "width": widths,
+                    "height": heights,
+                }
+            )
+
+    raw = _docs_ids(spark, sf_dir).select("doc_id").mapInPandas(
+        fn,
+        "asset_id long, media_type string, content binary, "
+        "width int, height int",
+    )
+    return raw.select(
+        "asset_id",
+        "media_type",
+        "content",
+        F.struct(
+            "width",
+            "height",
+            F.lit(3).alias("channels"),
+            F.length("content").cast("long").alias("n_bytes"),
+        ).alias("meta"),
+    )

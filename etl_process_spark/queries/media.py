@@ -345,6 +345,60 @@ def video_frame_luma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packed_frame_luma(synthesize_video_assets(spark, sf_dir), every_n=2)
 
 
+@query(
+    "image_rgb_channel_stats",
+    """
+    WITH d0 AS (
+      SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':rgb') AS hx
+      FROM documents
+    ),
+    dims AS (
+      SELECT doc_id,
+             16 + CAST('0x' || substr(hx, 1, 2) AS BIGINT) % 33 AS h,
+             16 + CAST('0x' || substr(hx, 3, 2) AS BIGINT) % 33 AS w
+      FROM d0
+    ),
+    rows_ AS (
+      SELECT doc_id, h, w, r,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':rgb:'
+                  || CAST(r AS VARCHAR)), 1, 4) AS BIGINT) AS rs
+      FROM dims, unnest(range(0, h)) AS tr(r)
+    ),
+    px AS (
+      SELECT doc_id, h, w,
+             (rs * (c + 7) + 3 * r) % 256 AS red,
+             (rs * (c + 11) + 5 * r) % 256 AS grn,
+             (rs * (c + 13) + r) % 256 AS blu
+      FROM rows_, unnest(range(0, w)) AS tc(c)
+    ),
+    agg AS (
+      SELECT doc_id, any_value(h) AS h, any_value(w) AS w, count(*) AS n,
+             sum(red) AS sr, sum(grn) AS sg, sum(blu) AS sb,
+             sum((299 * red + 587 * grn + 114 * blu) // 1000) AS sl
+      FROM px GROUP BY doc_id
+    )
+    SELECT doc_id AS asset_id,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST((1000000 * sr) // (255 * n) AS BIGINT) AS mean_r_ppm,
+           CAST((1000000 * sg) // (255 * n) AS BIGINT) AS mean_g_ppm,
+           CAST((1000000 * sb) // (255 * n) AS BIGINT) AS mean_b_ppm,
+           CAST((1000000 * sl) // (255 * n) AS BIGINT) AS luma_ppm
+    FROM agg
+    """,
+)
+def image_rgb_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL 3-channel decode at corpus scale: actual RGB PNGs (color
+    type 2 — interleaved samples make the un-filter predictors operate
+    per channel with a 3-byte left offset, a genuinely different code
+    path than grayscale) → exact-integer per-channel means + integer
+    ITU-R 601 luma. The oracle recomputes every channel value and the
+    per-pixel integer luma in SQL."""
+    from etl_process_spark.multimodal.assets import synthesize_rgb_image_assets
+    from etl_process_spark.multimodal.ops import rgb_channel_stats
+
+    return rgb_channel_stats(synthesize_rgb_image_assets(spark, sf_dir))
+
+
 # ---- Haitsma–Kalker fingerprint oracle ------------------------------------
 # frame=128, hop=128 (non-overlapping frames keep the SQL DFT tractable),
 # 33 bands over bins [1, 64) with the EXACT edges the codec computes

@@ -330,3 +330,22 @@ def test_audio_fingerprint_wav_equals_samples_path():
     )
     # n_frames = 1 + (700 - 128) // 128 = 5 -> 4 difference words
     assert via_wav == direct and len(via_wav) == 4
+
+
+def test_rgb_corpus_is_real_color_png(spark):
+    from etl_process_spark.multimodal.assets import (
+        rgb_image_pixels,
+        synthesize_rgb_image_assets,
+    )
+
+    rows = synthesize_rgb_image_assets(spark, "/root/testdata/sf0.001").limit(
+        4
+    ).collect()
+    assert rows
+    for r in rows:
+        content = bytes(r["content"])
+        assert content[:8] == PNG_SIGNATURE
+        w, h, c, px = decode_png(content)
+        assert c == 3
+        assert (w, h) == (r["meta"]["width"], r["meta"]["height"])
+        assert np.array_equal(px, rgb_image_pixels(int(r["asset_id"])))
