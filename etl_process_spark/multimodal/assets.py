@@ -434,3 +434,63 @@ def synthesize_rgb_image_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.length("content").cast("long").alias("n_bytes"),
         ).alias("meta"),
     )
+
+
+def synthesize_paired_audio_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paired WAV corpus for audio near-dup detection: the even doc of
+    each group carries its own byte-stream audio; the odd doc carries
+    its even buddy's samples amplitude-DOUBLED (2·s, exact in int16
+    since |s| ≤ 128) — byte-different audio with an IDENTICAL
+    Haitsma–Kalker fingerprint (every band energy scales by 4, flipping
+    no difference sign), the ground truth a fingerprint matcher must
+    recover. The audio analogue of the image corpus' affine-luma twins."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from etl_process_spark.multimodal.wavcodec import encode_wav
+
+    docs = _docs_ids(spark, sf_dir).select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("gid"), F.col("text").alias("base_text")
+    )
+    joined = docs.select(
+        "doc_id", (F.col("doc_id") - F.col("doc_id") % 2).alias("gid")
+    ).join(base, "gid")
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, contents, counts = [], [], []
+            for doc_id, base_text in zip(pdf["doc_id"], pdf["base_text"]):
+                s = np.frombuffer(
+                    (base_text or "").encode("utf-8"), dtype=np.uint8
+                ).astype(np.int16) - 128
+                if int(doc_id) % 2 == 1:
+                    s = (2 * s).astype(np.int16)
+                ids.append(int(doc_id))
+                contents.append(encode_wav(s))
+                counts.append(int(s.size))
+            yield pd.DataFrame(
+                {
+                    "asset_id": ids,
+                    "media_type": "audio/wav",
+                    "content": contents,
+                    "n_samples": counts,
+                }
+            )
+
+    raw = joined.select("doc_id", "base_text").mapInPandas(
+        fn, "asset_id long, media_type string, content binary, n_samples int"
+    )
+    return raw.select(
+        "asset_id",
+        "media_type",
+        "content",
+        F.struct(
+            F.col("n_samples").alias("width"),
+            F.lit(1).alias("height"),
+            F.lit(1).alias("channels"),
+            F.length("content").cast("long").alias("n_bytes"),
+        ).alias("meta"),
+    )

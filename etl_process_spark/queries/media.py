@@ -487,6 +487,112 @@ def wav_fingerprint_words(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "wav_fingerprint_dup_pairs",
+    f"""
+    WITH d0 AS (
+      SELECT doc_id AS gid, text, length(text) AS n FROM documents
+      WHERE doc_id % 2 = 0 AND length(text) >= {2 * _FP_FRAME}
+    ),
+    fr AS (
+      SELECT gid, t
+      FROM d0, unnest(range(0, 1 + (n - {_FP_FRAME}) // {_FP_HOP})) AS tt(t)
+    ),
+    sv AS (
+      SELECT gid, i, ascii(substr(text, i + 1, 1)) - 128 AS v
+      FROM d0, unnest(range(0, n)) AS ti(i)
+    ),
+    dft AS (
+      SELECT fr.gid, fr.t, kk.k,
+             sum(sv.v * cos(2 * pi() * kk.k * (sv.i - fr.t * {_FP_HOP}) / {_FP_FRAME}.0)) AS re,
+             sum(sv.v * sin(2 * pi() * kk.k * (sv.i - fr.t * {_FP_HOP}) / {_FP_FRAME}.0)) AS im
+      FROM fr
+      JOIN sv ON sv.gid = fr.gid
+             AND sv.i >= fr.t * {_FP_HOP} AND sv.i < fr.t * {_FP_HOP} + {_FP_FRAME}
+      CROSS JOIN unnest(range(1, {_FP_FRAME // 2})) AS kk(k)
+      GROUP BY fr.gid, fr.t, kk.k
+    ),
+    {_fp_edges_sql()},
+    eb AS (
+      SELECT dft.gid, dft.t, be.b, sum(re * re + im * im) AS e
+      FROM dft JOIN be ON dft.k >= be.klo AND dft.k < be.khi
+      GROUP BY dft.gid, dft.t, be.b
+    ),
+    dv AS (
+      SELECT gid, t, b,
+             e - lead(e) OVER (PARTITION BY gid, t ORDER BY b) AS d
+      FROM eb
+    ),
+    ddv AS (
+      SELECT gid, t, b,
+             d - lag(d) OVER (PARTITION BY gid, b ORDER BY t) AS dd
+      FROM dv WHERE d IS NOT NULL
+    ),
+    w AS (
+      SELECT gid, t - 1 AS word_idx,
+             sum(CASE WHEN dd > 0 THEN CAST(1 AS BIGINT) ELSE 0 END
+                 * (CAST(1 AS BIGINT) << (31 - b))) AS word
+      FROM ddv WHERE dd IS NOT NULL AND b < 32
+      GROUP BY gid, t
+    ),
+    -- the scaled twin's fingerprint equals the base's (energies scale by
+    -- 4, no sign flips — audited by tools/fingerprint_margin_check.py),
+    -- so per-doc words come from the group table
+    dw AS (
+      SELECT d.doc_id AS asset_id, w.word_idx, w.word
+      FROM documents d
+      JOIN w ON w.gid = d.doc_id - d.doc_id % 2
+    ),
+    pairs AS (
+      SELECT a.asset_id AS asset_a, b2.asset_id AS asset_b,
+             count(*) AS n_common
+      FROM dw a JOIN dw b2
+        ON a.word_idx = b2.word_idx AND a.word = b2.word
+       AND a.asset_id < b2.asset_id
+      GROUP BY a.asset_id, b2.asset_id
+    )
+    SELECT asset_a, asset_b, CAST(n_common AS BIGINT) AS n_common
+    FROM pairs WHERE n_common >= 3
+    """,
+)
+def wav_fingerprint_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup RETRIEVAL — the matcher stage on top of the
+    fingerprint stream: decode real WAVs (the paired corpus: odd docs
+    carry their even buddy's samples amplitude-doubled — byte-different
+    audio, identical fingerprint), bucket on each (word_idx, word) as an
+    LSH key, equi-join the buckets, and keep pairs sharing ≥ 3 words.
+    The corpus is never all-paired — candidates explode only inside
+    word buckets, exactly the SimHash/pHash banding shape; 32-bit DFT
+    sign words make random cross-doc collisions vanishingly rare, so
+    the survivors are the amplitude twins recovered from the SIGNAL
+    MATH, not byte equality."""
+    from pyspark.sql import functions as F
+
+    from etl_process_spark.multimodal.assets import (
+        synthesize_paired_audio_assets,
+    )
+
+    words = audio_fingerprint_words(
+        synthesize_paired_audio_assets(spark, sf_dir),
+        frame=_FP_FRAME, hop=_FP_HOP, n_bands=_FP_NBANDS,
+    )
+    a, b = words.alias("a"), words.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.word_idx") == F.col("b.word_idx"))
+            & (F.col("a.word") == F.col("b.word"))
+            & (F.col("a.asset_id") < F.col("b.asset_id")),
+        )
+        .groupBy(
+            F.col("a.asset_id").alias("asset_a"),
+            F.col("b.asset_id").alias("asset_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .filter(F.col("n_common") >= 3)
+    )
+
+
+@query(
     "audio_feature_stats",
     """
     WITH b AS (

@@ -34,7 +34,8 @@ PYTHON_OK = {"image_decode_stats", "video_frame_sample", "audio_feature_stats",
              # round 5: real-codec corpus synthesis (PNG/WAV encode) +
              # decode both run in declared mapInPandas stages
              "image_resize_luma", "video_frame_luma",
-             "wav_fingerprint_words", "image_rgb_channel_stats",
+             "wav_fingerprint_words", "wav_fingerprint_dup_pairs",
+             "image_rgb_channel_stats",
              # declared vectorized-UDF fast path: cell-cogrouped Arrow kNN
              # scoring (numpy over blocks, order-exact vs the JVM plan;
              # similarity.py::_knn_cells_arrow) — never row-at-a-time

@@ -70,6 +70,18 @@ def margins_for_sf(sf_dir: str, frame: int = 128, hop: int = 128,
         rel = np.abs(dd) / scale
         worst_rel = min(worst_rel, float(rel.min()))
         n_bits += dd.size
+        # the paired-audio corpus assigns the BASE fingerprint to the
+        # amplitude-doubled twin — invariance must hold on these exact
+        # floats, not just in theory
+        from etl_process_spark.multimodal.codecs import (
+            audio_fingerprint_from_samples,
+        )
+
+        assert audio_fingerprint_from_samples(
+            x, frame=frame, hop=hop, n_bands=n_bands
+        ) == audio_fingerprint_from_samples(
+            2.0 * x, frame=frame, hop=hop, n_bands=n_bands
+        )
     return worst_rel, len(texts), n_bits
 
 
