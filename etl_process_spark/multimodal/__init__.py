@@ -17,14 +17,18 @@ from etl_process_spark.multimodal.assets import (  # noqa: F401
     synthesize_assets,
     synthesize_audio_assets,
     synthesize_image_assets,
+    synthesize_paired_audio_assets,
+    synthesize_rgb_image_assets,
     synthesize_video_assets,
 )
 from etl_process_spark.multimodal.ops import (  # noqa: F401
     audio_features,
+    audio_fingerprint_words,
     decode_image_stats,
     packed_frame_luma,
     phash_images,
     resize_images,
+    rgb_channel_stats,
     sample_frames,
     sample_packed_frames,
 )

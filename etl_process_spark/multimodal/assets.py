@@ -258,11 +258,28 @@ def synthesize_image_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _require_ascii(doc_id, text: str) -> str:
+    """The audio oracles rebuild the sample stream with per-CHARACTER
+    ``ascii(substr(text, i, 1))`` in SQL, which equals the utf-8 BYTE
+    stream only for ASCII text. The driver corpus satisfies this; any
+    future multi-byte character must fail loudly here rather than
+    silently diverging the oracle (different code-point values AND a
+    different sample count)."""
+    text = text or ""
+    if not text.isascii():
+        raise ValueError(
+            f"doc {doc_id}: non-ASCII text breaks the audio oracle "
+            "contract (per-character ascii() != per-byte sample stream)"
+        )
+    return text
+
+
 def synthesize_audio_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One REAL mono 16-bit PCM WAV per document: sample i is the
     document's i-th utf-8 byte minus 128 (the same centered values the
     byte-level era used, so the feature oracle carries over verbatim —
-    WAV PCM is lossless)."""
+    WAV PCM is lossless). ASCII-only corpus contract enforced by
+    ``_require_ascii``."""
     from collections.abc import Iterator
 
     import numpy as np
@@ -275,7 +292,8 @@ def synthesize_audio_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
             ids, contents, counts = [], [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 b = np.frombuffer(
-                    (text or "").encode("utf-8"), dtype=np.uint8
+                    _require_ascii(doc_id, text).encode("utf-8"),
+                    dtype=np.uint8,
                 ).astype(np.int16)
                 wav = encode_wav(b - 128)
                 ids.append(int(doc_id))
@@ -464,7 +482,8 @@ def synthesize_paired_audio_assets(spark: SparkSession, sf_dir: str) -> DataFram
             ids, contents, counts = [], [], []
             for doc_id, base_text in zip(pdf["doc_id"], pdf["base_text"]):
                 s = np.frombuffer(
-                    (base_text or "").encode("utf-8"), dtype=np.uint8
+                    _require_ascii(doc_id, base_text).encode("utf-8"),
+                    dtype=np.uint8,
                 ).astype(np.int16) - 128
                 if int(doc_id) % 2 == 1:
                     s = (2 * s).astype(np.int16)

@@ -164,6 +164,12 @@ def iter_packed_frames(content: bytes, every_n: int = 1):
             yield idx, content[pos + 4 : end]
         pos = end
         idx += 1
+    if pos != len(content):
+        # 1-3 trailing bytes can't be a length prefix: container corruption
+        raise ValueError(
+            f"packed-frame container has {len(content) - pos} trailing "
+            "garbage bytes after the last complete frame"
+        )
 
 
 def _dct_matrix(n: int):
@@ -274,6 +280,14 @@ def band_edges(frame: int, n_bands: int):
     )
     if len(edges) < n_bands + 1:  # tiny frame: fall back to linear edges
         edges = np.linspace(lo, hi, n_bands + 1).astype(int)
+    if np.any(np.diff(edges) <= 0):
+        # duplicate integer edges (e.g. frame so small that even the
+        # linear grid collapses) would make np.add.reduceat silently
+        # emit degenerate band energies — fail loudly instead
+        raise ValueError(
+            f"band_edges({frame}, {n_bands}): grid collapses to "
+            f"non-monotone integer edges; pick fewer bands or a larger frame"
+        )
     return edges
 
 

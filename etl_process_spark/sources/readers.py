@@ -254,25 +254,46 @@ _MISSING_TABLE_MARKERS = (
     "42x05",                    # Derby: table/view does not exist (SQLState)
     "42p01",                    # Postgres: undefined_table
     "42s02",                    # MySQL/ODBC: base table or view not found
-    "does not exist",           # Derby/Postgres message text
-    "doesn't exist",            # MySQL message text
     "table or view not found",  # Spark's own analysis phrasing
     "no such table",            # SQLite
 )
 
+# Derby: "Table/View 'X' does not exist."; Postgres: relation "x" does not
+# exist; MySQL: "Table 'db.x' doesn't exist". The relation noun must appear
+# BEFORE the phrase so 'database "x" does not exist' / 'schema ... does not
+# exist' (connection-level failures) are NOT classified as first-run
+# missing-table.
+_MISSING_RELATION_RE = None
+
+
+def _missing_relation_re():
+    global _MISSING_RELATION_RE
+    if _MISSING_RELATION_RE is None:
+        import re
+
+        _MISSING_RELATION_RE = re.compile(
+            r"\b(?:table|view|relation)\b[^.;\n]{0,120}"
+            r"(?:does not exist|doesn't exist)"
+        )
+    return _MISSING_RELATION_RE
+
 
 def _is_missing_table_error(exc: BaseException) -> bool:
-    """True iff the exception chain looks like a missing-relation error
+    """True iff the exception chain looks like a missing-RELATION error
     (vs. a transient connection/auth failure that must be re-raised).
     Walks the Py4J/Spark exception text, which embeds the JDBC driver's
-    SQLState and message."""
+    SQLState and message. The does-not-exist phrasing only counts when a
+    relation noun (table/view/relation) precedes it, so a missing
+    DATABASE or SCHEMA is never mistaken for a first-run missing table."""
     seen: list[str] = []
     e: BaseException | None = exc
     while e is not None and len(seen) < 8:
         seen.append(str(e).lower())
         e = e.__cause__ or e.__context__
     text = " ".join(seen)
-    return any(marker in text for marker in _MISSING_TABLE_MARKERS)
+    if any(marker in text for marker in _MISSING_TABLE_MARKERS):
+        return True
+    return _missing_relation_re().search(text) is not None
 
 
 def write_jdbc_append(

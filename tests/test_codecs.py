@@ -208,6 +208,11 @@ def test_packed_frames_roundtrip_and_sampling():
     ]
     with pytest.raises(ValueError, match="truncated"):
         list(iter_packed_frames(packed[:-1]))
+    # 1-3 trailing bytes after the last complete frame can't be a length
+    # prefix: must be reported as corruption, not silently ignored
+    # (round-5 advice)
+    with pytest.raises(ValueError, match="trailing"):
+        list(iter_packed_frames(packed + b"\x00\x01"))
 
 
 # -------------------- the corpus takes the REAL path ----------------------
@@ -308,6 +313,14 @@ def test_band_edges_shared_contract():
     e = band_edges(128, 33)
     assert len(e) == 34 and e[0] == 1 and e[-1] == 64
     assert all(int(b) > int(a) for a, b in zip(e, e[1:]))
+    # frames too small for even the linear grid fail loudly instead of
+    # emitting degenerate reduceat buckets (round-5 advice)
+    with pytest.raises(ValueError, match="non-monotone"):
+        band_edges(64, 33)
+    # larger frames (log grid survives) also come back strictly increasing
+    e2 = band_edges(1024, 33)
+    assert len(e2) == 34
+    assert all(int(b) > int(a) for a, b in zip(e2, e2[1:]))
 
 
 def test_audio_fingerprint_wav_equals_samples_path():

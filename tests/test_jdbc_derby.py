@@ -201,6 +201,11 @@ def test_missing_table_error_classifier():
         Exception("Connection refused: connect"),
         Exception("FATAL: password authentication failed for user \"etl\""),
         Exception("java.net.SocketTimeoutException: Read timed out"),
+        # does-not-exist phrasing WITHOUT a relation noun must not match
+        # (round-5 advice): a missing database/schema is a connection-level
+        # failure, not a first-run missing table
+        Exception('FATAL: database "frauddb" does not exist'),
+        Exception('ERROR: schema "reporting" does not exist'),
     ]
     assert all(_is_missing_table_error(e) for e in missing)
     assert not any(_is_missing_table_error(e) for e in transient)

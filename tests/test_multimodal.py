@@ -113,6 +113,24 @@ def test_frame_sampling_fanout(assets):
     assert len(got) == len(range(0, n_frames, 2))
 
 
+def test_audio_corpus_ascii_contract(spark):
+    """The audio oracles rebuild the sample stream per-CHARACTER with
+    ascii(substr(...)), which equals the utf-8 BYTE stream only for
+    ASCII text. Pin the corpus invariant (round-5 advice) and that the
+    synthesizer fails LOUDLY on a violation instead of diverging."""
+    from etl_process_spark.multimodal.assets import _require_ascii
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n_bad = docs.filter(
+        F.length(F.col("text")) != F.length(F.encode(F.col("text"), "UTF-8"))
+    ).count()
+    assert n_bad == 0
+    assert _require_ascii(1, "plain ascii text") == "plain ascii text"
+    assert _require_ascii(1, None) == ""
+    with pytest.raises(ValueError, match="non-ASCII"):
+        _require_ascii(7, "café")
+
+
 # ---- real pHash math (round 4): pixel-level properties, no codec needed ----
 
 def _ham(h1: str, h2: str) -> int:
