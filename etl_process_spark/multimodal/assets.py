@@ -454,14 +454,37 @@ def synthesize_rgb_image_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def synthesize_paired_audio_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+def twin_shift_hops(gid: int, max_shift_hops: int) -> int:
+    """Deterministic per-group hop shift for the odd audio twin:
+    0 when shifting is off, else 1 + (gid/2) mod max — every group's
+    twin is shifted by a DIFFERENT, SQL-recomputable amount."""
+    if max_shift_hops <= 0:
+        return 0
+    return 1 + (gid // 2) % max_shift_hops
+
+
+def synthesize_paired_audio_assets(
+    spark: SparkSession,
+    sf_dir: str,
+    max_shift_hops: int = 0,
+    hop: int = 128,
+) -> DataFrame:
     """Paired WAV corpus for audio near-dup detection: the even doc of
     each group carries its own byte-stream audio; the odd doc carries
     its even buddy's samples amplitude-DOUBLED (2·s, exact in int16
     since |s| ≤ 128) — byte-different audio with an IDENTICAL
     Haitsma–Kalker fingerprint (every band energy scales by 4, flipping
     no difference sign), the ground truth a fingerprint matcher must
-    recover. The audio analogue of the image corpus' affine-luma twins."""
+    recover. The audio analogue of the image corpus' affine-luma twins.
+
+    With ``max_shift_hops > 0`` the odd twin is ADDITIONALLY time-shifted
+    by k = ``twin_shift_hops(gid)`` whole hops (samples ``s[k·hop:]``):
+    the twin's fingerprint words are then the base's words at word_idx + k
+    (frame t of the twin IS frame t+k of the base, bit-exactly — doubling
+    is an exponent shift, so no sign flips). An aligned (word_idx, word)
+    matcher scores ZERO on these twins; only the offset-vote matcher
+    (``wav_fingerprint_offset_pairs``) recovers them — the in-the-wild
+    robustness the Haitsma–Kalker paper's matcher is built for."""
     from collections.abc import Iterator
 
     import numpy as np
@@ -485,9 +508,11 @@ def synthesize_paired_audio_assets(spark: SparkSession, sf_dir: str) -> DataFram
                     _require_ascii(doc_id, base_text).encode("utf-8"),
                     dtype=np.uint8,
                 ).astype(np.int16) - 128
-                if int(doc_id) % 2 == 1:
-                    s = (2 * s).astype(np.int16)
-                ids.append(int(doc_id))
+                did = int(doc_id)
+                if did % 2 == 1:
+                    k = twin_shift_hops(did - 1, max_shift_hops)
+                    s = (2 * s[k * hop:]).astype(np.int16)
+                ids.append(did)
                 contents.append(encode_wav(s))
                 counts.append(int(s.size))
             yield pd.DataFrame(

@@ -486,16 +486,20 @@ def wav_fingerprint_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "wav_fingerprint_dup_pairs",
-    f"""
-    WITH d0 AS (
+# Shared oracle fragment: per-GROUP Haitsma–Kalker words rebuilt in SQL
+# from the even doc's sample stream (one fingerprint per group — exactly
+# what amplitude invariance licenses; the odd twin's words derive from
+# these by reindexing). Parameterized on the hop so the offset matcher
+# can run with overlapping frames (hop < frame).
+def _fp_group_words_sql(hop: int) -> str:
+    return f"""
+    d0 AS (
       SELECT doc_id AS gid, text, length(text) AS n FROM documents
       WHERE doc_id % 2 = 0 AND length(text) >= {2 * _FP_FRAME}
     ),
     fr AS (
       SELECT gid, t
-      FROM d0, unnest(range(0, 1 + (n - {_FP_FRAME}) // {_FP_HOP})) AS tt(t)
+      FROM d0, unnest(range(0, 1 + (n - {_FP_FRAME}) // {hop})) AS tt(t)
     ),
     sv AS (
       SELECT gid, i, ascii(substr(text, i + 1, 1)) - 128 AS v
@@ -503,11 +507,11 @@ def wav_fingerprint_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     dft AS (
       SELECT fr.gid, fr.t, kk.k,
-             sum(sv.v * cos(2 * pi() * kk.k * (sv.i - fr.t * {_FP_HOP}) / {_FP_FRAME}.0)) AS re,
-             sum(sv.v * sin(2 * pi() * kk.k * (sv.i - fr.t * {_FP_HOP}) / {_FP_FRAME}.0)) AS im
+             sum(sv.v * cos(2 * pi() * kk.k * (sv.i - fr.t * {hop}) / {_FP_FRAME}.0)) AS re,
+             sum(sv.v * sin(2 * pi() * kk.k * (sv.i - fr.t * {hop}) / {_FP_FRAME}.0)) AS im
       FROM fr
       JOIN sv ON sv.gid = fr.gid
-             AND sv.i >= fr.t * {_FP_HOP} AND sv.i < fr.t * {_FP_HOP} + {_FP_FRAME}
+             AND sv.i >= fr.t * {hop} AND sv.i < fr.t * {hop} + {_FP_FRAME}
       CROSS JOIN unnest(range(1, {_FP_FRAME // 2})) AS kk(k)
       GROUP BY fr.gid, fr.t, kk.k
     ),
@@ -533,7 +537,14 @@ def wav_fingerprint_words(spark: SparkSession, sf_dir: str) -> DataFrame:
                  * (CAST(1 AS BIGINT) << (31 - b))) AS word
       FROM ddv WHERE dd IS NOT NULL AND b < 32
       GROUP BY gid, t
-    ),
+    )
+"""
+
+
+@query(
+    "wav_fingerprint_dup_pairs",
+    f"""
+    WITH {_fp_group_words_sql(_FP_HOP)},
     -- the scaled twin's fingerprint equals the base's (energies scale by
     -- 4, no sign flips — audited by tools/fingerprint_margin_check.py),
     -- so per-doc words come from the group table
@@ -589,6 +600,134 @@ def wav_fingerprint_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_common"))
         .filter(F.col("n_common") >= 3)
+    )
+
+
+_FP_MAX_SHIFT = 3    # twin shift k = 1 + (gid/2) % 3 hops (assets.twin_shift_hops)
+_FP_DF_CAP = 32      # document-frequency stop-word fence for the word buckets
+_FP_OHOP = 32        # offset matcher runs overlapping frames (hop < frame)
+                     # so the short test docs still yield enough words
+
+
+@query(
+    "wav_fingerprint_offset_pairs",
+    f"""
+    WITH {_fp_group_words_sql(_FP_OHOP)},
+    -- per-doc words: the even doc carries the base words verbatim; the
+    -- odd twin is time-shifted by k = 1 + (gid/2) % {_FP_MAX_SHIFT} hops and
+    -- amplitude-doubled, so its word j IS the base word j + k (frame t of
+    -- the twin is frame t+k of the base, bit-exactly). The twin emits
+    -- words only when its truncated stream still passes the codec's
+    -- 2-frame guard (n - k·hop >= 2·frame).
+    shifts AS (
+      SELECT gid, n, 1 + (gid // 2) % {_FP_MAX_SHIFT} AS k FROM d0
+    ),
+    dw AS (
+      SELECT d.doc_id AS asset_id,
+             CAST(w.word_idx - CASE WHEN d.doc_id % 2 = 1 THEN s.k ELSE 0 END
+                  AS INT) AS word_idx,
+             w.word
+      FROM documents d
+      JOIN w ON w.gid = d.doc_id - d.doc_id % 2
+      JOIN shifts s ON s.gid = w.gid
+      WHERE (d.doc_id % 2 = 0)
+         OR (w.word_idx >= s.k AND s.n - s.k * {_FP_OHOP} >= {2 * _FP_FRAME})
+    ),
+    freq AS (
+      SELECT word, count(DISTINCT asset_id) AS df FROM dw GROUP BY word
+    ),
+    kw AS (
+      SELECT dw.asset_id, dw.word_idx, dw.word
+      FROM dw JOIN freq USING (word) WHERE freq.df <= {_FP_DF_CAP}
+    ),
+    m AS (
+      SELECT a.asset_id AS asset_a, b.asset_id AS asset_b,
+             a.word_idx - b.word_idx AS off
+      FROM kw a JOIN kw b
+        ON a.word = b.word AND a.asset_id < b.asset_id
+    ),
+    v AS (
+      SELECT asset_a, asset_b, off, count(*) AS c
+      FROM m GROUP BY asset_a, asset_b, off
+    ),
+    best AS (
+      SELECT asset_a, asset_b, off, c,
+             row_number() OVER (PARTITION BY asset_a, asset_b
+                                ORDER BY c DESC, off ASC) AS rn
+      FROM v
+    )
+    SELECT asset_a, asset_b, CAST(off AS INT) AS best_offset,
+           CAST(c AS BIGINT) AS n_votes
+    FROM best WHERE rn = 1 AND c >= 3
+    """,
+)
+def wav_fingerprint_offset_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OFFSET-INVARIANT audio near-dup retrieval (the Haitsma–Kalker
+    matcher shape): decode real WAVs from the paired corpus whose odd
+    twins are amplitude-doubled AND time-shifted by 1-3 whole hops —
+    byte-different audio whose fingerprint stream is the base's stream
+    displaced in time. The aligned (word_idx, word) matcher of
+    ``wav_fingerprint_dup_pairs`` scores ZERO common words on these
+    twins (pinned by test); this matcher buckets on the 32-bit word
+    ALONE, equi-joins the buckets, then votes on the word_idx offset per
+    candidate pair and keeps pairs whose modal offset has ≥ 3 supporting
+    words (modal = max votes, smallest offset on ties — deterministic).
+    Frames overlap (hop = 32 < frame = 128) so the short test documents
+    still yield enough words to clear the vote fence — standard
+    fingerprinting practice (Haitsma–Kalker use 31/32 overlap).
+
+    Scale shape: still never all-pairs — candidates explode only inside
+    word buckets, and a document-frequency fence (df ≤ 32) drops
+    degenerate hot words (silence-like frames) before the self-join, the
+    standard stop-word guard that bounds the hottest bucket. The oracle
+    REBUILDS the base words in SQL, derives the twin's shifted words by
+    reindexing (exact: doubling is an exponent shift, whole-hop shifts
+    align frame boundaries), and replays the vote + modal-offset pick."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from etl_process_spark.multimodal.assets import (
+        synthesize_paired_audio_assets,
+    )
+
+    words = audio_fingerprint_words(
+        synthesize_paired_audio_assets(
+            spark, sf_dir, max_shift_hops=_FP_MAX_SHIFT, hop=_FP_OHOP
+        ),
+        frame=_FP_FRAME, hop=_FP_OHOP, n_bands=_FP_NBANDS,
+    )
+    keep = (
+        words.groupBy("word")
+        .agg(F.countDistinct("asset_id").alias("df"))
+        .filter(F.col("df") <= _FP_DF_CAP)
+        .select("word")
+    )
+    kw = words.join(keep, "word")
+    a, b = kw.alias("a"), kw.alias("b")
+    votes = (
+        a.join(
+            b,
+            (F.col("a.word") == F.col("b.word"))
+            & (F.col("a.asset_id") < F.col("b.asset_id")),
+        )
+        .groupBy(
+            F.col("a.asset_id").alias("asset_a"),
+            F.col("b.asset_id").alias("asset_b"),
+            (F.col("a.word_idx") - F.col("b.word_idx")).alias("off"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    win = Window.partitionBy("asset_a", "asset_b").orderBy(
+        F.desc("n_votes"), F.asc("off")
+    )
+    return (
+        votes.withColumn("rn", F.row_number().over(win))
+        .filter((F.col("rn") == 1) & (F.col("n_votes") >= 3))
+        .select(
+            "asset_a", "asset_b",
+            F.col("off").cast("int").alias("best_offset"),
+            F.col("n_votes").cast("long").alias("n_votes"),
+        )
     )
 
 

@@ -362,3 +362,64 @@ def test_rgb_corpus_is_real_color_png(spark):
         assert c == 3
         assert (w, h) == (r["meta"]["width"], r["meta"]["height"])
         assert np.array_equal(px, rgb_image_pixels(int(r["asset_id"])))
+
+
+def test_shifted_twins_need_offset_vote_matcher(spark):
+    """The round-6 ground truth: hop-shifted amplitude twins score ZERO
+    on the aligned (word_idx, word) matcher and are recovered by the
+    offset-vote matcher — the property that makes the offset matcher a
+    real operator, not a re-labeling of the aligned one."""
+    from pyspark.sql import functions as F
+
+    from etl_process_spark.multimodal.assets import (
+        synthesize_paired_audio_assets,
+        twin_shift_hops,
+    )
+    from etl_process_spark.multimodal.ops import audio_fingerprint_words
+    from etl_process_spark.queries.media import (
+        _FP_FRAME,
+        _FP_MAX_SHIFT,
+        _FP_NBANDS,
+        _FP_OHOP,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    words = audio_fingerprint_words(
+        synthesize_paired_audio_assets(
+            spark, sf, max_shift_hops=_FP_MAX_SHIFT, hop=_FP_OHOP
+        ),
+        frame=_FP_FRAME, hop=_FP_OHOP, n_bands=_FP_NBANDS,
+    ).cache()
+    try:
+        # the aligned matcher (wav_fingerprint_dup_pairs' join) on the
+        # SHIFTED corpus: no twin pair may clear the >=3 fence
+        a, b = words.alias("a"), words.alias("b")
+        aligned = (
+            a.join(
+                b,
+                (F.col("a.word_idx") == F.col("b.word_idx"))
+                & (F.col("a.word") == F.col("b.word"))
+                & (F.col("a.asset_id") + 1 == F.col("b.asset_id"))
+                & (F.col("a.asset_id") % 2 == 0),
+            )
+            .groupBy(F.col("a.asset_id").alias("asset_a"))
+            .agg(F.count(F.lit(1)).alias("n_common"))
+            .filter(F.col("n_common") >= 3)
+        )
+        assert aligned.count() == 0
+        # the offset-vote matcher recovers the twins, each at the exact
+        # synthesized shift
+        from etl_process_spark.queries import QUERIES
+
+        rows = QUERIES["wav_fingerprint_offset_pairs"].builder(
+            spark, sf
+        ).collect()
+        twins = [
+            r for r in rows
+            if r.asset_a % 2 == 0 and r.asset_b == r.asset_a + 1
+        ]
+        assert len(twins) >= 50
+        for r in twins:
+            assert r.best_offset == twin_shift_hops(r.asset_a, _FP_MAX_SHIFT)
+    finally:
+        words.unpersist()
