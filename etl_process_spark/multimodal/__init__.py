@@ -18,6 +18,7 @@ from etl_process_spark.multimodal.assets import (  # noqa: F401
     synthesize_audio_assets,
     synthesize_image_assets,
     synthesize_paired_audio_assets,
+    synthesize_paired_video_assets,
     synthesize_rgb_image_assets,
     synthesize_video_assets,
 )
@@ -26,6 +27,7 @@ from etl_process_spark.multimodal.ops import (  # noqa: F401
     audio_fingerprint_words,
     decode_image_stats,
     packed_frame_luma,
+    packed_frame_phash,
     phash_images,
     resize_images,
     rgb_channel_stats,

@@ -372,6 +372,100 @@ def synthesize_video_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def paired_video_shape(gid: int) -> tuple[int, int]:
+    """(n_frames, twin_start) for a paired-video group: the even doc
+    carries 4 + (gid/2) % 3 base frames; the odd twin carries frames
+    [s, nf) with s = (gid/2) % 2 — half the twins are ALSO shifted by
+    one frame, so the matcher's temporal-alignment vote is exercised at
+    both offset 0 and offset 1."""
+    return 4 + (gid // 2) % 3, (gid // 2) % 2
+
+
+def paired_frame_pixels(gid: int, f: int):
+    """BASE pixel rule for paired-video frame ``f`` of group ``gid``:
+    fs[r] = md5(f"{gid}:pv:{f}:{r}")[0:4]; g[r][c] = (fs·(c+5) + 7r)
+    mod 128 over 24×24 — values in [0, 127] so the odd twin's affine
+    map 2·g + 1 stays inside uint8 exactly (the video analogue of
+    ``image_pixels``)."""
+    import hashlib
+
+    import numpy as np
+
+    d = VID_FRAME_DIM
+    fs = np.array(
+        [
+            int(hashlib.md5(f"{gid}:pv:{f}:{r}".encode()).hexdigest()[:4], 16)
+            for r in range(d)
+        ],
+        dtype=np.int64,
+    )
+    c = np.arange(d, dtype=np.int64)
+    g = (fs[:, None] * (c[None, :] + 5) + 7 * np.arange(d, dtype=np.int64)[:, None]) % 128
+    return g.astype("uint8")
+
+
+def synthesize_paired_video_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paired packed-PNG video corpus for video near-dup detection: the
+    even doc of each group carries nf base frames (``paired_frame_pixels``);
+    the odd doc carries frames [s, nf) of its even buddy, each under the
+    exact affine-luma map 2·g + 1 — byte-different frames with IDENTICAL
+    per-frame pHashes, displaced in time by s ∈ {0, 1}. Ground truth a
+    frame-level LSH + temporal-vote matcher must recover."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from etl_process_spark.multimodal.codecs import pack_frames
+    from etl_process_spark.multimodal.pngcodec import encode_png
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, contents, nframes = [], [], []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                gid = image_group(did)
+                nf, s = paired_video_shape(gid)
+                if did % 2 == 0:
+                    frames = [
+                        encode_png(paired_frame_pixels(gid, f))
+                        for f in range(nf)
+                    ]
+                else:
+                    frames = [
+                        encode_png(
+                            (2 * paired_frame_pixels(gid, f).astype("int64")
+                             + 1).astype("uint8")
+                        )
+                        for f in range(s, nf)
+                    ]
+                ids.append(did)
+                contents.append(pack_frames(frames))
+                nframes.append(len(frames))
+            yield pd.DataFrame(
+                {
+                    "asset_id": ids,
+                    "media_type": "video/x-packed-png",
+                    "content": contents,
+                    "n_frames": nframes,
+                }
+            )
+
+    raw = _docs_ids(spark, sf_dir).select("doc_id").mapInPandas(
+        fn, "asset_id long, media_type string, content binary, n_frames int"
+    )
+    return raw.select(
+        "asset_id",
+        "media_type",
+        "content",
+        F.struct(
+            F.lit(VID_FRAME_DIM).alias("width"),
+            F.lit(VID_FRAME_DIM).alias("height"),
+            F.col("n_frames").alias("channels"),
+            F.length("content").cast("long").alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
 RGB_DIM_MIN, RGB_DIM_SPAN = 16, 33          # rgb h, w ∈ [16, 48]
 
 

@@ -258,6 +258,41 @@ def audio_fingerprint_words(
     )
 
 
+FRAME_PHASH_SCHEMA = "asset_id long, frame_idx int, phash string"
+
+
+def packed_frame_phash(assets: DataFrame, every_n: int = 1) -> DataFrame:
+    """Per-FRAME perceptual hash over packed-PNG video containers: walk
+    each container by length prefix, decode every ``every_n``-th frame,
+    emit its 64-bit pHash as 16 hex chars. Bytes never leave the Python
+    stage — only (asset_id, frame_idx, digest) rows cross the Arrow
+    boundary, so the downstream frame-level LSH join shuffles digests,
+    never pixels."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from etl_process_spark.multimodal.codecs import (
+            iter_packed_frames,
+            perceptual_hash,
+        )
+
+        for pdf in batches:
+            ids: list[int] = []
+            idxs: list[int] = []
+            hashes: list[str] = []
+            for aid, content in zip(pdf["asset_id"], pdf["content"]):
+                for idx, chunk in iter_packed_frames(bytes(content), every_n):
+                    ids.append(int(aid))
+                    idxs.append(idx)
+                    hashes.append(perceptual_hash(chunk))
+            yield pd.DataFrame(
+                {"asset_id": ids, "frame_idx": idxs, "phash": hashes}
+            )
+
+    return assets.select("asset_id", "content").mapInPandas(
+        fn, FRAME_PHASH_SCHEMA
+    )
+
+
 PHASH_SCHEMA = "asset_id long, phash string"
 
 

@@ -731,6 +731,231 @@ def wav_fingerprint_offset_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- video near-dup: per-frame pHash + temporal-alignment vote ------------
+# 24×24 frames upsample to the 32×32 pHash grid by the _area_resize fill
+# rule, which for h < target is pure PIXEL DUPLICATION: pooled[p][q] =
+# g[src(p)][src(q)]. The src map is embedded as SQL literals (pinned to
+# _area_resize by test_codecs.py::test_video_pooled_map_matches_resize).
+
+
+def _vid_srcmap_sql() -> str:
+    from etl_process_spark.multimodal.assets import VID_FRAME_DIM
+
+    h, t = VID_FRAME_DIM, 32
+    m = {r * t // h: r for r in range(h)}
+    src, last = [], 0
+    for p in range(t):
+        last = m.get(p, last)
+        src.append(last)
+    rows = ", ".join(f"({p}, {sr})" for p, sr in enumerate(src))
+    return f"srcmap(p, sr) AS (VALUES {rows})"
+
+
+@query(
+    "video_phash_dup_pairs",
+    f"""
+    WITH grp AS (SELECT DISTINCT doc_id - doc_id % 2 AS gid FROM documents),
+    vids AS (
+      SELECT gid, 4 + (gid // 2) % 3 AS nf, (gid // 2) % 2 AS s FROM grp
+    ),
+    fr AS (SELECT gid, f FROM vids, unnest(range(0, nf)) AS t(f)),
+    rows_ AS (
+      SELECT gid, f, r,
+             CAST('0x' || substr(md5(CAST(gid AS VARCHAR) || ':pv:'
+                  || CAST(f AS VARCHAR) || ':' || CAST(r AS VARCHAR)), 1, 4)
+                  AS BIGINT) AS fs
+      FROM fr, unnest(range(0, 24)) AS tr(r)
+    ),
+    px AS (
+      SELECT gid, f, r, c, (fs * (c + 5) + 7 * r) % 128 AS gv
+      FROM rows_, unnest(range(0, 24)) AS tc(c)
+    ),
+    {_vid_srcmap_sql()},
+    pooled AS (
+      SELECT px.gid, px.f, mr.p AS p, mc.p AS q, CAST(px.gv AS DOUBLE) AS vbar
+      FROM px
+      JOIN srcmap mr ON px.r = mr.sr
+      JOIN srcmap mc ON px.c = mc.sr
+    ),
+    basis AS (
+      SELECT k, i,
+             (CASE WHEN k = 0 THEN sqrt(1.0 / 32.0) ELSE sqrt(2.0 / 32.0) END)
+               * cos(pi() * (2 * i + 1) * k / 64.0) AS m
+      FROM unnest(range(0, 8)) AS a(k), unnest(range(0, 32)) AS b(i)
+    ),
+    t1 AS (
+      SELECT pooled.gid, pooled.f, pooled.p, basis.k AS v,
+             sum(pooled.vbar * basis.m) AS tv
+      FROM pooled JOIN basis ON basis.i = pooled.q
+      GROUP BY pooled.gid, pooled.f, pooled.p, basis.k
+    ),
+    blk AS (
+      SELECT t1.gid, t1.f, basis.k AS u, t1.v, sum(t1.tv * basis.m) AS coef
+      FROM t1 JOIN basis ON basis.i = t1.p
+      GROUP BY t1.gid, t1.f, basis.k, t1.v
+    ),
+    med AS (
+      SELECT gid, f, median(coef) AS med FROM blk
+      WHERE NOT (u = 0 AND v = 0) GROUP BY gid, f
+    ),
+    bits AS (
+      SELECT b.gid, b.f, b.u * 8 + b.v AS j,
+             CASE WHEN (b.u = 0 AND b.v = 0) THEN 0
+                  WHEN b.coef > m.med THEN 1 ELSE 0 END AS bit
+      FROM blk b JOIN med m ON b.gid = m.gid AND b.f = m.f
+    ),
+    bands AS (
+      SELECT gid, f, j // 16 AS band,
+             sum(bit * (1 << (15 - (j % 16)))) AS code
+      FROM bits GROUP BY gid, f, j // 16
+    ),
+    ph AS (
+      SELECT gid, f,
+             max(CASE WHEN band = 0 THEN code END) * 65536
+               + max(CASE WHEN band = 1 THEN code END) AS h1,
+             max(CASE WHEN band = 2 THEN code END) * 65536
+               + max(CASE WHEN band = 3 THEN code END) AS h2
+      FROM bands GROUP BY gid, f
+    ),
+    -- per-doc frames: even doc = base verbatim; the odd twin carries
+    -- frames [s, nf) affine-luma'd (identical pHash), reindexed from 0
+    dfh AS (
+      SELECT d.doc_id AS asset_id,
+             CAST(ph.f - CASE WHEN d.doc_id % 2 = 1 THEN v.s ELSE 0 END
+                  AS INT) AS frame_idx,
+             ph.h1, ph.h2
+      FROM documents d
+      JOIN vids v ON v.gid = d.doc_id - d.doc_id % 2
+      JOIN ph ON ph.gid = v.gid
+      WHERE d.doc_id % 2 = 0 OR ph.f >= v.s
+    ),
+    dband AS (
+      SELECT d.doc_id AS asset_id,
+             CAST(b.f - CASE WHEN d.doc_id % 2 = 1 THEN v.s ELSE 0 END
+                  AS INT) AS frame_idx,
+             b.band, b.code
+      FROM documents d
+      JOIN vids v ON v.gid = d.doc_id - d.doc_id % 2
+      JOIN bands b ON b.gid = v.gid
+      WHERE d.doc_id % 2 = 0 OR b.f >= v.s
+    ),
+    cand AS (
+      SELECT DISTINCT a.asset_id AS asset_a, a.frame_idx AS fa,
+                      b2.asset_id AS asset_b, b2.frame_idx AS fb
+      FROM dband a JOIN dband b2
+        ON a.band = b2.band AND a.code = b2.code
+       AND a.asset_id < b2.asset_id
+    ),
+    verif AS (
+      SELECT c.asset_a, c.asset_b, c.fa - c.fb AS off
+      FROM cand c
+      JOIN dfh pa ON pa.asset_id = c.asset_a AND pa.frame_idx = c.fa
+      JOIN dfh pb ON pb.asset_id = c.asset_b AND pb.frame_idx = c.fb
+      WHERE bit_count(xor(pa.h1, pb.h1)) + bit_count(xor(pa.h2, pb.h2)) <= 6
+    ),
+    votes AS (
+      SELECT asset_a, asset_b, off, count(*) AS c
+      FROM verif GROUP BY asset_a, asset_b, off
+    ),
+    best AS (
+      SELECT asset_a, asset_b, off, c,
+             row_number() OVER (PARTITION BY asset_a, asset_b
+                                ORDER BY c DESC, off ASC) AS rn
+      FROM votes
+    )
+    SELECT asset_a, asset_b, CAST(off AS INT) AS best_offset,
+           CAST(c AS BIGINT) AS n_frames_matched
+    FROM best WHERE rn = 1 AND c >= 3
+    """,
+)
+def video_phash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VIDEO near-dup detection, REAL end-to-end: walk each packed-PNG
+    container, decode every frame, per-frame 64-bit pHash → frame-level
+    LSH (4×16-bit band buckets, pigeonhole-complete at hamming ≤ 3) →
+    exact hamming ≤ 6 verify on candidate FRAME pairs → temporal-
+    alignment vote per VIDEO pair: modal frame-index offset (max votes,
+    smallest offset on ties) with ≥ 3 supporting frames.
+
+    Ground truth is perceptual AND temporal: the odd twin carries its
+    even buddy's frames under the exact affine-luma map 2·g + 1
+    (byte-different, pHash-identical) starting at frame s ∈ {0, 1} — so
+    the matcher must recover both the pair and its time displacement.
+    Candidates only ever come from (band, code) buckets: the frame
+    corpus is never all-paired, the same LSH shape as the image/audio/
+    text dedup paths, and only 16-char digests cross the shuffle. The
+    oracle REBUILDS every frame's DCT sign bits in SQL from the integer
+    pixel rule (the 24→32 pooling is pure pixel duplication under
+    _area_resize's fill rule — the src map is embedded as literals and
+    pinned by test) and replays the bucket join, hamming verify, and
+    modal-offset vote."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from etl_process_spark.multimodal.assets import (
+        synthesize_paired_video_assets,
+    )
+    from etl_process_spark.multimodal.ops import packed_frame_phash
+
+    ph = packed_frame_phash(synthesize_paired_video_assets(spark, sf_dir))
+    p = ph.select(
+        "asset_id", "frame_idx",
+        F.conv(F.substring("phash", 1, 8), 16, 10).cast("long").alias("h1"),
+        F.conv(F.substring("phash", 9, 8), 16, 10).cast("long").alias("h2"),
+    )
+    bands = ph.select(
+        "asset_id", "frame_idx",
+        F.posexplode(
+            F.array(*[F.substring("phash", 1 + 4 * i, 4) for i in range(4)])
+        ).alias("band", "code"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.code") == F.col("b.code"))
+            & (F.col("a.asset_id") < F.col("b.asset_id")),
+        )
+        .select(
+            F.col("a.asset_id").alias("asset_a"),
+            F.col("a.frame_idx").alias("fa"),
+            F.col("b.asset_id").alias("asset_b"),
+            F.col("b.frame_idx").alias("fb"),
+        )
+        .distinct()
+    )
+    pa = p.select(
+        F.col("asset_id").alias("asset_a"), F.col("frame_idx").alias("fa"),
+        F.col("h1").alias("h1a"), F.col("h2").alias("h2a"),
+    )
+    pb = p.select(
+        F.col("asset_id").alias("asset_b"), F.col("frame_idx").alias("fb"),
+        F.col("h1").alias("h1b"), F.col("h2").alias("h2b"),
+    )
+    hamming = F.expr("bit_count(h1a ^ h1b) + bit_count(h2a ^ h2b)")
+    votes = (
+        cand.join(pa, ["asset_a", "fa"])
+        .join(pb, ["asset_b", "fb"])
+        .filter(hamming <= 6)
+        .groupBy(
+            "asset_a", "asset_b", (F.col("fa") - F.col("fb")).alias("off")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    win = Window.partitionBy("asset_a", "asset_b").orderBy(
+        F.desc("c"), F.asc("off")
+    )
+    return (
+        votes.withColumn("rn", F.row_number().over(win))
+        .filter((F.col("rn") == 1) & (F.col("c") >= 3))
+        .select(
+            "asset_a", "asset_b",
+            F.col("off").cast("int").alias("best_offset"),
+            F.col("c").cast("long").alias("n_frames_matched"),
+        )
+    )
+
+
 @query(
     "audio_feature_stats",
     """

@@ -423,3 +423,57 @@ def test_shifted_twins_need_offset_vote_matcher(spark):
             assert r.best_offset == twin_shift_hops(r.asset_a, _FP_MAX_SHIFT)
     finally:
         words.unpersist()
+
+
+def test_video_pooled_map_matches_resize():
+    """The video pHash oracle embeds a 24->32 source-row map as SQL
+    literals, claiming _area_resize's fill rule is pure pixel
+    duplication for h < target. Pin pooled[p][q] == g[src(p)][src(q)]
+    for the exact map the query generates."""
+    import re
+
+    from etl_process_spark.multimodal.codecs import _area_resize
+    from etl_process_spark.queries.media import _vid_srcmap_sql
+
+    pairs = re.findall(r"\((\d+), (\d+)\)", _vid_srcmap_sql())
+    src = [int(sr) for _p, sr in sorted(pairs, key=lambda t: int(t[0]))]
+    assert len(src) == 32
+    rng = np.random.default_rng(17)
+    for _ in range(3):
+        g = rng.integers(0, 128, size=(24, 24)).astype(np.float64)
+        pooled = _area_resize(g, 32, 32)
+        assert np.array_equal(pooled, g[np.ix_(src, src)])
+
+
+def test_paired_video_corpus_twins_are_shifted_affine(spark):
+    """Paired-video ground truth: the odd twin's frame j is the exact
+    affine map 2·g+1 of the base's frame j+s — byte-DIFFERENT PNGs with
+    IDENTICAL per-frame pHash, displaced by s = (gid/2) % 2 frames."""
+    from etl_process_spark.multimodal.assets import (
+        paired_frame_pixels,
+        paired_video_shape,
+        synthesize_paired_video_assets,
+    )
+
+    rows = {
+        int(r["asset_id"]): bytes(r["content"])
+        for r in synthesize_paired_video_assets(
+            spark, "/root/testdata/sf0.001"
+        ).filter("asset_id < 8").collect()
+    }
+    assert len(rows) >= 6
+    for gid in (0, 2, 4, 6):
+        nf, s = paired_video_shape(gid)
+        base_frames = list(iter_packed_frames(rows[gid]))
+        twin_frames = list(iter_packed_frames(rows[gid + 1]))
+        assert len(base_frames) == nf and len(twin_frames) == nf - s
+        for (j, tw) in twin_frames:
+            _bi, bs = base_frames[j + s]
+            assert tw != bs  # byte-different
+            _, _, _, bpx = decode_png(bs)
+            _, _, _, tpx = decode_png(tw)
+            assert np.array_equal(
+                tpx, (2 * bpx.astype(np.int64) + 1).astype(np.uint8)
+            )
+            assert np.array_equal(bpx, paired_frame_pixels(gid, j + s))
+            assert perceptual_hash(tw) == perceptual_hash(bs)

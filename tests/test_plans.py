@@ -35,7 +35,7 @@ PYTHON_OK = {"image_decode_stats", "video_frame_sample", "audio_feature_stats",
              # decode both run in declared mapInPandas stages
              "image_resize_luma", "video_frame_luma",
              "wav_fingerprint_words", "wav_fingerprint_dup_pairs",
-             "wav_fingerprint_offset_pairs",
+             "wav_fingerprint_offset_pairs", "video_phash_dup_pairs",
              "image_rgb_channel_stats",
              # declared vectorized-UDF fast path: cell-cogrouped Arrow kNN
              # scoring (numpy over blocks, order-exact vs the JVM plan;

@@ -60,6 +60,50 @@ def margins_for_sf(sf_dir: str) -> tuple[float, int]:
     return worst, len(gids)
 
 
+def frame_margins_for_sf(sf_dir: str) -> tuple[float, int]:
+    """Same audit for the paired-VIDEO corpus: every frame of every
+    group (video_phash_dup_pairs rebuilds per-frame sign bits in SQL)."""
+    import duckdb
+
+    from etl_process_spark.multimodal.assets import (
+        image_group,
+        paired_frame_pixels,
+        paired_video_shape,
+    )
+    from etl_process_spark.multimodal.codecs import (
+        _area_resize_32,
+        _dct_matrix,
+        phash_from_pixels,
+    )
+
+    doc_ids = (
+        duckdb.sql(f"SELECT doc_id FROM '{sf_dir}/documents.parquet'")
+        .df()["doc_id"]
+        .astype(int)
+        .tolist()
+    )
+    gids = sorted({image_group(d) for d in doc_ids})
+    m = _dct_matrix(32)
+    worst = float("inf")
+    n_frames = 0
+    for gid in gids:
+        nf, _s = paired_video_shape(gid)
+        for f in range(nf):
+            base = paired_frame_pixels(gid, f).astype(np.float64)
+            g32 = _area_resize_32(base)
+            block = (m @ g32 @ m.T)[:8, :8].reshape(64)
+            med = float(np.median(block[1:]))
+            gaps = np.abs(block - med)
+            gaps[0] = np.inf
+            gaps[gaps == 0.0] = np.inf
+            worst = min(worst, float(gaps.min()))
+            n_frames += 1
+            assert phash_from_pixels(base) == phash_from_pixels(
+                2.0 * base + 1.0
+            ), (gid, f)
+    return worst, n_frames
+
+
 def main() -> None:
     sys.path.insert(0, "/root/repo")
     dirs = sys.argv[1:] or [
@@ -76,6 +120,15 @@ def main() -> None:
         assert worst > 1e-6, (
             f"{sf_dir}: margin {worst} too small — a DCT sign bit could "
             "diverge between engines; change the pixel rule"
+        )
+        fworst, nf = frame_margins_for_sf(sf_dir)
+        print(
+            f"{sf_dir}: {nf} video frames, min |coef - median| = {fworst:.6g} "
+            f"({fworst / 1e-13:.1e}x the ~1e-13 cross-engine noise floor)"
+        )
+        assert fworst > 1e-6, (
+            f"{sf_dir}: frame margin {fworst} too small — a DCT sign bit "
+            "could diverge between engines; change the frame pixel rule"
         )
 
 
