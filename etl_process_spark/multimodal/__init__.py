@@ -31,6 +31,5 @@ from etl_process_spark.multimodal.ops import (  # noqa: F401
     phash_images,
     resize_images,
     rgb_channel_stats,
-    sample_frames,
     sample_packed_frames,
 )

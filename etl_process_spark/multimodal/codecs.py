@@ -25,9 +25,6 @@ from etl_process_spark.multimodal.pngcodec import (
 )
 from etl_process_spark.multimodal.wavcodec import decode_wav, is_wav
 
-FRAME_BYTES = 256  # legacy fake video container: fixed-size frame chunks
-
-
 def _luma_plane(channels: int, pixels):
     """Grayscale plane of a decoded image as int64: identity for gray,
     integer ITU-R 601-2 ((299R + 587G + 114B) // 1000) for RGB — exact
@@ -123,18 +120,6 @@ def decode_audio(content: bytes) -> dict:
         "mean_amp_ppm": (1_000_000 * abs_sum) // n,
         "rms_e6": math.floor(math.sqrt(sq_sum / n) * 1_000_000.0),
     }
-
-
-def iter_frames(content: bytes, every_n: int = 1):
-    """Frame iterator over the legacy fixed-chunk video container.
-
-    Yields (frame_idx, frame_bytes) for every ``every_n``-th FRAME_BYTES
-    chunk — the sequential, bounded-memory access pattern of a container
-    walk. For the real packed-PNG container see ``iter_packed_frames``.
-    """
-    n_frames = max(1, -(-len(content) // FRAME_BYTES))
-    for idx in range(0, n_frames, every_n):
-        yield idx, content[idx * FRAME_BYTES : (idx + 1) * FRAME_BYTES]
 
 
 def pack_frames(frames: list[bytes]) -> bytes:

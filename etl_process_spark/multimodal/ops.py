@@ -84,42 +84,12 @@ def audio_features(assets: DataFrame) -> DataFrame:
     return assets.select("asset_id", "content").mapInPandas(fn, AUDIO_FEATURES_SCHEMA)
 
 
-def sample_frames(assets: DataFrame, every_n: int = 2) -> DataFrame:
-    """Sample every n-th frame of each video asset into its own row.
-
-    One input row fans out to ceil(n_frames / every_n) output rows — the
-    explode happens inside the Arrow batch, so a long video never
-    materializes all frames in one Python list beyond its own chunks.
-    """
-
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ids: list[int] = []
-            idxs: list[int] = []
-            lens: list[int] = []
-            frames: list[bytes] = []
-            for aid, content in zip(pdf["asset_id"], pdf["content"]):
-                for idx, chunk in codecs.iter_frames(bytes(content), every_n):
-                    ids.append(aid)
-                    idxs.append(idx)
-                    lens.append(len(chunk))
-                    frames.append(chunk)
-            yield pd.DataFrame(
-                {
-                    "asset_id": ids,
-                    "frame_idx": idxs,
-                    "frame_len": lens,
-                    "frame_bytes": frames,
-                }
-            )
-
-    return assets.select("asset_id", "content").mapInPandas(fn, FRAME_SCHEMA)
-
-
 def sample_packed_frames(assets: DataFrame, every_n: int = 2) -> DataFrame:
     """Sample every n-th frame of a packed-PNG video container
-    (codecs.pack_frames): skipped frames are seeked over by their length
-    prefix, never decoded or copied — the keyframe-walk access pattern."""
+    (codecs.pack_frames) into its own row: one input row fans out to
+    ceil(n_frames / every_n) output rows, exploded INSIDE the Arrow
+    batch; skipped frames are seeked over by their length prefix, never
+    decoded or copied — the keyframe-walk access pattern."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from etl_process_spark.multimodal.codecs import iter_packed_frames

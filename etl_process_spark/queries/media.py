@@ -21,7 +21,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from etl_process_spark.multimodal.assets import (
-    synthesize_assets,
     synthesize_audio_assets,
     synthesize_image_assets,
     synthesize_video_assets,
@@ -30,7 +29,7 @@ from etl_process_spark.multimodal.ops import (
     audio_fingerprint_words,
     decode_image_stats,
     packed_frame_luma,
-    sample_frames,
+    sample_packed_frames,
 )
 from etl_process_spark.queries.registry import query, tbl  # noqa: F401
 
@@ -293,24 +292,33 @@ def image_phash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "video_frame_sample",
     """
-    WITH v AS (
-      SELECT doc_id, octet_length(encode(text)) AS nb,
-             greatest(1, CAST(ceil(octet_length(encode(text)) / 256.0) AS INT)) AS nf
-      FROM documents
-    )
-    SELECT doc_id AS asset_id,
-           CAST(idx AS INT) AS frame_idx,
-           CAST(greatest(0, least(256, nb - idx * 256)) AS INT) AS frame_len
-    FROM v, unnest(range(0, nf, 2)) AS t(idx)
+    WITH v AS (SELECT doc_id, 2 + doc_id % 3 AS nf FROM documents)
+    SELECT doc_id AS asset_id, CAST(f AS INT) AS frame_idx, TRUE AS is_png
+    FROM v, unnest(range(0, nf, 2)) AS t(f)
     """,
 )
 def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame sampling over the fixed-chunk container: one asset row fans
+    """Frame sampling over the packed-PNG container: one asset row fans
     out to every 2nd frame inside the Arrow batch — the row-explosion
-    shape of video pipelines, with bounded memory. (The REAL-decode
-    variant over the packed-PNG container is ``video_frame_luma``.)"""
-    return sample_frames(synthesize_assets(spark, sf_dir), every_n=2).select(
-        "asset_id", "frame_idx", "frame_len"
+    shape of video pipelines, with bounded memory; skipped frames are
+    seeked over by their length prefix, never decoded or copied.
+    ``is_png`` checks each SAMPLED chunk starts with the PNG signature
+    (container-walk integrity: a mis-seek would land mid-frame and
+    fail it). The REAL-decode variant is ``video_frame_luma``."""
+    from pyspark.sql import functions as F
+
+    from etl_process_spark.multimodal.pngcodec import PNG_SIGNATURE
+
+    frames = sample_packed_frames(
+        synthesize_video_assets(spark, sf_dir), every_n=2
+    )
+    return frames.select(
+        "asset_id",
+        "frame_idx",
+        (
+            F.substring(F.col("frame_bytes"), 1, 8)
+            == F.lit(bytes(PNG_SIGNATURE))
+        ).alias("is_png"),
     )
 
 

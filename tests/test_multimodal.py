@@ -12,10 +12,11 @@ from etl_process_spark.multimodal import (
     audio_features,
     decode_image_stats,
     resize_images,
-    sample_frames,
+    sample_packed_frames,
     synthesize_assets,
+    synthesize_video_assets,
 )
-from etl_process_spark.multimodal.codecs import FRAME_BYTES, decode_image, iter_frames
+from etl_process_spark.multimodal.codecs import decode_image, iter_packed_frames
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -102,14 +103,17 @@ def test_audio_features_match_numpy(assets):
         ) // len(content)
 
 
-def test_frame_sampling_fanout(assets):
-    row = assets.orderBy(F.col("meta.n_bytes").desc()).first()
+def test_frame_sampling_fanout(spark):
+    vids = synthesize_video_assets(spark, SF_DIR)
+    row = vids.orderBy(F.col("meta.n_bytes").desc()).first()
     content = bytes(row["content"])
-    expected = list(iter_frames(content, every_n=2))
-    one = sample_frames(assets.filter(F.col("asset_id") == row["asset_id"]), every_n=2)
+    expected = list(iter_packed_frames(content, every_n=2))
+    one = sample_packed_frames(
+        vids.filter(F.col("asset_id") == row["asset_id"]), every_n=2
+    )
     got = sorted(one.collect(), key=lambda r: r["frame_idx"])
     assert [(r["frame_idx"], bytes(r["frame_bytes"])) for r in got] == expected
-    n_frames = max(1, -(-len(content) // FRAME_BYTES))
+    n_frames = 2 + int(row["asset_id"]) % 3
     assert len(got) == len(range(0, n_frames, 2))
 
 
