@@ -41,6 +41,13 @@ def _default_driver_mem() -> str:
 def get_spark(app_name: str = "etl_process_spark", master: str | None = None,
               extra_conf: dict[str, str] | None = None) -> SparkSession:
     """Return (create if needed) the engine's SparkSession."""
+    # transformWithStateInPandas workers import google.protobuf; this
+    # container has none, so activate the vendored mini-runtime. Must
+    # happen BEFORE the JVM starts: workers inherit PYTHONPATH through
+    # the daemon the JVM spawns (vendor/__init__.py).
+    from etl_process_spark.vendor import ensure_protobuf
+
+    ensure_protobuf()
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     builder = (
         SparkSession.builder.appName(app_name)

@@ -197,8 +197,11 @@ def sessionize_stream_tws(
 
     Runtime dependency: Spark's transformWithState Python worker speaks a
     protobuf protocol (``StateMessage_pb2``), so this operator needs
-    ``google.protobuf`` at runtime (the differential test skips where it
-    is absent; ``sessionize_stream`` has no such dependency).
+    ``google.protobuf`` at runtime. Where the real package is absent
+    (this container), ``session.get_spark`` activates the vendored
+    pure-Python mini-runtime (``etl_process_spark/vendor``) before the
+    JVM starts so workers inherit it; ``sessionize_stream`` has no such
+    dependency either way.
     """
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
@@ -214,7 +217,7 @@ def sessionize_stream_tws(
                 "sess", "ss long, lt long, n long, tv long"
             )
 
-        def handleInputRows(self, key, rows, timer_values):
+        def handleInputRows(self, key, rows, timerValues):
             (user_id,) = key
             pdf = pd.concat(list(rows), ignore_index=True)
             pdf = pdf.sort_values(ts_col, kind="mergesort")
@@ -237,7 +240,7 @@ def sessionize_stream_tws(
                 else:
                     lt, n, tv = t, n + 1, tv + _e4(v)
 
-            wm_us = timer_values.getCurrentWatermarkInMs() * 1000
+            wm_us = timerValues.getCurrentWatermarkInMs() * 1000
             if ss is not None and lt + gap_us <= wm_us:
                 closed.append((ss, lt, n, tv))
                 self._state.clear()
@@ -248,12 +251,14 @@ def sessionize_stream_tws(
             for c in closed:
                 yield _emit(user_id, *c, gap_us)
 
-        def handleExpiredTimer(self, key, timer_values, expired_timer_info):
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
             # Stale timers happen by design: extending a session registers
             # a later timer without deleting the earlier one. Only close
             # when the FIRED expiry is the current session's close point.
+            # (camelCase parameter names are the API contract: pyspark's
+            # runner invokes with timerValues=/expiredTimerInfo= keywords)
             (user_id,) = key
-            expiry_us = expired_timer_info.getExpiryTimeInMs() * 1000
+            expiry_us = expiredTimerInfo.getExpiryTimeInMs() * 1000
             if self._state.exists():
                 ss, lt, n, tv = self._state.get()
                 if ss is not None and expiry_us >= lt + gap_us:

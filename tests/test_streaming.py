@@ -557,13 +557,15 @@ def test_tws_sessionizer_matches_batch_and_legacy_stream(spark, event_inbox, tmp
     applyInPandasWithState one — every emitted session is a batch
     session, at most one (still-open) session per user withheld.
 
-    Skips where protobuf is unavailable: Spark's transformWithState
-    Python worker protocol is protobuf-based (StateMessage_pb2), and
-    this container does not ship google.protobuf."""
-    pytest.importorskip(
-        "google.protobuf.descriptor",
-        reason="transformWithState worker protocol needs protobuf",
-    )
+    Spark's transformWithState Python worker protocol is protobuf-based
+    (StateMessage_pb2); this container ships no google.protobuf, so the
+    engine activates the vendored pure-Python mini-runtime
+    (etl_process_spark/vendor — wire-format tests in
+    test_protobuf_shim.py). A failure here is a real failure, no longer
+    an environment skip."""
+    from etl_process_spark.vendor import ensure_protobuf
+
+    assert ensure_protobuf(), "vendored protobuf failed to activate"
     from etl_process_spark.streaming.sources import read_event_stream
     from etl_process_spark.streaming.stateful import (
         sessionize_batch,
@@ -571,9 +573,25 @@ def test_tws_sessionizer_matches_batch_and_legacy_stream(spark, event_inbox, tmp
     )
 
     stream = read_event_stream(spark, event_inbox, max_files_per_trigger=1)
-    got = _run_stream(
-        spark, sessionize_stream_tws(stream, gap_seconds=1800), tmp_path, "tws_sessions"
+    # transformWithState needs a state store with column families:
+    # RocksDB (ships with Spark 4), not the HDFS-backed default
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev_provider = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
     )
+    try:
+        got = _run_stream(
+            spark, sessionize_stream_tws(stream, gap_seconds=1800),
+            tmp_path, "tws_sessions",
+        )
+    finally:
+        if prev_provider is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev_provider)
     batch = sessionize_batch(tbl(spark, SF_DIR, "events"), gap_seconds=1800)
     cols = ["user_id", "session_start", "session_end", "n_events", "total_value_e4"]
     got_rows = _canon(got, cols)
