@@ -242,7 +242,15 @@ def image_phash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from etl_process_spark.multimodal.ops import phash_images
 
-    ph = phash_images(synthesize_image_assets(spark, sf_dir))
+    # decode-once discipline: the digest table feeds three plan branches
+    # (h1/h2 halves + the band self-join's two sides) — without
+    # materialization Spark re-synthesizes and re-DECODES the corpus per
+    # branch. localCheckpoint(eager=False) pins the tiny digest table
+    # (16 chars/asset) after one decode pass; blocks are freed when the
+    # DataFrame is GC'd.
+    ph = phash_images(
+        synthesize_image_assets(spark, sf_dir)
+    ).localCheckpoint(eager=False)
     p = ph.select(
         "asset_id",
         F.conv(F.substring("phash", 1, 8), 16, 10).cast("long").alias("h1"),
@@ -590,10 +598,12 @@ def wav_fingerprint_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         synthesize_paired_audio_assets,
     )
 
+    # decode-once: both self-join sides read the same fingerprint
+    # stream — one WAV decode pass, then digests only
     words = audio_fingerprint_words(
         synthesize_paired_audio_assets(spark, sf_dir),
         frame=_FP_FRAME, hop=_FP_HOP, n_bands=_FP_NBANDS,
-    )
+    ).localCheckpoint(eager=False)
     a, b = words.alias("a"), words.alias("b")
     return (
         a.join(
@@ -698,12 +708,14 @@ def wav_fingerprint_offset_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         synthesize_paired_audio_assets,
     )
 
+    # decode-once: the stream feeds the df fence AND both join sides —
+    # one WAV decode pass, then integers only
     words = audio_fingerprint_words(
         synthesize_paired_audio_assets(
             spark, sf_dir, max_shift_hops=_FP_MAX_SHIFT, hop=_FP_OHOP
         ),
         frame=_FP_FRAME, hop=_FP_OHOP, n_bands=_FP_NBANDS,
-    )
+    ).localCheckpoint(eager=False)
     keep = (
         words.groupBy("word")
         .agg(F.countDistinct("asset_id").alias("df"))
@@ -904,7 +916,11 @@ def video_phash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from etl_process_spark.multimodal.ops import packed_frame_phash
 
-    ph = packed_frame_phash(synthesize_paired_video_assets(spark, sf_dir))
+    # decode-once: frame digests feed the hash halves AND both sides of
+    # the band self-join — materialize after a single container walk
+    ph = packed_frame_phash(
+        synthesize_paired_video_assets(spark, sf_dir)
+    ).localCheckpoint(eager=False)
     p = ph.select(
         "asset_id", "frame_idx",
         F.conv(F.substring("phash", 1, 8), 16, 10).cast("long").alias("h1"),

@@ -1,0 +1,99 @@
+"""The scale-bench corpus builder's decorrelation transforms
+(tools/bench_scale.py): replication must scale the WORKLOAD linearly
+without multiplying the near-dup structure across replicas — these pin
+the properties that argument rests on.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _docs(spark, n=40):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(n)
+
+
+def test_cipher_preserves_structure_but_not_shingles(spark):
+    from bench_scale import _cipher
+
+    docs = _docs(spark)
+    out = docs.select(
+        "doc_id",
+        F.col("text").alias("orig"),
+        _cipher(F.col("text"), 1).alias("c1"),
+        _cipher(F.col("text"), 0).alias("c0"),
+    ).collect()
+    for r in out:
+        assert r.c0 == r.orig                       # replica 0 = identity
+        assert len(r.c1) == len(r.orig)             # lengths exact
+        assert r.c1 != r.orig or not any(ch.isalpha() for ch in r.orig)
+        # word boundaries (whitespace positions) are untouched
+        assert [i for i, ch in enumerate(r.orig) if ch.isspace()] == [
+            i for i, ch in enumerate(r.c1) if ch.isspace()
+        ]
+        # within-replica equality structure is preserved: same cipher on
+        # equal words gives equal words (substitution is a bijection)
+        w_orig = r.orig.split()
+        w_c1 = r.c1.split()
+        assert len(w_orig) == len(w_c1)
+        for a, b, c, d in zip(w_orig, w_orig[1:], w_c1, w_c1[1:]):
+            assert (a == b) == (c == d)
+
+
+def test_cipher_is_bijective_per_replica(spark):
+    from bench_scale import LOWER, UPPER, _cipher
+
+    docs = _docs(spark, 5)
+    # applying the inverse rotation recovers the original exactly
+    for i in (1, 3, 7):
+        rot = (5 * i) % 26
+        inv_to = LOWER[-rot:] + LOWER[:-rot] + UPPER[-rot:] + UPPER[:-rot]
+        out = docs.select(
+            F.col("text").alias("orig"),
+            F.translate(
+                _cipher(F.col("text"), i), LOWER + UPPER, inv_to
+            ).alias("back"),
+        ).collect()
+        for r in out:
+            assert r.back == r.orig
+
+
+def test_vector_rotation_preserves_norm_and_multiset(spark):
+    import math
+
+    from bench_scale import _rotate_vec
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").limit(20)
+    out = emb.select(
+        F.col("embedding").alias("orig"),
+        _rotate_vec(F.col("embedding"), 3).alias("rot"),
+    ).collect()
+    for r in out:
+        assert len(r.rot) == len(r.orig) == 64
+        assert sorted(r.orig) == sorted(r.rot)       # value multiset
+        n1 = math.sqrt(sum(x * x for x in r.orig))
+        n2 = math.sqrt(sum(x * x for x in r.rot))
+        assert abs(n1 - n2) < 1e-9
+        s = (7 * 3) % 64
+        assert list(r.rot) == list(r.orig)[s:] + list(r.orig)[:s]
+
+
+def test_replica_key_spaces_are_disjoint(spark):
+    from bench_scale import GAPS, _replica
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    r0 = _replica("documents", docs, 0)
+    r1 = _replica("documents", docs, 1)
+    ids0 = {r.doc_id for r in r0.select("doc_id").collect()}
+    ids1 = {r.doc_id for r in r1.select("doc_id").collect()}
+    assert not ids0 & ids1
+    assert ids1 == {i + GAPS["doc"] for i in ids0}
+    # gid parity preserved (pair-group queries keep their structure)
+    assert GAPS["doc"] % 2 == 0

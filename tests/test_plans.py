@@ -30,17 +30,26 @@ SF_DIR = "/root/testdata/sf0.001"
 # plan (verify scan + broadcast semi-join + exact agg) is JVM-only, which
 # the n == 0 branch below verifies.
 PYTHON_OK = {"image_decode_stats", "video_frame_sample", "audio_feature_stats",
-             "image_phash_dup_pairs",
              # round 5: real-codec corpus synthesis (PNG/WAV encode) +
              # decode both run in declared mapInPandas stages
              "image_resize_luma", "video_frame_luma",
-             "wav_fingerprint_words", "wav_fingerprint_dup_pairs",
-             "wav_fingerprint_offset_pairs", "video_phash_dup_pairs",
+             "wav_fingerprint_words",
              "image_rgb_channel_stats",
              # declared vectorized-UDF fast path: cell-cogrouped Arrow kNN
              # scoring (numpy over blocks, order-exact vs the JVM plan;
              # similarity.py::_knn_cells_arrow) — never row-at-a-time
              "margin_bitext_pairs"}
+# round 6 decode-once: the media near-dup matchers materialize their
+# digest table with localCheckpoint(eager=False) so the corpus is decoded
+# exactly ONCE even though digests feed multiple plan branches. The
+# returned plan therefore shows the checkpoint boundary (Scan
+# ExistingRDD) — or, before first materialization, the declared Python
+# stage itself. Either is the audited contract; a row-at-a-time UDF or an
+# extra undeclared Python stage downstream would still fail (n must be
+# 0 behind a boundary).
+PYTHON_OK_CHECKPOINTED = {"image_phash_dup_pairs", "video_phash_dup_pairs",
+                          "wav_fingerprint_dup_pairs",
+                          "wav_fingerprint_offset_pairs"}
 # single-query-vector top-k uses a broadcast nested-loop (1-row side)
 NESTED_LOOP_OK = {"embedding_topk_cosine"}
 
@@ -94,6 +103,20 @@ def test_python_only_where_declared(spark):
         n = python_stage_count(df)
         if name in PYTHON_OK:
             assert n >= 1, f"{name} should run its decode via mapInPandas"
+        elif name in PYTHON_OK_CHECKPOINTED:
+            from etl_process_spark.plans.audit import explain_str
+
+            boundary = "ExistingRDD" in explain_str(df)
+            assert n >= 1 or boundary, (
+                f"{name} should decode via mapInPandas (directly or behind "
+                "its localCheckpoint boundary)"
+            )
+            if boundary:
+                assert n == 0, (
+                    f"{name} has a Python stage OUTSIDE its decode-once "
+                    "checkpoint — the digest table should be the only "
+                    "Python product"
+                )
         else:
             assert n == 0, f"{name} has an undeclared Python stage in the plan"
 

@@ -51,8 +51,10 @@ SHOWCASE: list[tuple[str, str]] = [
     ("orders_table_checksum", "commutative fingerprint: one scan into a 1-row aggregate, all partials map-side"),
     ("salted_hot_key_join", "hot-key lanes: fact sharded, dim replicated — skew never lands on one reducer"),
     ("image_decode_stats", "declared Python stages only: Arrow-batched mapInPandas synthesis + REAL PNG decode, everything after is JVM"),
-    ("image_phash_dup_pairs", "real-decode pHash near-dup: mapInPandas emits 16-char digests only (bytes never cross a shuffle); candidates from a (band, code) equi-join, integer popcount verify in codegen"),
+    ("image_phash_dup_pairs", "real-decode pHash near-dup, decode-once: the digest table is localCheckpoint-materialized after ONE decode pass (every branch scans the same RDD); candidates from a (band, code) equi-join, integer popcount verify in codegen"),
     ("wav_fingerprint_words", "real WAV decode -> framed DFT fingerprint entirely inside one mapInPandas stage; only (asset_id, word_idx, word) integers cross Arrow — no audio bytes in any exchange"),
+    ("wav_fingerprint_offset_pairs", "offset-invariant audio matcher, decode-once (checkpointed word stream): word-alone buckets after a df<=32 stop-word fence, modal-offset vote as one agg + one window — never all-pairs"),
+    ("video_phash_dup_pairs", "per-frame pHash video near-dup, decode-once: ONE container walk emits (asset, frame, digest) into a checkpointed table; frame-level (band, code) LSH join + popcount verify + temporal vote, all JVM-side"),
     ("allpairs_jaccard_dups", "complete Jaccard join: candidates from a prefix-only equi-join (rarest-first order), dictionary-encoded verify"),
     ("weekly_distinct_rollup_hll", "COUNT DISTINCT lattice: weekly estimates merge DAILY sketches — raw events never re-scanned per grain"),
     ("trending_types_per_window", "rank window reuses the counts aggregate's partitioning — top-k adds no corpus-sized exchange"),
