@@ -275,3 +275,184 @@ def sessionize_stream_tws(
         outputMode="append",
         timeMode="eventTime",
     )
+
+
+TYPE_PROFILE_SCHEMA = (
+    "user_id long, session_start timestamp, session_end timestamp, "
+    "n_events long, n_types long, top_type string, top_type_n long"
+)
+
+
+def _top_type(counts: dict) -> tuple[str, int]:
+    """Deterministic session top type: max count, lexicographically
+    smallest type on ties — mirrors the batch twin's
+    min(struct(-cnt, type)) exactly."""
+    return min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+
+
+def session_type_profile_batch(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Batch twin of ``session_type_profile_stream_tws``: gap sessions
+    (gaps-and-islands) -> per-(session, type) counts -> per-session
+    profile. ``top_type`` picks max count with smallest-type tie-break
+    via min(struct(-cnt, type)) — engine-order-independent."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(ts_col, order_col)
+    flagged = events.select(
+        key_col, ts_col, type_col, order_col,
+        F.when(
+            F.lag(ts_col).over(w).isNull()
+            | (
+                F.col(ts_col).cast("double") - F.lag(ts_col).over(w).cast("double")
+                >= F.lit(float(gap_seconds))
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_sess"),
+    )
+    sess = flagged.withColumn("sid", F.sum("new_sess").over(w))
+    per_type = sess.groupBy(key_col, "sid", type_col).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min(ts_col).alias("t0"),
+        F.max(ts_col).alias("t1"),
+    )
+    return (
+        per_type.groupBy(key_col, "sid")
+        .agg(
+            F.min("t0").alias("session_start"),
+            (F.max("t1") + F.expr(f"INTERVAL {gap_seconds} SECOND")).alias(
+                "session_end"
+            ),
+            F.sum("cnt").alias("n_events"),
+            F.count(F.lit(1)).alias("n_types"),
+            F.min(F.struct((-F.col("cnt")).alias("neg"),
+                           F.col(type_col).alias("t"))).alias("top"),
+        )
+        .select(
+            key_col, "session_start", "session_end", "n_events", "n_types",
+            F.col("top.t").alias("top_type"),
+            (-F.col("top.neg")).cast("long").alias("top_type_n"),
+        )
+    )
+
+
+def session_type_profile_stream_tws(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Session-level TYPE PROFILE on ``transformWithStateInPandas``,
+    exercising the parts of Spark 4's stateful API the sessionizer
+    doesn't: a MapState variable (event_type -> running count, updated
+    via containsKey/getValue/updateValue, drained via iterator()) next
+    to a ValueState for the session bounds — the named-state-variables
+    design that ``applyInPandasWithState``'s single tuple cannot
+    express. One summary row per closed gap-session: distinct-type
+    count and the modal event type (smallest type on count ties — the
+    same deterministic pick as the batch twin).
+
+    Close semantics identical to the sessionizers: a later event or an
+    event-time timer at ``last_ts + gap``. State per key: O(active
+    types), cleared on close. Speaks the same vendored-protobuf worker
+    protocol (MapStateCall messages incl. the repeated-kvPair iterator
+    responses)."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    gap_us = gap_seconds * 1_000_000
+
+    def _profile_row(user_id, ss, lt, counts):
+        top_t, top_n = _top_type(counts)
+        return pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "session_start": [pd.Timestamp(ss, unit="us")],
+                "session_end": [pd.Timestamp(lt + gap_us, unit="us")],
+                "n_events": [int(sum(counts.values()))],
+                "n_types": [len(counts)],
+                "top_type": [top_t],
+                "top_type_n": [int(top_n)],
+            }
+        )
+
+    class _TypeProfileProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            self._bounds = handle.getValueState("bounds", "ss long, lt long")
+            self._types = handle.getMapState(
+                "types", "event_type string", "cnt long"
+            )
+
+        def _drain_types(self) -> dict:
+            counts = {t: int(c) for (t,), (c,) in self._types.iterator()}
+            self._types.clear()
+            return counts
+
+        def handleInputRows(self, key, rows, timerValues):
+            (user_id,) = key
+            pdf = pd.concat(list(rows), ignore_index=True)
+            pdf = pdf.sort_values(ts_col, kind="mergesort")
+            ts_us = pdf[ts_col].to_numpy().astype("datetime64[us]").astype("int64")
+            types = pdf[type_col].to_numpy()
+
+            if self._bounds.exists():
+                ss, lt = self._bounds.get()
+            else:
+                ss, lt = None, 0
+
+            for t, et in zip(ts_us, types):
+                t = int(t)
+                if ss is not None and t - lt >= gap_us:
+                    yield _profile_row(user_id, ss, lt, self._drain_types())
+                    ss = None
+                if ss is None:
+                    ss, lt = t, t
+                else:
+                    lt = t
+                k = (str(et),)
+                if self._types.containsKey(k):
+                    (prev,) = self._types.getValue(k)
+                    self._types.updateValue(k, (int(prev) + 1,))
+                else:
+                    self._types.updateValue(k, (1,))
+
+            wm_us = timerValues.getCurrentWatermarkInMs() * 1000
+            if ss is not None and lt + gap_us <= wm_us:
+                yield _profile_row(user_id, ss, lt, self._drain_types())
+                self._bounds.clear()
+            else:
+                self._bounds.update((ss, lt))
+                self._handle.registerTimer((lt + gap_us) // 1000)
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            (user_id,) = key
+            expiry_us = expiredTimerInfo.getExpiryTimeInMs() * 1000
+            if self._bounds.exists():
+                ss, lt = self._bounds.get()
+                if ss is not None and expiry_us >= lt + gap_us:
+                    self._bounds.clear()
+                    yield _profile_row(user_id, ss, lt, self._drain_types())
+
+        def close(self) -> None:
+            pass
+
+    src = events.withWatermark(ts_col, watermark)
+    return src.groupBy(key_col).transformWithStateInPandas(
+        statefulProcessor=_TypeProfileProcessor(),
+        outputStructType=TYPE_PROFILE_SCHEMA,
+        outputMode="append",
+        timeMode="eventTime",
+    )

@@ -743,3 +743,53 @@ def test_windowed_lane_sketch_stream_matches_batch(spark, event_inbox, tmp_path)
         got.withColumn("set", F.concat_ws("|", "window_start", "set"))
     )
     assert est.count() > 0 and est.where(F.col("est") <= 0).count() == 0
+
+
+def test_tws_type_profile_matches_batch(spark, event_inbox, tmp_path):
+    """MapState-based session TYPE PROFILE on transformWithStateInPandas
+    (distinct-type counts + modal type per gap-session) vs the
+    gaps-and-islands batch twin: every emitted profile is a batch
+    profile; at most one still-open session per user withheld. Exercises
+    the MapState worker protocol (containsKey/getValue/updateValue +
+    the repeated-kvPair iterator responses) over the vendored protobuf
+    runtime."""
+    from etl_process_spark.streaming.sources import read_event_stream
+    from etl_process_spark.streaming.stateful import (
+        session_type_profile_batch,
+        session_type_profile_stream_tws,
+    )
+    from etl_process_spark.vendor import ensure_protobuf
+
+    assert ensure_protobuf(), "vendored protobuf failed to activate"
+    stream = read_event_stream(spark, event_inbox, max_files_per_trigger=1)
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev_provider = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        got = _run_stream(
+            spark, session_type_profile_stream_tws(stream, gap_seconds=1800),
+            tmp_path, "tws_type_profile",
+        )
+    finally:
+        if prev_provider is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev_provider)
+    batch = session_type_profile_batch(
+        tbl(spark, SF_DIR, "events"), gap_seconds=1800
+    )
+    cols = ["user_id", "session_start", "session_end", "n_events",
+            "n_types", "top_type", "top_type_n"]
+    got_rows = _canon(got, cols)
+    batch_rows = _canon(batch, cols)
+    assert set(got_rows) <= set(batch_rows)
+    n_users = tbl(spark, SF_DIR, "events").select("user_id").distinct().count()
+    assert len(set(batch_rows) - set(got_rows)) <= n_users
+    assert len(got_rows) >= len(batch_rows) - n_users
+    assert len(got_rows) > 0
+    # the profile is non-trivial on this corpus: multi-type sessions exist
+    assert any(int(r[4]) > 1 for r in got_rows)

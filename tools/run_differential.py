@@ -5,7 +5,9 @@ stopped at 50 of 110 queries), so this tool records the same evidence
 locally for the whole corpus: one entry per registered query with the
 row-count / schema / value-hash comparison result at the given scale.
 
-Usage: python tools/run_differential.py [sf_dir]   (default sf0.01)
+Usage: python tools/run_differential.py [sf_dir] [out_path]
+(defaults: sf0.01, CORRECTNESS_LOCAL.json — pass an explicit out_path
+when sweeping another scale, e.g. CORRECTNESS_SF01.json for sf0.1)
 """
 
 from __future__ import annotations
@@ -24,6 +26,11 @@ from etl_process_spark.session import get_spark  # noqa: E402
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out_path = (
+        Path(sys.argv[2]).resolve()
+        if len(sys.argv) > 2
+        else Path(__file__).resolve().parent.parent / "CORRECTNESS_LOCAL.json"
+    )
     spark = get_spark("differential")
     out: dict[str, dict] = {}
     t0 = time.time()
@@ -45,9 +52,8 @@ def main() -> None:
         "total_sec": round(time.time() - t0, 1),
         "results": out,
     }
-    path = Path(__file__).resolve().parent.parent / "CORRECTNESS_LOCAL.json"
-    path.write_text(json.dumps(summary, indent=1) + "\n")
-    print(f"{n_ok}/{len(out)} ok -> {path}")
+    out_path.write_text(json.dumps(summary, indent=1) + "\n")
+    print(f"{n_ok}/{len(out)} ok -> {out_path}")
 
 
 if __name__ == "__main__":
