@@ -137,6 +137,17 @@ def image_resize_luma(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The 8×32 orthonormal DCT-II basis, pooled bin means (bit-identical across
 # engines: exact integer sums / exact counts, one IEEE division), two basis
 # contractions, AC-median threshold — rebuilding the 64 sign bits in SQL.
+#
+# ``blk`` and ``bands`` MUST be MATERIALIZED: DuckDB inlines plain CTEs,
+# so a chain referenced twice (blk → med AND blk → bits; bands → cand
+# AND bands → ph) would be EVALUATED twice — and with multi-threaded
+# float aggregation the two evaluations differ by ~1e-13. Every real AC
+# bit has ≥1e-4 margin (tools/phash_margin_check.py), but the median
+# ELEMENT's own bit has margin exactly 0 (`coef > med` where coef IS
+# med), so cross-evaluation noise turns that one bit into a coin flip —
+# observed at sf0.1 as ±1-bit hamming noise on half the groups.
+# Materialization pins one evaluation; within it, the median element
+# compares strictly-not-greater exactly as numpy's does.
 
 _PHASH_BANDS = f"""
   {_IMG_DIMS},
@@ -156,7 +167,7 @@ _PHASH_BANDS = f"""
     FROM pooled JOIN basis ON basis.i = pooled.q
     GROUP BY pooled.gid, pooled.p, basis.k
   ),
-  blk AS (
+  blk AS MATERIALIZED (
     SELECT t1.gid, basis.k AS u, t1.v, sum(t1.tv * basis.m) AS coef
     FROM t1 JOIN basis ON basis.i = t1.p
     GROUP BY t1.gid, basis.k, t1.v
@@ -171,7 +182,7 @@ _PHASH_BANDS = f"""
                 WHEN b.coef > m.med THEN 1 ELSE 0 END AS bit
     FROM blk b JOIN med m USING (gid)
   ),
-  bands AS (
+  bands AS MATERIALIZED (
     SELECT gid, j // 16 AS band,
            sum(bit * (1 << (15 - (j % 16)))) AS code
     FROM bits GROUP BY gid, j // 16
@@ -547,7 +558,11 @@ def _fp_group_words_sql(hop: int) -> str:
              d - lag(d) OVER (PARTITION BY gid, b ORDER BY t) AS dd
       FROM dv WHERE d IS NOT NULL
     ),
-    w AS (
+    -- MATERIALIZED: consumers reference the word stream from multiple
+    -- join sides; one evaluation of the DFT chain is both deterministic
+    -- (one float evaluation feeds every reference — the sign margins are
+    -- audited healthy, but zero-cost insurance) and ~2x cheaper
+    w AS MATERIALIZED (
       SELECT gid, t - 1 AS word_idx,
              sum(CASE WHEN dd > 0 THEN CAST(1 AS BIGINT) ELSE 0 END
                  * (CAST(1 AS BIGINT) << (31 - b))) AS word
@@ -809,7 +824,10 @@ def _vid_srcmap_sql() -> str:
       FROM pooled JOIN basis ON basis.i = pooled.q
       GROUP BY pooled.gid, pooled.f, pooled.p, basis.k
     ),
-    blk AS (
+    -- MATERIALIZED: same determinism requirement as _PHASH_BANDS — the
+    -- median element's own bit has zero margin, so the float chain must
+    -- be evaluated exactly once (everything after bands is integer math)
+    blk AS MATERIALIZED (
       SELECT t1.gid, t1.f, basis.k AS u, t1.v, sum(t1.tv * basis.m) AS coef
       FROM t1 JOIN basis ON basis.i = t1.p
       GROUP BY t1.gid, t1.f, basis.k, t1.v
@@ -824,7 +842,7 @@ def _vid_srcmap_sql() -> str:
                   WHEN b.coef > m.med THEN 1 ELSE 0 END AS bit
       FROM blk b JOIN med m ON b.gid = m.gid AND b.f = m.f
     ),
-    bands AS (
+    bands AS MATERIALIZED (
       SELECT gid, f, j // 16 AS band,
              sum(bit * (1 << (15 - (j % 16)))) AS code
       FROM bits GROUP BY gid, f, j // 16

@@ -477,3 +477,30 @@ def test_paired_video_corpus_twins_are_shifted_affine(spark):
             )
             assert np.array_equal(bpx, paired_frame_pixels(gid, j + s))
             assert perceptual_hash(tw) == perceptual_hash(bs)
+
+
+def test_phash_oracle_float_chain_is_materialized():
+    """The pHash oracles' float chain (DCT blk -> median -> bits ->
+    bands) MUST be evaluated exactly once: DuckDB inlines plain CTEs, so
+    multi-referenced chains get independently re-evaluated, and with
+    multi-threaded float aggregation two evaluations differ by ~1e-13 —
+    enough to flip the median ELEMENT's own sign bit (margin exactly 0
+    by definition; every other bit has >=1e-4 audited margin). Observed
+    at sf0.1 as +-1-bit hamming noise on half the image groups before
+    round 6 pinned AS MATERIALIZED on blk/bands (and on the audio word
+    stream, where it is also a ~2x oracle speedup)."""
+    from etl_process_spark.queries import QUERIES
+
+    # (wav_fingerprint_words' own chain is single-reference — its final
+    # SELECT is the only consumer of w — so it carries no hazard)
+    for name, needed in [
+        ("image_phash_dup_pairs", 2),      # blk + bands
+        ("video_phash_dup_pairs", 2),      # blk + bands
+        ("wav_fingerprint_dup_pairs", 1),  # w
+        ("wav_fingerprint_offset_pairs", 1),
+    ]:
+        sql = QUERIES[name].oracle
+        assert sql.count("AS MATERIALIZED") >= needed, (
+            f"{name}: float-chain CTEs must stay MATERIALIZED "
+            "(cross-evaluation noise flips the zero-margin median bit)"
+        )
