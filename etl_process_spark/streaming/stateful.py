@@ -456,3 +456,163 @@ def session_type_profile_stream_tws(
         outputMode="append",
         timeMode="eventTime",
     )
+
+
+SESSION_TRACE_SCHEMA = (
+    "user_id long, session_start timestamp, n_events long, "
+    "first_event_id long, last_event_id long, id_checksum long"
+)
+
+
+def session_trace_batch(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Batch twin of ``session_trace_stream_tws``: per gap-session the
+    event-id trace summary — first/last id in (ts, id) order and the
+    order-independent integer checksum (sum of ids)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(ts_col, order_col)
+    flagged = events.select(
+        key_col, ts_col, order_col,
+        F.when(
+            F.lag(ts_col).over(w).isNull()
+            | (
+                F.col(ts_col).cast("double") - F.lag(ts_col).over(w).cast("double")
+                >= F.lit(float(gap_seconds))
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_sess"),
+    )
+    sess = flagged.withColumn("sid", F.sum("new_sess").over(w))
+    first_last = Window.partitionBy(key_col, "sid").orderBy(ts_col, order_col)
+    traced = sess.select(
+        key_col, "sid", ts_col, order_col,
+        F.first(order_col).over(first_last).alias("first_event_id"),
+    )
+    return (
+        traced.groupBy(key_col, "sid")
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("first_event_id").alias("first_event_id"),
+            F.max_by(order_col, F.struct(ts_col, order_col)).alias(
+                "last_event_id"
+            ),
+            F.sum(order_col).alias("id_checksum"),
+        )
+        .select(
+            key_col, "session_start", "n_events", "first_event_id",
+            "last_event_id", "id_checksum",
+        )
+    )
+
+
+def session_trace_stream_tws(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    order_col: str = "event_id",
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Session EVENT TRACE on ``transformWithStateInPandas`` — the
+    ListState leg of the named-state-variable triple (ValueState:
+    sessionizer; MapState: type profile). A ListState accumulates the
+    session's (ts, event_id) pairs via ``appendList``; on close the
+    trace drains through the paginated list-get protocol
+    (StateResponseWithListGet + requireNextFetch) and one summary row is
+    emitted: first/last event id in (ts, id) order plus the integer
+    id-checksum. Close semantics identical to the sessionizers.
+
+    State per key is O(session events) — the honest cost of trace
+    semantics (unlike the O(1) sessionizer); the gap timer bounds its
+    lifetime."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    gap_us = gap_seconds * 1_000_000
+
+    def _trace_row(user_id, items):
+        # items: list of (ts_us, event_id), drained from ListState
+        items = sorted(items)
+        ss = items[0][0]
+        return pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "session_start": [pd.Timestamp(ss, unit="us")],
+                "n_events": [len(items)],
+                "first_event_id": [int(items[0][1])],
+                "last_event_id": [int(items[-1][1])],
+                "id_checksum": [int(sum(i for _, i in items))],
+            }
+        )
+
+    class _TraceProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            self._last = handle.getValueState("last", "lt long")
+            self._trace = handle.getListState("trace", "ts long, eid long")
+
+        def _drain(self):
+            items = [(int(t), int(e)) for t, e in self._trace.get()]
+            self._trace.clear()
+            return items
+
+        def handleInputRows(self, key, rows, timerValues):
+            (user_id,) = key
+            pdf = pd.concat(list(rows), ignore_index=True)
+            pdf = pdf.sort_values([ts_col, order_col], kind="mergesort")
+            ts_us = pdf[ts_col].to_numpy().astype("datetime64[us]").astype("int64")
+            eids = pdf[order_col].to_numpy()
+
+            lt = self._last.get()[0] if self._last.exists() else None
+            pending = []
+            for t, e in zip(ts_us, eids):
+                t = int(t)
+                if lt is not None and t - lt >= gap_us:
+                    if pending:
+                        self._trace.appendList(pending)
+                        pending = []
+                    yield _trace_row(user_id, self._drain())
+                    lt = None
+                pending.append((t, int(e)))
+                lt = t
+            if pending:
+                self._trace.appendList(pending)
+
+            wm_us = timerValues.getCurrentWatermarkInMs() * 1000
+            if lt is not None and lt + gap_us <= wm_us:
+                yield _trace_row(user_id, self._drain())
+                self._last.clear()
+            else:
+                self._last.update((lt,))
+                self._handle.registerTimer((lt + gap_us) // 1000)
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            (user_id,) = key
+            expiry_us = expiredTimerInfo.getExpiryTimeInMs() * 1000
+            if self._last.exists():
+                (lt,) = self._last.get()
+                if lt is not None and expiry_us >= lt + gap_us:
+                    self._last.clear()
+                    yield _trace_row(user_id, self._drain())
+
+        def close(self) -> None:
+            pass
+
+    src = events.withWatermark(ts_col, watermark)
+    return src.groupBy(key_col).transformWithStateInPandas(
+        statefulProcessor=_TraceProcessor(),
+        outputStructType=SESSION_TRACE_SCHEMA,
+        outputMode="append",
+        timeMode="eventTime",
+    )

@@ -793,3 +793,48 @@ def test_tws_type_profile_matches_batch(spark, event_inbox, tmp_path):
     assert len(got_rows) > 0
     # the profile is non-trivial on this corpus: multi-type sessions exist
     assert any(int(r[4]) > 1 for r in got_rows)
+
+
+def test_tws_session_trace_matches_batch(spark, event_inbox, tmp_path):
+    """ListState-based session EVENT TRACE on transformWithStateInPandas
+    (the third named-state leg after ValueState and MapState) vs its
+    batch twin: every emitted trace is a batch trace; at most one
+    still-open session per user withheld. Live-exercises the ListState
+    worker protocol (appendList + the paginated list-get responses) over
+    the vendored protobuf runtime."""
+    from etl_process_spark.streaming.stateful import (
+        session_trace_batch,
+        session_trace_stream_tws,
+    )
+    from etl_process_spark.vendor import ensure_protobuf
+
+    assert ensure_protobuf(), "vendored protobuf failed to activate"
+    stream = read_event_stream(spark, event_inbox, max_files_per_trigger=1)
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev_provider = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        got = _run_stream(
+            spark, session_trace_stream_tws(stream, gap_seconds=1800),
+            tmp_path, "tws_session_trace",
+        )
+    finally:
+        if prev_provider is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev_provider)
+    batch = session_trace_batch(tbl(spark, SF_DIR, "events"), gap_seconds=1800)
+    cols = ["user_id", "session_start", "n_events", "first_event_id",
+            "last_event_id", "id_checksum"]
+    got_rows = _canon(got, cols)
+    batch_rows = _canon(batch, cols)
+    assert set(got_rows) <= set(batch_rows)
+    n_users = tbl(spark, SF_DIR, "events").select("user_id").distinct().count()
+    assert len(set(batch_rows) - set(got_rows)) <= n_users
+    assert len(got_rows) >= len(batch_rows) - n_users
+    assert len(got_rows) > 0
+    assert any(int(r[2]) > 2 for r in got_rows)  # multi-event traces exist
