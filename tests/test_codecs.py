@@ -504,3 +504,101 @@ def test_phash_oracle_float_chain_is_materialized():
             f"{name}: float-chain CTEs must stay MATERIALIZED "
             "(cross-evaluation noise flips the zero-margin median bit)"
         )
+
+
+def test_offset_matcher_df_fence_bounds_hot_prefix_buckets(spark, tmp_path):
+    """The document-frequency fence is the offset matcher's skew defense.
+    A boilerplate PREFIX longer than the analysis frame gives every doc
+    IDENTICAL fingerprint words at the pure-prefix indices — without the
+    fence those words form corpus-sized buckets (quadratic candidate
+    blowup). The fence drops them (df > cap) while keeping the
+    low-frequency boundary/tail words, so:
+
+    * twins are still recovered at their exact shifts (tail words carry
+      the vote),
+    * docs sharing only the prefix are STILL reported — correctly: 63%
+      shared signal IS containment-style near-duplication — but their
+      votes come from the small boundary buckets only, strictly fewer
+      than any twin's, and
+    * no surviving bucket exceeds the cap, which is the scale bound.
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from etl_process_spark.multimodal.assets import (
+        synthesize_paired_audio_assets,
+        twin_shift_hops,
+    )
+    from etl_process_spark.multimodal.ops import audio_fingerprint_words
+    from etl_process_spark.queries import QUERIES
+    from etl_process_spark.queries.media import (
+        _FP_DF_CAP,
+        _FP_FRAME,
+        _FP_MAX_SHIFT,
+        _FP_NBANDS,
+        _FP_OHOP,
+    )
+
+    n_groups = 40
+    prefix = ("shared boilerplate header kept by the crawler " * 12)[:512]
+    rows = []
+    for g in range(n_groups):
+        text = prefix + f"tail {g} " + (f"doc{g}x" * 60)[:300]
+        rows.append({"doc_id": 2 * g, "text": text})
+        rows.append({"doc_id": 2 * g + 1, "text": text})  # synth shifts odd
+    sf_dir = str(tmp_path / "hotsf")
+    spark.createDataFrame(pd.DataFrame(rows)).write.parquet(
+        f"{sf_dir}/documents.parquet"
+    )
+    assert n_groups * 2 > _FP_DF_CAP  # pure-prefix words MUST trip the fence
+
+    # the fence fires: pure-prefix words (identical across all 80 docs)
+    # exceed the cap and are dropped from the join
+    words = audio_fingerprint_words(
+        synthesize_paired_audio_assets(
+            spark, sf_dir, max_shift_hops=_FP_MAX_SHIFT, hop=_FP_OHOP
+        ),
+        frame=_FP_FRAME, hop=_FP_OHOP, n_bands=_FP_NBANDS,
+    )
+    dfreq = words.groupBy("word").agg(
+        F.countDistinct("asset_id").alias("df")
+    )
+    assert dfreq.filter(F.col("df") > _FP_DF_CAP).count() >= 5
+
+    out = QUERIES["wav_fingerprint_offset_pairs"].builder(
+        spark, sf_dir
+    ).collect()
+    twins = [r for r in out if r.asset_a % 2 == 0 and r.asset_b == r.asset_a + 1]
+    cross = [r for r in out if not (r.asset_a % 2 == 0 and r.asset_b == r.asset_a + 1)]
+    # twins all recovered at their synthesized shifts
+    assert len(twins) >= int(0.8 * n_groups)
+    for r in twins:
+        assert r.best_offset == twin_shift_hops(r.asset_a, _FP_MAX_SHIFT)
+    # prefix-sharing cross pairs are reported (genuine partial dups) but
+    # only through the sub-cap boundary buckets: rerun the matcher's
+    # raw join WITHOUT the fence and check it strictly inflates every
+    # cross pair's vote count (the fenced words were carrying corpus-
+    # sized buckets of pure-boilerplate votes)
+    if cross:
+        a, b = words.alias("a"), words.alias("b")
+        raw_votes = (
+            a.join(
+                b,
+                (F.col("a.word") == F.col("b.word"))
+                & (F.col("a.asset_id") < F.col("b.asset_id")),
+            )
+            .groupBy(
+                F.col("a.asset_id").alias("asset_a"),
+                F.col("b.asset_id").alias("asset_b"),
+                (F.col("a.word_idx") - F.col("b.word_idx")).alias("off"),
+            )
+            .agg(F.count(F.lit(1)).alias("v"))
+        )
+        raw = {
+            (r.asset_a, r.asset_b, r.off): r.v for r in raw_votes.collect()
+        }
+        for r in cross:
+            assert raw[(r.asset_a, r.asset_b, r.best_offset)] > r.n_votes, (
+                "the fence removed nothing for cross pair "
+                f"({r.asset_a}, {r.asset_b})"
+            )

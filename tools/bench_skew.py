@@ -44,6 +44,16 @@ HEAVY = [
     "copurchase_triangles",
     "containment_dup_pairs",
     "embedding_neardup_pairs",
+    # round 6: the media matchers. The wav pair reacts to doc-length
+    # skew (12x docs -> 12x fingerprint frames each; boilerplate
+    # prefixes -> shared words, the df-fence's job — see
+    # test_offset_matcher_df_fence_bounds_hot_prefix_buckets for the
+    # adversarial-corpus proof); the pHash pair's pixel corpora derive
+    # from doc_id only, pinning that text skew can't leak into them.
+    "wav_fingerprint_offset_pairs",
+    "wav_fingerprint_dup_pairs",
+    "image_phash_dup_pairs",
+    "video_phash_dup_pairs",
 ]
 
 TABLES = [
