@@ -199,3 +199,101 @@ def late_window_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).drop("window_start")
     )
     return untouched.unionByName(rebuilt)
+
+
+@query(
+    "session_type_profile",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR date_diff('microsecond', lag(ts) OVER w, ts) >= 1800000000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts, event_type,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    ),
+    per_type AS (
+      SELECT user_id, sid, event_type, count(*) AS cnt,
+             min(ts) AS t0, max(ts) AS t1
+      FROM sess GROUP BY user_id, sid, event_type
+    ),
+    ranked AS (
+      SELECT user_id, sid, event_type, cnt,
+             row_number() OVER (PARTITION BY user_id, sid
+                                ORDER BY cnt DESC, event_type ASC) AS rn
+      FROM per_type
+    ),
+    agg AS (
+      SELECT user_id, sid, min(t0) AS session_start,
+             max(t1) + INTERVAL 30 MINUTE AS session_end,
+             CAST(sum(cnt) AS BIGINT) AS n_events,
+             count(*) AS n_types
+      FROM per_type GROUP BY user_id, sid
+    )
+    SELECT a.user_id, a.session_start, a.session_end, a.n_events,
+           a.n_types, r.event_type AS top_type,
+           CAST(r.cnt AS BIGINT) AS top_type_n
+    FROM agg a
+    JOIN ranked r ON r.user_id = a.user_id AND r.sid = a.sid AND r.rn = 1
+    """,
+)
+def session_type_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-level type profile (distinct-type count + modal event
+    type, smallest type on count ties) — the batch twin of the MapState
+    ``transformWithStateInPandas`` operator
+    (streaming/stateful.py::session_type_profile_stream_tws; the
+    stream-vs-batch differential lives in tests/test_streaming.py).
+    Registering the twin gives the SEMANTICS a DuckDB oracle."""
+    from etl_process_spark.streaming.stateful import session_type_profile_batch
+
+    return session_type_profile_batch(tbl(spark, sf_dir, "events"), gap_seconds=1800)
+
+
+@query(
+    "session_trace_summary",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR date_diff('microsecond', lag(ts) OVER w, ts) >= 1800000000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts, event_id,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    ),
+    traced AS (
+      SELECT user_id, sid, ts, event_id,
+             first_value(event_id) OVER (PARTITION BY user_id, sid
+                                         ORDER BY ts, event_id) AS fid,
+             last_value(event_id) OVER (PARTITION BY user_id, sid
+                                        ORDER BY ts, event_id
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND UNBOUNDED FOLLOWING) AS lid
+      FROM sess
+    )
+    SELECT user_id, min(ts) AS session_start,
+           CAST(count(*) AS BIGINT) AS n_events,
+           min(fid) AS first_event_id, min(lid) AS last_event_id,
+           CAST(sum(event_id) AS BIGINT) AS id_checksum
+    FROM traced GROUP BY user_id, sid
+    """,
+)
+def session_trace_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session event-trace summary (first/last event id in (ts, id)
+    order + order-independent integer id checksum) — the batch twin of
+    the ListState ``transformWithStateInPandas`` operator
+    (streaming/stateful.py::session_trace_stream_tws)."""
+    from etl_process_spark.streaming.stateful import session_trace_batch
+
+    return session_trace_batch(tbl(spark, sf_dir, "events"), gap_seconds=1800)
