@@ -177,12 +177,59 @@ def sessionize_batch(
     )
 
 
+def open_sessions_state(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Each user's LAST gap-session over a history corpus, as the
+    epoch-microsecond state tuple (user_id, ss, lt, n, tv) the TWS
+    sessionizer stores — the WARM-START input for
+    ``sessionize_stream_tws(initial_state=...)``: bootstrap streaming
+    state from a batch backfill instead of replaying history through the
+    stream (the state-migration pattern of a production cutover)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(ts_col, order_col)
+    flagged = events.select(
+        key_col, ts_col, value_col, order_col,
+        F.when(
+            F.lag(ts_col).over(w).isNull()
+            | (
+                F.col(ts_col).cast("double") - F.lag(ts_col).over(w).cast("double")
+                >= F.lit(float(gap_seconds))
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_sess"),
+    )
+    sess = flagged.withColumn("sid", F.sum("new_sess").over(w))
+    agg = sess.groupBy(key_col, "sid").agg(
+        F.min(F.unix_micros(F.col(ts_col))).alias("ss"),
+        F.max(F.unix_micros(F.col(ts_col))).alias("lt"),
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(F.col(value_col).cast("decimal(12,4)")) * 10000)
+        .cast("bigint").alias("tv"),
+    )
+    last = Window.partitionBy(key_col).orderBy(F.desc("sid"))
+    return (
+        agg.withColumn("rn", F.row_number().over(last))
+        .filter(F.col("rn") == 1)
+        .select(key_col, "ss", "lt", "n", "tv")
+    )
+
+
 def sessionize_stream_tws(
     events: DataFrame,
     gap_seconds: int = 1800,
     ts_col: str = "ts",
     key_col: str = "user_id",
     watermark: str = "0 seconds",
+    initial_state=None,
 ) -> DataFrame:
     """The same gap-sessionizer on Spark 4's ``transformWithStateInPandas``
     — the successor API to ``applyInPandasWithState`` (SPARK-49564):
@@ -265,6 +312,16 @@ def sessionize_stream_tws(
                     self._state.clear()
                     yield _emit(user_id, ss, lt, n, tv, gap_us)
 
+        def handleInitialState(self, key, initialState, timerValues):
+            # warm start: adopt the backfilled open session as state and
+            # arm its close timer — from here on the key behaves as if
+            # the history had streamed through
+            row = initialState.iloc[0]
+            lt = int(row["lt"])
+            self._state.update((int(row["ss"]), lt, int(row["n"]),
+                                int(row["tv"])))
+            self._handle.registerTimer((lt + gap_us) // 1000)
+
         def close(self) -> None:
             pass
 
@@ -274,6 +331,7 @@ def sessionize_stream_tws(
         outputStructType=SESSION_SCHEMA,
         outputMode="append",
         timeMode="eventTime",
+        initialState=initial_state,
     )
 
 

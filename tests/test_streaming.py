@@ -838,3 +838,104 @@ def test_tws_session_trace_matches_batch(spark, event_inbox, tmp_path):
     assert len(got_rows) >= len(batch_rows) - n_users
     assert len(got_rows) > 0
     assert any(int(r[2]) > 2 for r in got_rows)  # multi-event traces exist
+
+
+def test_tws_warm_start_from_backfilled_state(spark, tmp_path):
+    """Warm-start cutover: bootstrap the TWS sessionizer's state from a
+    batch backfill (open_sessions_state over history), then stream ONLY
+    the live half. Contract vs the all-data batch run:
+
+    * nothing history-internal is re-emitted (those sessions closed
+      before the cutover and the stream never saw them),
+    * every emitted session is a true session of the FULL timeline —
+      including bridge sessions that START in history and end in live,
+      which are only correct if the initial state actually took,
+    * at most one still-open session per user is withheld.
+    """
+    import os
+    import time as _time
+
+    from etl_process_spark.streaming.stateful import (
+        open_sessions_state,
+        sessionize_batch,
+        sessionize_stream_tws,
+    )
+    from etl_process_spark.vendor import ensure_protobuf
+
+    assert ensure_protobuf(), "vendored protobuf failed to activate"
+    ev = tbl(spark, SF_DIR, "events")
+    cutoff = ev.select(
+        F.percentile_approx("ts", 0.4, 10000).alias("c")
+    ).first()["c"]
+    history = ev.filter(F.col("ts") <= F.lit(cutoff))
+    live = ev.filter(F.col("ts") > F.lit(cutoff))
+
+    # live half as a 2-file time-ordered inbox
+    inbox = tmp_path / "live_inbox"
+    inbox.mkdir()
+    mid = live.select(
+        F.percentile_approx("ts", 0.5, 10000).alias("m")
+    ).first()["m"]
+    parts = [
+        live.filter(F.col("ts") <= F.lit(mid)),
+        live.filter(F.col("ts") > F.lit(mid)),
+    ]
+    now = _time.time()
+    for i, p in enumerate(parts):
+        d = tmp_path / f"live_{i}"
+        p.coalesce(1).write.parquet(str(d))
+        src = next(d.glob("part-*.parquet"))
+        dst = inbox / f"events_{i}.parquet"
+        src.rename(dst)
+        os.utime(dst, (now + 10 * i, now + 10 * i))
+
+    init = open_sessions_state(history, gap_seconds=1800)
+    stream = read_event_stream(spark, str(inbox), max_files_per_trigger=1)
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev_provider = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        got = _run_stream(
+            spark,
+            sessionize_stream_tws(
+                stream, gap_seconds=1800,
+                initial_state=init.groupBy("user_id"),
+            ),
+            tmp_path, "tws_warm",
+        )
+    finally:
+        if prev_provider is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev_provider)
+
+    cols = ["user_id", "session_start", "session_end", "n_events", "total_value_e4"]
+    full_rows = set(_canon(sessionize_batch(ev, gap_seconds=1800), cols))
+    hist = sessionize_batch(history, gap_seconds=1800)
+    hist_rows = set(_canon(hist, cols))
+    # history sessions other than each user's LAST are closed pre-cutover
+    from pyspark.sql import Window
+
+    lastw = Window.partitionBy("user_id").orderBy(F.desc("session_start"))
+    hist_last = set(_canon(
+        hist.withColumn("rn", F.row_number().over(lastw)).filter("rn = 1"),
+        cols,
+    ))
+    history_only = hist_rows - hist_last
+    got_rows = set(_canon(got, cols))
+
+    assert got_rows & history_only == set(), "re-emitted pre-cutover sessions"
+    expected = full_rows - history_only
+    assert got_rows <= expected
+    n_users = ev.select("user_id").distinct().count()
+    assert len(expected - got_rows) <= n_users
+    assert len(got_rows) > 0
+    # the warm state did real work: at least one emitted BRIDGE session
+    # starts at/before the cutover and was closed by live-time progress
+    cutoff_s = str(cutoff)
+    bridges = [r for r in got_rows if r[1] <= cutoff_s]
+    assert bridges, "no bridge session crossed the cutover"
