@@ -92,17 +92,22 @@ def main() -> None:
         "/root/testdata/sf0.01",
         "/root/testdata/sf0.1",
     ]
+    # hop=128: wav_fingerprint_words/_dup_pairs; hop=32: the overlapping-
+    # frame configuration of wav_fingerprint_offset_pairs (4x the frames,
+    # same exactness requirements). The twins' whole-hop SHIFT adds no
+    # float surface — shifted windows are sample-identical to the base's.
     for sf_dir in dirs:
-        worst, n_docs, n_bits = margins_for_sf(sf_dir)
-        print(
-            f"{sf_dir}: {n_docs} qualifying docs, {n_bits} sign bits, "
-            f"min relative |dd| margin = {worst:.6g} "
-            f"({worst / 1e-13:.1e}x the ~1e-13 noise floor)"
-        )
-        assert worst > 1e-9, (
-            f"{sf_dir}: relative margin {worst} too small — a fingerprint "
-            "sign bit could diverge between engines"
-        )
+        for hop in (128, 32):
+            worst, n_docs, n_bits = margins_for_sf(sf_dir, hop=hop)
+            print(
+                f"{sf_dir} (hop={hop}): {n_docs} qualifying docs, "
+                f"{n_bits} sign bits, min relative |dd| margin = {worst:.6g} "
+                f"({worst / 1e-13:.1e}x the ~1e-13 noise floor)"
+            )
+            assert worst > 1e-9, (
+                f"{sf_dir} hop={hop}: relative margin {worst} too small — "
+                "a fingerprint sign bit could diverge between engines"
+            )
 
 
 if __name__ == "__main__":
