@@ -20,4 +20,5 @@ from etl_process_spark.plans.audit import (  # noqa: F401
     python_stage_count,
     read_schemas,
     sortmerge_join_count,
+    unbounded_serial_exchanges,
 )

@@ -105,6 +105,75 @@ def python_stage_count(df: DataFrame) -> int:
     )
 
 
+_TREE_LINE = re.compile(r"^(?P<prefix>[\s:+\-*]*?)(?P<name>[A-Za-z][\w .]*?)\s*\((?P<id>\d+)\)\s*$")
+
+# Operators that bound the row count of everything above them: once one of
+# these sits below a single-partition exchange, the serial stage holds an
+# aggregate/limit-sized table (bucket counts, top-k, centroid packs), not a
+# base table. ReusedExchange is deliberately NOT here — a reused corpus
+# exchange must be adjudicated by hand if one ever feeds a serial window.
+_BOUNDING = (
+    "HashAggregate",
+    "SortAggregate",
+    "ObjectHashAggregate",
+    "LocalLimit",
+    "TakeOrderedAndProject",
+    "LocalTableScan",
+)
+
+
+def _tree_nodes(plan: str) -> list[tuple[int, str, str]]:
+    """(depth, operator name, node id) in pre-order for the CURRENT plan
+    tree (the '== Initial Plan ==' copy of an executed AQE plan is
+    dropped, matching ``_final_node_blocks``)."""
+    tree = plan.split("\n\n")[0].split("== Initial Plan ==")[0]
+    nodes = []
+    for line in tree.splitlines():
+        m = _TREE_LINE.match(line)
+        if not m:
+            continue
+        depth = len(m.group("prefix").replace("* ", "").replace("*", ""))
+        nodes.append((depth, m.group("name").strip(), m.group("id")))
+    return nodes
+
+
+def unbounded_serial_exchanges(df: DataFrame) -> list[str]:
+    """Single-partition shuffle exchanges whose input is NOT provably
+    bounded — the 'whole base table through one task' anti-pattern
+    (serial window, global sort to one partition).
+
+    For every ``Exchange`` whose arguments say ``SinglePartition``, the
+    subtree below it must contain a row-bounding operator (aggregate,
+    local limit, per-partition top-k heap, literal table). A
+    single-partition exchange directly over scans/filters/joins funnels
+    the full input through one task — exactly the shape that dies at
+    100 TB — and is returned here as ``"Exchange(<id>)"`` for the test
+    to fail on. Empty list = every serial stage in the plan holds a
+    bounded (aggregate/limit-sized) table.
+    """
+    plan = explain_str(df)
+    parts = re.split(r"^\((\d+)\) (.+)$", plan, flags=re.MULTILINE)
+    body_by_id = {
+        parts[i]: parts[i + 2] for i in range(1, len(parts) - 2, 3)
+    }
+    nodes = _tree_nodes(plan)
+    flagged = []
+    for i, (depth, name, nid) in enumerate(nodes):
+        if name != "Exchange":
+            continue
+        args = re.search(r"Arguments: (.*)", body_by_id.get(nid, ""))
+        if not args or "SinglePartition" not in args.group(1):
+            continue
+        subtree = []
+        for d2, n2, _ in nodes[i + 1:]:
+            if d2 <= depth:
+                break
+            subtree.append(n2)
+        if not any(b in subtree for b in _BOUNDING):
+            flagged.append(f"Exchange({nid}) over {subtree}")
+    return flagged
+
+
 def plan_summary(df: DataFrame) -> dict:
     """One-call audit snapshot (used by tests and for judge-readable
     reporting)."""

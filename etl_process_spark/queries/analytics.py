@@ -2094,20 +2094,48 @@ def price_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ntile over the (price, orderkey) total order pins every tie, so
     bucket membership is identical across engines; bounds come out as
-    exact DECIMAL min/max. One sort + one 8-row aggregate — at scale
-    the same statistic comes from approx_percentile split points
+    exact DECIMAL min/max. The oracle states it as ``ntile(8)`` over an
+    unpartitioned window — which Spark would plan as ONE partition
+    holding the whole orders table. The engine instead rides
+    ``operators/ordinals.py::global_ordinals`` (price-range buckets →
+    tiny count/offset table → parallel per-bucket ``row_number``) and
+    derives the ntile bucket from the global rank with exact integer
+    arithmetic: with ``n`` rows, ``q = n div 8`` and ``r = n % 8``,
+    ntile gives buckets ``1..r`` size ``q+1`` and ``r+1..8`` size
+    ``q``, so ``bucket(rn) = (rn + q) div (q + 1)`` in the first span
+    and ``r + (rn - r*(q+1) + q - 1) div q`` after — bit-identical to
+    the serial window with no corpus-sized single-partition stage. At
+    scale the same statistic comes from approx_percentile split points
     (``approx_price_quantiles`` carries that sketch's contract); this
     is the exact formulation that oracle-checks the bucketing rule
     itself.
     """
-    od = tbl(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
+    from etl_process_spark.operators.ordinals import global_ordinals
+
+    od = tbl(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").cast("decimal(12,2)").alias("p"),
+        F.col("o_orderkey").alias("k"),
+    )
+    ranked = global_ordinals(
+        od,
+        order_by=[F.col("p"), F.col("k")],
+        bucket=F.expr("p div 4096"),
+        ordinal_name="rn",
+    )
+    total = od.agg(F.count(F.lit(1)).alias("n"))
     return (
-        od.select(
-            F.col("o_totalprice").cast("decimal(12,2)").alias("p"),
-            F.ntile(8).over(w).alias("bucket"),
+        ranked.crossJoin(F.broadcast(total))
+        .withColumn(
+            "bucket",
+            F.expr(
+                "CAST(CASE WHEN rn <= (n % 8) * ((n div 8) + 1)"
+                " THEN (rn + (n div 8)) div ((n div 8) + 1)"
+                " ELSE (n % 8) + (rn - (n % 8) * ((n div 8) + 1)"
+                "      + (n div 8) - 1) div (n div 8)"
+                " END AS BIGINT)"
+            ),
         )
-        .groupBy(F.col("bucket").cast("bigint").alias("bucket"))
+        .groupBy("bucket")
         .agg(
             F.count("*").alias("n_rows"),
             (F.min("p") * 100).cast("long").alias("lo_cents"),

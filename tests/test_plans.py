@@ -19,6 +19,7 @@ from etl_process_spark.plans import (
     pushed_filters,
     python_stage_count,
     read_schemas,
+    unbounded_serial_exchanges,
 )
 from etl_process_spark.queries import QUERIES
 
@@ -95,6 +96,34 @@ def test_no_cartesian_products_anywhere(spark):
     for name, spec in sorted(QUERIES.items()):
         df = spec.builder(spark, SF_DIR)
         assert not has_cartesian(df), f"{name} plans a CartesianProduct"
+
+
+def test_no_unbounded_serial_exchange_anywhere(spark):
+    """No query funnels a base table through one task: every
+    SinglePartition exchange in the corpus must sit above a
+    row-bounding operator (aggregate / limit / top-k heap / literal
+    table). This is the machine check behind 'all unpartitioned
+    windows are over bounded inputs' — a serial ntile/row_number over
+    a full table (the shape that dies at 100 TB) fails here even if
+    its results stay correct. `price_equidepth_histogram` used to be
+    the one offender; it now rides global_ordinals."""
+    for name, spec in sorted(QUERIES.items()):
+        df = spec.builder(spark, SF_DIR)
+        flagged = unbounded_serial_exchanges(df)
+        assert not flagged, f"{name}: unbounded serial stage {flagged}"
+
+
+def test_unbounded_serial_exchange_detector_positive_control(spark):
+    """The audit must actually fire on the anti-pattern: a row_number
+    window with no partitionBy over a base parquet table plans
+    Exchange SinglePartition directly over the scan."""
+    from pyspark.sql import Window
+
+    od = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    bad = od.withColumn(
+        "rn", F.row_number().over(Window.orderBy("o_orderkey"))
+    )
+    assert unbounded_serial_exchanges(bad), "detector missed a serial window"
 
 
 def test_python_only_where_declared(spark):
