@@ -38,6 +38,17 @@ def _e4(v: float) -> int:
     return int(math.floor(float(v) * 10000.0 + 0.5))
 
 
+def _ceil_ms(us: int) -> int:
+    """Microseconds -> milliseconds, rounded UP. Timer registration must
+    ceil: timestamps carry microsecond precision but timers are
+    millisecond-granular, and a floored timer fires up to 999us BEFORE
+    the session's true close point — where a close-condition check
+    against the watermark (also ms-granular) still fails and the close
+    is lost. Ceiling guarantees a fired timer means the watermark passed
+    ``last_ts + gap`` for real."""
+    return -(-us // 1000)
+
+
 def _emit(user_id: Any, ss: int, lt: int, n: int, tv: int, gap_us: int) -> pd.DataFrame:
     return pd.DataFrame(
         {
@@ -98,7 +109,7 @@ def _make_sessionizer(gap_seconds: int):
             state.remove()
         else:
             state.update((ss, lt, n, tv))
-            state.setTimeoutTimestamp((lt + gap_us) // 1000)
+            state.setTimeoutTimestamp(_ceil_ms(lt + gap_us))
 
         for c in closed:
             yield _emit(user_id, *c, gap_us)
@@ -293,22 +304,29 @@ def sessionize_stream_tws(
                 self._state.clear()
             else:
                 self._state.update((ss, lt, n, tv))
-                self._handle.registerTimer((lt + gap_us) // 1000)
+                self._handle.registerTimer(_ceil_ms(lt + gap_us))
 
             for c in closed:
                 yield _emit(user_id, *c, gap_us)
 
         def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
             # Stale timers happen by design: extending a session registers
-            # a later timer without deleting the earlier one. Only close
-            # when the FIRED expiry is the current session's close point.
+            # a later timer without deleting the earlier one. The close
+            # authority is the WATERMARK, not the fired expiry: emit iff
+            # the watermark passed the current session's close point. (A
+            # stale timer firing after that point closes correctly; one
+            # firing before it is ignored and the ceil-registered real
+            # timer is still pending.) Comparing against the expiry
+            # instead silently LOSES sessions: expiry is ms-truncated, so
+            # for sub-ms timestamps it lands just before lt + gap and the
+            # session's one real timer gets consumed without emitting.
             # (camelCase parameter names are the API contract: pyspark's
             # runner invokes with timerValues=/expiredTimerInfo= keywords)
             (user_id,) = key
-            expiry_us = expiredTimerInfo.getExpiryTimeInMs() * 1000
+            wm_us = timerValues.getCurrentWatermarkInMs() * 1000
             if self._state.exists():
                 ss, lt, n, tv = self._state.get()
-                if ss is not None and expiry_us >= lt + gap_us:
+                if ss is not None and wm_us >= lt + gap_us:
                     self._state.clear()
                     yield _emit(user_id, ss, lt, n, tv, gap_us)
 
@@ -320,7 +338,7 @@ def sessionize_stream_tws(
             lt = int(row["lt"])
             self._state.update((int(row["ss"]), lt, int(row["n"]),
                                 int(row["tv"])))
-            self._handle.registerTimer((lt + gap_us) // 1000)
+            self._handle.registerTimer(_ceil_ms(lt + gap_us))
 
         def close(self) -> None:
             pass
@@ -493,14 +511,16 @@ def session_type_profile_stream_tws(
                 self._bounds.clear()
             else:
                 self._bounds.update((ss, lt))
-                self._handle.registerTimer((lt + gap_us) // 1000)
+                self._handle.registerTimer(_ceil_ms(lt + gap_us))
 
         def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            # watermark-authoritative close (see _SessionProcessor): the
+            # ms-truncated expiry must not be the staleness test
             (user_id,) = key
-            expiry_us = expiredTimerInfo.getExpiryTimeInMs() * 1000
+            wm_us = timerValues.getCurrentWatermarkInMs() * 1000
             if self._bounds.exists():
                 ss, lt = self._bounds.get()
-                if ss is not None and expiry_us >= lt + gap_us:
+                if ss is not None and wm_us >= lt + gap_us:
                     self._bounds.clear()
                     yield _profile_row(user_id, ss, lt, self._drain_types())
 
@@ -653,14 +673,16 @@ def session_trace_stream_tws(
                 self._last.clear()
             else:
                 self._last.update((lt,))
-                self._handle.registerTimer((lt + gap_us) // 1000)
+                self._handle.registerTimer(_ceil_ms(lt + gap_us))
 
         def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            # watermark-authoritative close (see _SessionProcessor): the
+            # ms-truncated expiry must not be the staleness test
             (user_id,) = key
-            expiry_us = expiredTimerInfo.getExpiryTimeInMs() * 1000
+            wm_us = timerValues.getCurrentWatermarkInMs() * 1000
             if self._last.exists():
                 (lt,) = self._last.get()
-                if lt is not None and expiry_us >= lt + gap_us:
+                if lt is not None and wm_us >= lt + gap_us:
                     self._last.clear()
                     yield _trace_row(user_id, self._drain())
 

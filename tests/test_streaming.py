@@ -939,3 +939,249 @@ def test_tws_warm_start_from_backfilled_state(spark, tmp_path):
     cutoff_s = str(cutoff)
     bridges = [r for r in got_rows if r[1] <= cutoff_s]
     assert bridges, "no bridge session crossed the cutover"
+
+
+# ---------------------------------------------------------------------------
+# TWS fault recovery: kill/restart from checkpoint mid-stream. RocksDB named
+# state (ValueState / MapState / ListState) AND registered timers must
+# recover, and the resumed stream must still match the batch twin.
+# ---------------------------------------------------------------------------
+
+_TWS_GAP = 43200  # 12h: wide enough that sessions span the restart boundary
+
+
+@pytest.fixture(scope="module")
+def tws_restart_corpus(spark, tmp_path_factory):
+    """Two time-ordered phase files engineered so the restart is load-
+    bearing:
+
+    * phase 1 = events with ts <= B (the median event time);
+    * phase 2 = events with ts > B, EXCLUDING one 'timer user' — a user
+      whose phase-1 session is still open at the phase-1 watermark and
+      who gets no phase-2 input, so their session can ONLY be emitted by
+      a phase-1-registered timer firing after the restart;
+    * at least one 'bridge user' keeps events on both sides of B within
+      the gap, so their session is only correct if the named state
+      recovered.
+
+    Returns (phase1_file, phase2_file, streamed_parquet_dir, B,
+    timer_user, max_ts).
+    """
+    base = tmp_path_factory.mktemp("tws_restart")
+    ev = tbl(spark, SF_DIR, "events")
+    B = ev.select(
+        F.percentile_approx("ts", 0.5, 10000).alias("b")
+    ).first()["b"]
+
+    pre = ev.filter(F.col("ts") <= F.lit(B))
+    post = ev.filter(F.col("ts") > F.lit(B))
+    wm1 = pre.agg(F.max("ts")).first()[0]
+
+    # per-user last pre-B / first post-B event times
+    last_pre = {r["user_id"]: r["m"] for r in
+                pre.groupBy("user_id").agg(F.max("ts").alias("m")).collect()}
+    first_post = {r["user_id"]: r["m"] for r in
+                  post.groupBy("user_id").agg(F.min("ts").alias("m")).collect()}
+
+    def _sec(dt):
+        import datetime
+        return dt.replace(tzinfo=datetime.timezone.utc).timestamp()
+
+    open_users = {u for u, m in last_pre.items()
+                  if _sec(m) + _TWS_GAP > _sec(wm1)}
+    bridge_users = {u for u, m in last_pre.items()
+                    if u in first_post
+                    and _sec(first_post[u]) - _sec(m) < _TWS_GAP}
+    timer_candidates = sorted(
+        u for u in open_users - bridge_users
+        if u not in first_post
+        or _sec(first_post[u]) - _sec(last_pre[u]) >= _TWS_GAP
+    )
+    assert bridge_users, "corpus must yield a session spanning the restart"
+    assert timer_candidates, "corpus must yield a pure-timer user"
+    timer_user = timer_candidates[0]
+
+    streamed = pre.unionByName(
+        post.filter(F.col("user_id") != F.lit(timer_user))
+    )
+    streamed_dir = base / "streamed"
+    streamed.write.parquet(str(streamed_dir))
+
+    import os
+    import time as _time
+
+    now = _time.time()
+    files = []
+    for i, part in enumerate(
+        [pre, post.filter(F.col("user_id") != F.lit(timer_user))]
+    ):
+        d = base / f"phase_{i}"
+        part.coalesce(1).write.parquet(str(d))
+        src = next(d.glob("part-*.parquet"))
+        dst = base / f"events_{i}.parquet"
+        src.rename(dst)
+        os.utime(dst, (now + 10 * i, now + 10 * i))
+        files.append(str(dst))
+
+    max_ts = streamed.agg(F.max("ts")).first()[0]
+    return files[0], files[1], str(streamed_dir), B, timer_user, max_ts
+
+
+def _tws_leg(leg):
+    """(stream builder, batch twin, output cols) for one named-state leg."""
+    from etl_process_spark.streaming.stateful import (
+        session_trace_batch,
+        session_trace_stream_tws,
+        session_type_profile_batch,
+        session_type_profile_stream_tws,
+        sessionize_batch,
+        sessionize_stream_tws,
+    )
+
+    return {
+        "value_state": (
+            sessionize_stream_tws, sessionize_batch,
+            ["user_id", "session_start", "session_end", "n_events",
+             "total_value_e4"],
+        ),
+        "map_state": (
+            session_type_profile_stream_tws, session_type_profile_batch,
+            ["user_id", "session_start", "session_end", "n_events",
+             "n_types", "top_type", "top_type_n"],
+        ),
+        "list_state": (
+            session_trace_stream_tws, session_trace_batch,
+            ["user_id", "session_start", "n_events", "first_event_id",
+             "last_event_id", "id_checksum"],
+        ),
+    }[leg]
+
+
+@pytest.mark.parametrize("leg", ["value_state", "map_state", "list_state"])
+def test_tws_restart_recovers_state_and_timers(
+    spark, tws_restart_corpus, tmp_path, leg
+):
+    """Kill/restart each transformWithState query from its checkpoint
+    mid-stream. Phase 1 streams the first half and terminates
+    (availableNow); phase 2 adds the second half and restarts the SAME
+    query (checkpoint + sink). The resumed run must:
+
+    * re-emit nothing (exactly-once across the restart),
+    * stay a subset of the batch twin over the streamed corpus,
+    * emit the BRIDGE sessions that start before the restart boundary
+      and end after it — only possible if the RocksDB named state
+      (ValueState / MapState / ListState) recovered, and
+    * emit the TIMER USER's session, for which phase 2 carries ZERO
+      input rows — only possible if the phase-1-registered event-time
+      timer survived the restart and fired on watermark advance.
+    """
+    import os
+    import shutil
+
+    from etl_process_spark.vendor import ensure_protobuf
+
+    assert ensure_protobuf(), "vendored protobuf failed to activate"
+    f1, f2, streamed_dir, B, timer_user, max_ts = tws_restart_corpus
+    stream_fn, batch_fn, cols = _tws_leg(leg)
+
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    shutil.copy2(f1, inbox / os.path.basename(f1))
+
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev_provider = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+
+    def run_phase():
+        stream = read_event_stream(spark, str(inbox), max_files_per_trigger=1)
+        q = (
+            stream_fn(stream, gap_seconds=_TWS_GAP)
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return spark.read.parquet(out_dir)
+
+    try:
+        phase1_rows = set(_canon(run_phase(), cols))
+        # phase 2: second half arrives; restart from the same checkpoint
+        shutil.copy2(f2, inbox / os.path.basename(f2))
+        final = run_phase()
+    finally:
+        if prev_provider is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev_provider)
+
+    got_rows = set(_canon(final, cols))
+    # exactly-once across the restart: no row lands twice
+    assert final.count() == len(got_rows)
+    assert phase1_rows <= got_rows, "restart lost phase-1 emissions"
+
+    streamed = spark.read.parquet(streamed_dir)
+    batch = batch_fn(streamed, gap_seconds=_TWS_GAP)
+    batch_rows = set(_canon(batch, cols))
+    assert got_rows <= batch_rows, "stream emitted a non-batch session"
+    n_users = streamed.select("user_id").distinct().count()
+    assert len(batch_rows - got_rows) <= n_users
+    assert len(got_rows) >= len(batch_rows) - n_users
+
+    # identify sessions by (user_id, session_start) — present in every leg
+    from etl_process_spark.streaming.stateful import sessionize_batch
+
+    sess = sessionize_batch(streamed, gap_seconds=_TWS_GAP)
+    got_keys = {(r[0], r[1]) for r in got_rows}
+    phase1_keys = {(r[0], r[1]) for r in phase1_rows}
+
+    # bridge sessions: start at/before B, last event strictly after B,
+    # strictly closable before the final watermark
+    spanning = sess.filter(
+        (F.col("session_start") <= F.lit(B))
+        & (F.col("session_end") - F.expr(f"INTERVAL {_TWS_GAP} SECOND")
+           > F.lit(B))
+        & (F.col("session_end") < F.lit(max_ts))
+    )
+    span_keys = {(str(r["user_id"]), str(r["session_start"]))
+                 for r in spanning.collect()}
+    assert span_keys, "no bridge session spans the restart boundary"
+    assert span_keys <= got_keys, (
+        f"{leg}: bridge sessions lost across restart — named state did "
+        f"not recover: {sorted(span_keys - got_keys)}"
+    )
+    assert not span_keys & phase1_keys, "bridge emitted before restart?"
+
+    # the timer user's session: zero phase-2 input rows for the key, so
+    # emission after the restart proves the registered timer recovered
+    timer_sess = sess.filter(
+        (F.col("user_id") == F.lit(timer_user))
+        & (F.col("session_end") - F.expr(f"INTERVAL {_TWS_GAP} SECOND")
+           > F.lit(B) - F.expr(f"INTERVAL {_TWS_GAP} SECOND"))
+    )
+    lastw = __import__("pyspark.sql", fromlist=["Window"]).Window.partitionBy(
+        "user_id"
+    ).orderBy(F.desc("session_start"))
+    timer_last = (
+        sess.filter(F.col("user_id") == F.lit(timer_user))
+        .withColumn("rn", F.row_number().over(lastw))
+        .filter("rn = 1")
+    )
+    [trow] = timer_last.collect()
+    tkey = (str(trow["user_id"]), str(trow["session_start"]))
+    assert tkey not in phase1_keys, (
+        "timer session closed before the restart — fixture invariant broken"
+    )
+    assert tkey in got_keys, (
+        f"{leg}: timer user's session never emitted — registered timer "
+        "did not survive the restart"
+    )
