@@ -282,14 +282,25 @@ def _knn_cells_arrow(
              "cos_sim_e6": np.asarray(out_s, dtype=np.int64)}
         )
 
+    # The two cogroup sides MUST carry bit-identical key types: cogroup
+    # shuffles each side by its own grouping expressions WITHOUT the type
+    # reconciliation a join would insert, and Murmur3 hashes int 0 and
+    # bigint 0 differently — equal key VALUES then land in different
+    # partitions and every block arrives one-sided (corpus rows with no
+    # queries, queries with no corpus), silently emptying the result.
+    # The mismatch is invisible at small scale because AQE coalesces the
+    # tiny shuffles to one partition, where the merge compares values.
+    # Hence both cells cast long and both chunks cast int, uncondition-
+    # ally (crc32 % n is bigint; sequence() elements are int).
     corp = corpus.select(
-        F.col(cell_col).alias("ccell"),
-        (F.crc32(F.col(id_col).cast("string")) % cell_chunks).alias("chunk"),
+        F.col(cell_col).cast("long").alias("ccell"),
+        (F.crc32(F.col(id_col).cast("string")) % cell_chunks)
+        .cast("int").alias("chunk"),
         F.col(id_col).cast("long").alias("nid"),
         _dbl(F.col(vec_col)).alias("vec"),
     )
     qp = probes.select(
-        "cell", "qid", "qvec",
+        F.col("cell").cast("long").alias("cell"), "qid", "qvec",
         F.explode(F.sequence(F.lit(0), F.lit(cell_chunks - 1))).alias("chunk"),
     )
     shortlist = (

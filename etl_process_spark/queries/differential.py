@@ -11,6 +11,7 @@ from __future__ import annotations
 import datetime as dt
 import decimal
 import math
+import os
 
 import duckdb
 from pyspark.sql import SparkSession
@@ -50,12 +51,25 @@ def _rows_to_canonical(columns: list[str], rows: list[tuple]) -> list[tuple[str,
 def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        path = f"{sf_dir}/{t}.parquet"
+        # the driver testdata ships single parquet FILES; engine-written
+        # corpora (the 10x scale replica) are Spark DIRECTORIES of parts
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     return con
 
 
-def compare(spark: SparkSession, sf_dir: str, spec) -> dict:
-    """Run spec both ways; return a result dict (match flags + diagnostics)."""
+def compare(
+    spark: SparkSession, sf_dir: str, spec, duckdb_pragmas: list[str] | None = None
+) -> dict:
+    """Run spec both ways; return a result dict (match flags + diagnostics).
+
+    ``duckdb_pragmas`` are SET statements applied to the oracle
+    connection first — used by the 10x-replica differential to cap
+    DuckDB's memory and give it a spill directory (the in-memory default
+    has NO temp dir, so blocking operators can't go out-of-core and the
+    heaviest oracles OOM at scale instead of spilling)."""
     sdf = spec.builder(spark, sf_dir)
     s_cols = sdf.columns
     s_rows = [tuple(r) for r in sdf.collect()]
@@ -67,6 +81,8 @@ def compare(spark: SparkSession, sf_dir: str, spec) -> dict:
 
     con = duckdb_connection(sf_dir)
     try:
+        for pragma in duckdb_pragmas or []:
+            con.execute(pragma)
         cur = con.execute(spec.oracle)
         o_cols = [d[0] for d in cur.description]
         o_rows = cur.fetchall()

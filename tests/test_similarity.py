@@ -198,3 +198,53 @@ def test_hyperplane_code_matches_banded_first_band(spark):
     row = spark.range(1).select(single.alias("a"), banded.alias("b")).first()
     assert row["a"] == row["b"]
     assert 0 <= row["a"] < 2 ** nbits
+
+
+def test_arrow_knn_equals_sql_at_many_cells_multi_partition(spark):
+    """Regression: the cell-cogrouped Arrow kNN must equal the SQL path
+    when the cogroup shuffles stay MULTI-partition. The two cogroup
+    sides are shuffled by their own grouping expressions without join-
+    style type reconciliation, so a key-type mismatch (the corpus chunk
+    was bigint, the probe chunk int) hashes equal key values into
+    different partitions — every block arrives one-sided and the result
+    silently shrinks. AQE coalesces tiny shuffles to one partition,
+    which masked exactly that at sf0.1 (5 cells) while the 10x replica
+    (50 cells) lost 97% of its mutual bitext pairs. This test pins the
+    fix where AQE can't hide it: 64 cells, partition coalescing off,
+    arrow == sql row-for-row.
+    """
+    from etl_process_spark.operators.similarity import knn_join
+
+    dim, n_cells, per_cell = 8, 64, 6
+    rows = []
+    for c in range(n_cells):
+        for j in range(per_cell):
+            # deterministic, non-degenerate vectors: cell-centered with
+            # a per-row perturbation; integer-derived doubles
+            vec = [
+                float((c * 7 + j * 3 + i * 5) % 17 - 8) + 0.25 * ((j + i) % 4)
+                for i in range(dim)
+            ]
+            rows.append((c * 1000 + j, c, vec))
+    emb = spark.createDataFrame(rows, "vec_id long, label int, embedding array<double>")
+    queries = emb.limit(40).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+
+    key = "spark.sql.adaptive.coalescePartitions.enabled"
+    saved = spark.conf.get(key, None)
+    spark.conf.set(key, "false")
+    try:
+        out = {}
+        for impl in ("arrow", "sql"):
+            df = knn_join(emb, queries, k=3, nprobe=4, dim=dim, impl=impl)
+            out[impl] = sorted(
+                (r["qid"], r["vec_id"], r["cos_sim_e6"]) for r in df.collect()
+            )
+    finally:
+        if saved is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, saved)
+    assert len(out["sql"]) == 40 * 3
+    assert out["arrow"] == out["sql"]

@@ -34,6 +34,20 @@ replica is decorrelated while preserving per-replica structure:
 Usage: python tools/bench_scale.py [--replicas N] [--out PATH]
 Writes BENCH_SCALE.json. Run SERIALLY (no concurrent Spark/pytest —
 timings carry 1.5-3x noise under parallel load).
+
+--big N (with --big-only to skip re-timing the 10-query battery) adds a
+THIRD decade for the two ~linear queries (part_bfs_reach 0.95,
+image_phash_dup_pairs 0.91 at 10x): an N-x replica of only the tables
+they read (lineitem 60M rows at N=100), built by crossJoin against
+spark.range(N) — planner-cheap where a 100-branch union is not — with
+the same key-offset decorrelation (per-replica seeds, disjoint join
+graphs, doc_id-derived image pairs stay within-replica). The text
+cipher / vector rotation are deliberately skipped: neither query reads
+text or embeddings, and the cipher's 26-rotation alphabet cycles out at
+100 replicas anyway. The big tier also records each query's plan shape
+(join strategies, exchanges) at every scale, so a broadcast->SMJ or
+AQE transition across the decades is named in the artifact rather than
+inferred from the exponent.
 """
 
 from __future__ import annotations
@@ -174,18 +188,75 @@ def build_scaled_corpus(spark, out_dir: str, n_replicas: int) -> dict[str, int]:
     return counts
 
 
-def _warmup(spark, sf_dir: str) -> None:
+BIG_DIR = "/tmp/spark_graft_scale_big"
+BIG_QUERIES = {"part_bfs_reach": "lineitem", "image_phash_dup_pairs": "documents"}
+BIG_TABLES = ("documents", "lineitem", "part")
+
+
+def build_big_corpus(spark, out_dir: str, n_replicas: int) -> dict[str, int]:
+    """N-x replica of only BIG_TABLES via crossJoin(range(N)) + key
+    offsets — the same decorrelation rule as ``_replica`` minus the
+    text/vector transforms (unused by the big-tier queries)."""
+    out = Path(out_dir)
+    marker = out / f".complete_{n_replicas}x"
+    if marker.exists():
+        return json.loads(marker.read_text())
+    if out.exists():
+        shutil.rmtree(out)
+    out.mkdir(parents=True)
+    rep = F.col("__rep")
+    offsets = {
+        "documents": {"doc_id": GAPS["doc"]},
+        "lineitem": {"l_orderkey": GAPS["order"], "l_partkey": GAPS["part"],
+                     "l_suppkey": GAPS["supp"]},
+        "part": {"p_partkey": GAPS["part"]},
+    }
+    counts: dict[str, int] = {}
+    for t in BIG_TABLES:
+        df = spark.read.parquet(f"{SRC_DIR}/{t}.parquet")
+        r = spark.range(n_replicas).select(F.col("id").alias("__rep"))
+        x = df.crossJoin(F.broadcast(r))
+        for col, gap in offsets[t].items():
+            x = x.withColumn(col, F.col(col) + rep * gap)
+        x.drop("__rep").repartition(32).write.mode("overwrite").parquet(
+            f"{out_dir}/{t}.parquet"
+        )
+        counts[t] = spark.read.parquet(f"{out_dir}/{t}.parquet").count()
+        print(f"built big {t}: {counts[t]} rows", flush=True)
+    marker.write_text(json.dumps(counts))
+    return counts
+
+
+def _plan_shape(spark, sf_dir: str, name: str) -> dict:
+    from etl_process_spark.plans import (
+        broadcast_join_count,
+        codegen_span_count,
+        exchange_count,
+        sortmerge_join_count,
+    )
+    from etl_process_spark.queries import QUERIES
+
+    df = QUERIES[name].builder(spark, sf_dir)
+    return {
+        "broadcast_joins": broadcast_join_count(df),
+        "sortmerge_joins": sortmerge_join_count(df),
+        "exchanges": exchange_count(df),
+        "codegen_spans": codegen_span_count(df),
+    }
+
+
+def _warmup(spark, sf_dir: str, tables=None) -> None:
     from etl_process_spark.queries.registry import tbl
 
-    for t in ("part", "orders", "lineitem", "documents", "embeddings"):
+    for t in tables or ("part", "orders", "lineitem", "documents", "embeddings"):
         tbl(spark, sf_dir, t).count()
     spark.range(64).mapInPandas(lambda it: it, "id long").count()
 
 
-def _time_queries(spark, sf_dir: str, names) -> dict[str, float]:
+def _time_queries(spark, sf_dir: str, names, tables=None) -> dict[str, float]:
     from etl_process_spark.queries import QUERIES
 
-    _warmup(spark, sf_dir)
+    _warmup(spark, sf_dir, tables)
     timings: dict[str, float] = {}
     for name in names:
         runs = []
@@ -203,9 +274,53 @@ def _time_queries(spark, sf_dir: str, names) -> dict[str, float]:
     return timings
 
 
+def run_big_tier(spark, out_path: Path, n_big: int) -> None:
+    """Extend an existing BENCH_SCALE.json with the N-x decade for
+    BIG_QUERIES: timings, exp_bigger (10x -> Nx), and the per-scale plan
+    shapes that name any join-strategy transition."""
+    existing = json.loads(out_path.read_text())
+    counts_big = build_big_corpus(spark, BIG_DIR, n_big)
+    label = f"{n_big}x"
+    print(f"== timing at {label} ({BIG_DIR})", flush=True)
+    timings = _time_queries(spark, BIG_DIR, list(BIG_QUERIES), BIG_TABLES)
+    existing["scales"][label] = {
+        "dir": BIG_DIR,
+        **{t: counts_big[t] for t in ("documents", "lineitem")},
+    }
+    shapes: dict[str, dict] = {}
+    for name, drv in BIG_QUERIES.items():
+        q = existing["queries"][name]
+        q["sec"][label] = timings[name]
+        q["driver_rows"][label] = counts_big[drv]
+        t3, t4 = q["sec"]["10x"], timings[name]
+        n3, n4 = q["driver_rows"]["10x"], counts_big[drv]
+        q["exp_bigger"] = round(math.log(t4 / t3) / math.log(n4 / n3), 3)
+        shapes[name] = {
+            lbl: _plan_shape(spark, scale["dir"], name)
+            for lbl, scale in existing["scales"].items()
+        }
+        print(f"{name}: exp 10x->{label} = {q['exp_bigger']}, "
+              f"plans = {shapes[name]}", flush=True)
+    existing["plan_shapes"] = shapes
+    existing["big_note"] = (
+        f"{label} tier replicates only {list(BIG_TABLES)} (crossJoin x "
+        f"range({n_big}) + key offsets; no text cipher — unused by these "
+        "queries). plan_shapes records join strategies per scale so a "
+        "broadcast->SMJ/AQE transition across decades is named, not "
+        "inferred."
+    )
+    out_path.write_text(json.dumps(existing, indent=1) + "\n")
+    print(f"wrote {out_path}")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--replicas", type=int, default=10)
+    ap.add_argument("--big", type=int, default=0,
+                    help="also time BIG_QUERIES at an N-x replica")
+    ap.add_argument("--big-only", action="store_true",
+                    help="skip the 10-query battery; extend the existing "
+                         "artifact with the --big tier")
     ap.add_argument("--out", default=str(
         Path(__file__).resolve().parent.parent / "BENCH_SCALE.json"))
     args = ap.parse_args()
@@ -213,6 +328,9 @@ def main() -> None:
     from etl_process_spark.session import get_spark
 
     spark = get_spark("bench_scale")
+    if args.big_only:
+        run_big_tier(spark, Path(args.out), args.big or 100)
+        return
     counts_10x = build_scaled_corpus(spark, OUT_DIR, args.replicas)
 
     import duckdb
@@ -267,6 +385,8 @@ def main() -> None:
     }
     Path(args.out).write_text(json.dumps(out, indent=1) + "\n")
     print(f"wrote {args.out}")
+    if args.big:
+        run_big_tier(spark, Path(args.out), args.big)
 
 
 if __name__ == "__main__":
