@@ -55,3 +55,30 @@ def test_plan_has_no_corpus_sized_single_partition_window(spark):
     # per-bucket row_number (partitioned).
     assert plan.count("Window") == 2
     assert "row_number" in plan
+
+
+def test_ntile_from_global_rank_arithmetic_matches_spec():
+    """price_equidepth_histogram derives ntile(8) from the global row
+    number with integer arithmetic (q = n div 8, r = n % 8: buckets
+    1..r hold q+1 rows, r+1..8 hold q). Property-check the formula
+    against the ntile definition for every n up to 200 and spot sizes
+    beyond — pure Python, no session needed, pins the arithmetic the
+    oracle hash-verifies at two scale factors."""
+
+    def bucket(rn: int, n: int, b: int = 8) -> int:
+        q, r = divmod(n, b)
+        if rn <= r * (q + 1):
+            return (rn + q) // (q + 1)
+        return r + (rn - r * (q + 1) + q - 1) // q
+
+    def ntile_spec(n: int, b: int = 8) -> list[int]:
+        q, r = divmod(n, b)
+        out = []
+        for i in range(1, b + 1):
+            out.extend([i] * (q + 1 if i <= r else q))
+        return out
+
+    for n in [*range(1, 201), 999, 1000, 1500, 59999, 60001]:
+        spec = ntile_spec(n)
+        got = [bucket(rn, n) for rn in range(1, n + 1)]
+        assert got == spec, f"n={n}"
