@@ -1830,16 +1830,18 @@ def open_orders_over_time(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "part_bfs_reach",
     """
-    WITH e AS (
+    WITH e AS MATERIALIZED (
       SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
              greatest(a.l_partkey, b.l_partkey) AS v
       FROM lineitem a JOIN lineitem b
         ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
-    sym AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e),
-    d0 AS (SELECT DISTINCT p_partkey AS n FROM part WHERE p_size = 1),
-    d1 AS (SELECT DISTINCT s.b AS n FROM sym s JOIN d0 ON s.a = d0.n
+    sym AS MATERIALIZED (SELECT u AS a, v AS b FROM e
+                         UNION ALL SELECT v, u FROM e),
+    d0 AS MATERIALIZED (SELECT DISTINCT p_partkey AS n FROM part
+                        WHERE p_size = 1),
+    d1 AS MATERIALIZED (SELECT DISTINCT s.b AS n FROM sym s JOIN d0 ON s.a = d0.n
            WHERE s.b NOT IN (SELECT n FROM d0)),
-    d2 AS (SELECT DISTINCT s.b AS n FROM sym s JOIN d1 ON s.a = d1.n
+    d2 AS MATERIALIZED (SELECT DISTINCT s.b AS n FROM sym s JOIN d1 ON s.a = d1.n
            WHERE s.b NOT IN (SELECT n FROM d0)
              AND s.b NOT IN (SELECT n FROM d1)),
     d3 AS (SELECT DISTINCT s.b AS n FROM sym s JOIN d2 ON s.a = d2.n
@@ -1862,7 +1864,11 @@ def part_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     Frontier expansion settles each node exactly once at its minimal
     hop, moving O(frontier-incident edges) per round; the oracle states
     the same distances as level-wise DISTINCT set differences, which is
-    the affordable SQL formulation at sf0.01. Distances are exact
+    the affordable SQL formulation at sf0.01. The edge/frontier CTEs
+    are ``AS MATERIALIZED`` (DuckDB dialect): ``sym`` is referenced by
+    all three hop levels and DuckDB inlines multi-referenced CTEs, so
+    the un-pinned form recomputes the 6M-row self-join per level and
+    exhausts spill disk at the 10x replica (890s -> 5s with the pin). Distances are exact
     integers — no float canonicalization surface at all.
 
     Seeds outside the co-purchase graph (parts never co-ordered) still

@@ -87,7 +87,11 @@ PORTABLE_ORACLES = [
     "order_priority_semi_counts", "order_region_denorm",
     "orders_quality_report", "orders_table_profile",
     "overlapping_click_view_pairs", "pareto_frontier_orders",
-    "part_bfs_reach", "parts_above_type_avg", "parts_never_returned_except",
+    # part_bfs_reach left this list in round 7: its oracle now pins the
+    # edge/frontier CTEs AS MATERIALIZED (DuckDB dialect — inlining
+    # recomputes the 6M-row self-join per hop level and exhausts spill
+    # disk at the 10x replica), which spark.sql does not parse
+    "parts_above_type_avg", "parts_never_returned_except",
     "peak_revenue_suppliers", "price_band_running_sum",
     "price_equidepth_histogram", "price_moments_exact", "pricing_summary",
     "priority_customers_intersect", "priority_linecount_by_flag",
@@ -105,7 +109,7 @@ PORTABLE_ORACLES = [
 
 
 def test_portable_oracles_run_unmodified_on_spark_sql(spark):
-    """77 of the corpus' DuckDB oracle strings are plain ANSI: a SQL
+    """76 of the corpus' DuckDB oracle strings are plain ANSI: a SQL
     user pastes them into spark.sql and gets string-identical results
     to the engine's DataFrame path — the strongest form of the
     'reference users keep their SQL habit' claim."""

@@ -40,7 +40,11 @@ from etl_process_spark.queries.differential import compare  # noqa: E402
 from etl_process_spark.session import get_spark  # noqa: E402
 from tools.bench_scale import OUT_DIR, build_scaled_corpus  # noqa: E402
 
-# the dedup / near-dup / similarity family (SURVEY.md LLM-data operators)
+# the dedup / near-dup / similarity family (SURVEY.md LLM-data operators),
+# extended with the other bucketed/banded/iterative operators whose scale
+# claims lean on candidate-generation structure: media near-dup matchers
+# (pHash/fingerprint LSH over REAL codecs), iterative graph, the
+# gap-session batch twins, ranked retrieval, sketches, and BPE training
 FAMILY = [
     "dedup_exact",
     "minhash_signatures",
@@ -59,6 +63,26 @@ FAMILY = [
     "embedding_neardup_pairs",
     "knn_join_probed",
     "margin_bitext_pairs",
+    # media (one asset per document: 50k PNGs / WAVs / packed-PNG videos
+    # decoded end-to-end on BOTH engines)
+    "image_decode_stats",
+    "image_phash_dup_pairs",
+    "wav_fingerprint_dup_pairs",
+    "wav_fingerprint_offset_pairs",
+    "video_phash_dup_pairs",
+    # iterative graph over the 6M-row lineitem co-purchase basket
+    "copurchase_triangles",
+    "copurchase_communities",
+    "part_bfs_reach",
+    # gap-session batch twins (the oracles behind the TWS trio)
+    "sessionize_batch_twin",
+    "session_type_profile",
+    "session_trace_summary",
+    # retrieval / sketches / BPE
+    "bm25_search_topk",
+    "bloom_dedup_probe",
+    "heavy_hitter_order_groups",
+    "iterative_bpe_merges",
 ]
 
 
