@@ -33,6 +33,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Optional bench-tooling hook (tools/bench_scale.py): called once per
+# iterative round with (tag, round_idx, pre_checkpoint_df,
+# post_checkpoint_df). The FINAL plan of an iterative query reads only
+# checkpointed RDDs — lineage truncation hides the per-round join — so
+# scale tooling installs a probe here to record each round's real
+# join/exchange shape (and to materialize the round so round N+1's
+# recorded plan doesn't accumulate rounds 1..N). Always None in
+# production paths; the engine never calls it.
+ROUND_PLAN_PROBE = None
+
 
 def connected_components(
     edges: DataFrame,
@@ -470,9 +480,14 @@ def bfs_distances(
             .select(F.col("b").alias("n"))
             .distinct()
         )
-        new = nbrs.join(dist.select("n"), "n", "left_anti").select(
+        pre = nbrs.join(dist.select("n"), "n", "left_anti").select(
             "n", F.lit(hop).cast("int").alias("dist")
-        ).localCheckpoint(eager=False)
+        )
+        new = pre.localCheckpoint(eager=False)
+        if ROUND_PLAN_PROBE is not None:
+            # bench tooling: record THIS round's join/exchange shape
+            # before localCheckpoint truncates it out of the final plan
+            ROUND_PLAN_PROBE("bfs", hop, pre, new)
         # dist is a union of already-checkpointed per-hop frames — no
         # lineage to truncate, so checkpointing the union again would
         # only re-materialize the same rows every round

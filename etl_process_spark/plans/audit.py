@@ -142,21 +142,58 @@ def unbounded_serial_exchanges(df: DataFrame) -> list[str]:
     bounded — the 'whole base table through one task' anti-pattern
     (serial window, global sort to one partition).
 
-    For every ``Exchange`` whose arguments say ``SinglePartition``, the
-    subtree below it must contain a row-bounding operator (aggregate,
-    local limit, per-partition top-k heap, literal table). A
-    single-partition exchange directly over scans/filters/joins funnels
-    the full input through one task — exactly the shape that dies at
-    100 TB — and is returned here as ``"Exchange(<id>)"`` for the test
-    to fail on. Empty list = every serial stage in the plan holds a
-    bounded (aggregate/limit-sized) table.
+    For every ``Exchange`` whose arguments say ``SinglePartition``,
+    EVERY leaf-to-exchange path in the subtree below it must pass
+    through a row-bounding operator (aggregate, local limit,
+    per-partition top-k heap, literal table). The earlier any-operator-
+    anywhere rule had a false negative: a serial exchange over
+    ``join(aggregated branch, base table)`` contains an aggregate, but
+    the base-table leaf still streams unbounded rows into the single
+    task through the join. Boundedness is therefore computed bottom-up:
+    a node is bounded iff its name is in ``_BOUNDING`` or ALL of its
+    children are bounded — so an unbounded leaf (parquet scan,
+    ReusedExchange) poisons every join/union above it until an
+    aggregate/limit caps the path. Flagged exchanges are returned as
+    ``"Exchange(<id>) over [...]"`` for the test to fail on. Empty
+    list = every serial stage in the plan holds a bounded
+    (aggregate/limit-sized) table on every input path.
     """
     plan = explain_str(df)
+    nodes = _tree_nodes(plan)
     parts = re.split(r"^\((\d+)\) (.+)$", plan, flags=re.MULTILINE)
     body_by_id = {
         parts[i]: parts[i + 2] for i in range(1, len(parts) - 2, 3)
     }
-    nodes = _tree_nodes(plan)
+
+    def subtree_end(i: int) -> int:
+        depth = nodes[i][0]
+        return next(
+            (j for j in range(i + 1, len(nodes)) if nodes[j][0] <= depth),
+            len(nodes),
+        )
+
+    def children(i: int) -> list[int]:
+        end = subtree_end(i)
+        if end == i + 1:
+            return []
+        mind = min(nodes[j][0] for j in range(i + 1, end))
+        return [j for j in range(i + 1, end) if nodes[j][0] == mind]
+
+    memo: dict[int, bool] = {}
+
+    def bounded(i: int) -> bool:
+        if i in memo:
+            return memo[i]
+        name = nodes[i][1]
+        if any(b in name for b in _BOUNDING):
+            memo[i] = True
+            return True
+        kids = children(i)
+        # a non-bounding leaf (parquet scan, ReusedExchange, RDD scan)
+        # streams unbounded rows; any such path poisons the exchange
+        memo[i] = bool(kids) and all(bounded(j) for j in kids)
+        return memo[i]
+
     flagged = []
     for i, (depth, name, nid) in enumerate(nodes):
         if name != "Exchange":
@@ -169,7 +206,7 @@ def unbounded_serial_exchanges(df: DataFrame) -> list[str]:
             if d2 <= depth:
                 break
             subtree.append(n2)
-        if not any(b in subtree for b in _BOUNDING):
+        if not bounded(i):
             flagged.append(f"Exchange({nid}) over {subtree}")
     return flagged
 

@@ -56,6 +56,11 @@ def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
         # corpora (the 10x scale replica) are Spark DIRECTORIES of parts
         if os.path.isdir(path):
             path = f"{path}/*.parquet"
+        elif not os.path.exists(path):
+            # partial corpora (the 100x big tier replicates only the
+            # tables its two queries read) — skip; a query referencing a
+            # missing table fails loudly at execution
+            continue
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     return con
 

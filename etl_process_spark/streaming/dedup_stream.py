@@ -14,10 +14,23 @@ path) — so a 100 TB corpus ingesting continuously gets its near-dup
 pairs at O(batch) cost per trigger, with index state O(corpus bands)
 living in the table catalog, not the state store.
 
-Exactly-once: the pair SINK append is keyed by (doc_a, doc_b) dedup on
-replay below; the index append is idempotent per epoch via the
-catalog's versioned overwrite (re-running an epoch swaps in the same
-rows again).
+Exactly-once under replay (a crash between the sink write and the
+checkpoint commit makes Spark re-run the epoch with the same data):
+
+* pairs: ``lsh_probe_pairs`` output is a distinct set, and the sink
+  append anti-joins against the stored pairs — a replayed epoch
+  re-derives pairs that are already recorded and appends nothing.
+* index: new bands are anti-joined against already-indexed doc ids
+  before the union, so a replayed (or re-delivered) document cannot
+  duplicate its band rows. First write wins — consistent with the
+  pairs table's set semantics, and exact because a doc's bands are
+  committed atomically (one catalog pointer swap covers all of them).
+
+tests/test_streaming.py::test_neardup_stream_replayed_epoch_is_idempotent
+forces the replay by deleting the checkpoint's last commit marker and
+restarting — the post-replay index and pairs must be byte-identical
+(and the same test run with this guard removed fails: the replayed
+epoch doubles its chunk's band rows).
 """
 
 from __future__ import annotations
@@ -42,7 +55,15 @@ def neardup_sink(catalog: TableCatalog, text_col: str, id_col: str):
         if catalog.exists(INDEX_TABLE):
             index = catalog.read(INDEX_TABLE)
             pairs = lsh_probe_pairs(index, batch, text_col, id_col)
-            merged_index = index.unionByName(new_bands)
+            # replay/idempotence guard: a re-run epoch's docs are already
+            # indexed; re-unioning their bands would duplicate index rows
+            # and double every future bucket probe. Anti-join on doc id
+            # (a doc's bands land atomically, so presence of the id means
+            # ALL its bands are present).
+            fresh = new_bands.join(
+                index.select("doc").distinct(), "doc", "left_anti"
+            )
+            merged_index = index.unionByName(fresh)
         else:
             from etl_process_spark.operators.dedup import bucket_pairs
 

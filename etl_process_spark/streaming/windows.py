@@ -145,8 +145,14 @@ def trending_stream(
     receives only whole, finalized windows, and ranking inside the
     batch with the SAME ``topk_per_window`` the batch path uses is
     exact (no partial-window re-ranking, no update-mode retractions).
-    State stays bounded by the watermark horizon; the sink is
-    append-only parquet.
+    State stays bounded by the watermark horizon; the sink is parquet,
+    one ``epoch=<batch_id>`` directory per micro-batch written with
+    OVERWRITE — so a replayed epoch (crash between sink write and
+    checkpoint commit) rewrites its own directory instead of appending
+    duplicates. A plain ``mode("append")`` here is the classic
+    at-least-once foreachBatch trap; the epoch-keyed overwrite is the
+    standard idempotent-sink pattern. Read the sink back with
+    ``read_trending`` (drops the epoch partition column).
 
     Returns the started StreamingQuery; callers await and read
     ``sink_dir``.
@@ -157,7 +163,7 @@ def trending_stream(
 
     def rank_and_append(batch_df: DataFrame, batch_id: int) -> None:
         out = topk_per_window(batch_df, k=k)
-        out.write.mode("append").parquet(sink_dir)
+        out.write.mode("overwrite").parquet(f"{sink_dir}/epoch={batch_id}")
 
     return (
         counts.writeStream.foreachBatch(rank_and_append)
@@ -166,6 +172,12 @@ def trending_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def read_trending(spark, sink_dir: str) -> DataFrame:
+    """Read the trending sink back without the epoch partition column
+    (an implementation detail of the idempotent per-epoch overwrite)."""
+    return spark.read.parquet(sink_dir).drop("epoch")
 
 
 def windowed_lane_sketch(

@@ -126,6 +126,25 @@ def test_unbounded_serial_exchange_detector_positive_control(spark):
     assert unbounded_serial_exchanges(bad), "detector missed a serial window"
 
 
+def test_unbounded_serial_exchange_detector_join_leak_control(spark):
+    """The false negative the any-operator-anywhere rule had: a serial
+    window over join(aggregated branch, base table) contains an
+    aggregate, but the base-table leaf still streams unbounded rows
+    through the join into the single task. Every leaf-to-exchange path
+    must be bounded, so this plan must be flagged."""
+    from pyspark.sql import Window
+
+    od = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    agg = od.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("tp"))
+    joined = od.join(agg, "o_custkey")  # base table side is unbounded
+    bad = joined.withColumn(
+        "rn", F.row_number().over(Window.orderBy("o_orderkey"))
+    )
+    assert unbounded_serial_exchanges(bad), (
+        "detector missed a serial window over join(agg, base-table)"
+    )
+
+
 def test_python_only_where_declared(spark):
     for name, spec in sorted(QUERIES.items()):
         df = spec.builder(spark, SF_DIR)

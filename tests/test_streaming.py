@@ -1185,3 +1185,235 @@ def test_tws_restart_recovers_state_and_timers(
         f"{leg}: timer user's session never emitted — registered timer "
         "did not survive the restart"
     )
+
+
+# ---------------------------------------------------------------------------
+# foreachBatch family: kill/restart + FORCED EPOCH REPLAY from checkpoint
+# ---------------------------------------------------------------------------
+# The TWS trio's restart proof (above) covers the state-store path; the
+# foreachBatch family (streaming SCD2, streaming LSH dedup, trending
+# top-k) rides on sink idempotence instead — set-semantics appends and
+# atomic catalog pointer swaps. These tests make the crash window REAL:
+# after phase 1, the checkpoint's LAST COMMIT MARKER is deleted, which is
+# exactly the on-disk state after a crash between the foreachBatch sink
+# write and the offset commit. The restart then (a) replays that epoch
+# with the same data and (b) continues into newly arrived files; the
+# final sink must equal the sequential-batch reference — no double-apply,
+# no duplicate rows, no lost data.
+
+
+def _delete_last_commit(ckpt_dir) -> int:
+    """Simulate a crash after sink write, before checkpoint commit."""
+    from pathlib import Path
+
+    commits = sorted(
+        (p for p in (Path(ckpt_dir) / "commits").iterdir()
+         if p.name.isdigit()),
+        key=lambda p: int(p.name),
+    )
+    assert commits, "no commits recorded in phase 1"
+    last = int(commits[-1].name)
+    commits[-1].unlink()
+    # the local ChecksumFs keeps a .<name>.crc sidecar; left behind it
+    # blocks the replayed commit's rename-into-place
+    crc = commits[-1].parent / f".{commits[-1].name}.crc"
+    if crc.exists():
+        crc.unlink()
+    return last
+
+
+def _staged_inbox(tmp_path, frames, name):
+    """Write each frame as one parquet file; return (dir, [file paths])
+    with mtimes in arrival order. Files are staged OUTSIDE the inbox and
+    moved in per phase by the caller."""
+    import os
+    import time as _time
+
+    staging = tmp_path / f"{name}_staging"
+    staging.mkdir()
+    now = _time.time()
+    files = []
+    for i, frame in enumerate(frames):
+        d = tmp_path / f"{name}_chunk_{i}"
+        frame.coalesce(1).write.parquet(str(d))
+        src = next(d.glob("part-*.parquet"))
+        dst = staging / f"{name}_{i}.parquet"
+        src.rename(dst)
+        os.utime(dst, (now + 10 * i,) * 2)
+        files.append(dst)
+    inbox = tmp_path / f"{name}_inbox"
+    inbox.mkdir()
+    return inbox, files
+
+
+def test_scd2_stream_replayed_epoch_is_idempotent(spark, event_inbox, tmp_path):
+    """Streaming SCD2 across a kill + forced replay of the last epoch:
+    the replayed micro-batch re-merges rows whose versions already
+    exist; null-safe change detection must no-op, so the final history
+    equals the sequential batch application of all chunks."""
+    import os
+    import shutil
+
+    from etl_process_spark.sources.tables import TableCatalog
+    from etl_process_spark.streaming.scd2_stream import run_scd2_stream, scd2_sink
+    from etl_process_spark.streaming.sources import read_event_stream
+
+    tracked = ["event_type", "value"]
+    files = sorted(os.listdir(event_inbox))
+    inbox = tmp_path / "scd2_inbox"
+    inbox.mkdir()
+    for f in files[:2]:
+        shutil.copy2(os.path.join(event_inbox, f), inbox / f)
+
+    cat = TableCatalog(spark, str(tmp_path / "wh_replay"))
+    ckpt = str(tmp_path / "ckpt_scd2_replay")
+
+    def run():
+        stream = read_event_stream(spark, str(inbox), max_files_per_trigger=1)
+        q = run_scd2_stream(
+            stream, cat, "user_profile", "user_id", tracked, "ts",
+            checkpoint=ckpt,
+        )
+        q.awaitTermination(300)
+
+    run()  # phase 1: chunks 0,1 -> epochs 0,1
+    v_after_phase1 = len(cat.versions("user_profile"))
+    _delete_last_commit(ckpt)  # crash window: epoch 1 sink applied, commit lost
+    shutil.copy2(os.path.join(event_inbox, files[2]), inbox / files[2])
+    run()  # phase 2: REPLAYS epoch 1, then processes chunk 2
+
+    batch_cat = TableCatalog(spark, str(tmp_path / "wh_replay_batch"))
+    apply_batch = scd2_sink(batch_cat, "user_profile", "user_id", tracked, "ts")
+    for i, f in enumerate(files):
+        apply_batch(spark.read.parquet(os.path.join(event_inbox, f)), i)
+
+    cols = ["user_id", "event_type", "value", "effective_from",
+            "effective_to", "deleted_flg"]
+    got = _canon(cat.read("user_profile"), cols)
+    exp = _canon(batch_cat.read("user_profile"), cols)
+    assert got == exp, "replayed SCD2 epoch double-applied a merge"
+    assert len(got) > 0
+    assert v_after_phase1 >= 2  # sanity: phase 1 really ran >1 epoch
+
+
+def test_neardup_stream_replayed_epoch_is_idempotent(spark, tmp_path):
+    """Streaming LSH dedup across a kill + forced replay: the replayed
+    epoch's docs are already indexed, so the band index must not grow
+    (no duplicate band rows — doubled bands double every future bucket
+    probe) and the pairs table must stay the exact full-corpus pair
+    set."""
+    import shutil
+
+    from pyspark.sql import types as T
+
+    from etl_process_spark.operators.dedup import lsh_candidate_pairs
+    from etl_process_spark.sources.tables import TableCatalog
+    from etl_process_spark.streaming.dedup_stream import (
+        INDEX_TABLE,
+        PAIRS_TABLE,
+        run_neardup_stream,
+    )
+    from etl_process_spark.streaming.sources import read_event_stream
+
+    docs = tbl(spark, SF_DIR, "documents").select("doc_id", "text")
+    clones = docs.filter(F.col("doc_id") < 4).select(
+        (F.col("doc_id") + 10_000).alias("doc_id"), "text"
+    )
+    all_docs = docs.unionByName(clones).cache()
+    chunks = [all_docs.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+    inbox, files = _staged_inbox(tmp_path, chunks, "docs")
+    for f in files[:2]:
+        shutil.copy2(f, inbox / f.name)
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    cat = TableCatalog(spark, str(tmp_path / "neardup_replay_cat"))
+    ckpt = str(tmp_path / "neardup_replay_ckpt")
+
+    def run():
+        stream = read_event_stream(
+            spark, str(inbox), max_files_per_trigger=1, schema=schema
+        )
+        q = run_neardup_stream(stream, cat, "text", "doc_id", ckpt)
+        q.awaitTermination(300)
+
+    run()  # phase 1: chunks 0,1
+    index_rows_phase1 = cat.read(INDEX_TABLE).count()
+    _delete_last_commit(ckpt)
+    shutil.copy2(files[2], inbox / files[2].name)
+    run()  # phase 2: replays epoch 1, then chunk 2
+
+    index = cat.read(INDEX_TABLE)
+    # no duplicate band rows anywhere (the replay would have doubled
+    # chunk 1's bands before the idempotence guard)
+    assert index.count() == index.distinct().count()
+    # index = exactly one row set per doc: equals a fresh full banding
+    from etl_process_spark.operators.dedup import lsh_bands
+
+    expected_index = lsh_bands(all_docs, "text", "doc_id")
+    assert _canon(index, ["doc", "band", "bucket"]) == _canon(
+        expected_index, ["doc", "band", "bucket"]
+    )
+    assert index_rows_phase1 < index.count()  # chunk 2 extended it
+
+    got = {(r["doc_a"], r["doc_b"]) for r in cat.read(PAIRS_TABLE).collect()}
+    expected = {
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_candidate_pairs(all_docs, "text", "doc_id").collect()
+    }
+    assert got == expected, "replayed epoch duplicated or lost pairs"
+    assert any(b >= 10_000 for _, b in got)
+
+
+def test_trending_stream_replayed_epoch_is_idempotent(spark, event_inbox, tmp_path):
+    """Trending top-k across a kill + forced replay: the per-epoch
+    OVERWRITE sink rewrites the replayed epoch's directory instead of
+    appending duplicates, so the final sink equals the batch reference
+    exactly."""
+    import os
+    import shutil
+
+    from etl_process_spark.streaming.sources import read_event_stream
+    from etl_process_spark.streaming.windows import (
+        read_trending,
+        topk_per_window,
+        trending_stream,
+        tumbling_counts,
+    )
+
+    files = sorted(os.listdir(event_inbox))
+    inbox = tmp_path / "trend_inbox"
+    inbox.mkdir()
+    for f in files[:2]:
+        shutil.copy2(os.path.join(event_inbox, f), inbox / f)
+
+    sink = str(tmp_path / "trend_replay_sink")
+    ckpt = str(tmp_path / "trend_replay_ckpt")
+
+    def run():
+        stream = read_event_stream(spark, str(inbox), max_files_per_trigger=1)
+        q = trending_stream(
+            stream, sink, ckpt, k=2,
+            window_duration="6 hours", watermark="0 seconds",
+        )
+        q.awaitTermination(300)
+
+    run()
+    _delete_last_commit(ckpt)
+    shutil.copy2(os.path.join(event_inbox, files[2]), inbox / files[2])
+    run()  # replays last phase-1 epoch, then chunk 2
+
+    got = read_trending(spark, sink)
+    ev = tbl(spark, SF_DIR, "events")
+    batch = topk_per_window(
+        tumbling_counts(ev, window_duration="6 hours", watermark=None), k=2
+    )
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    expected = batch.filter(F.col("window_end") <= F.lit(max_ts))
+    cols = ["window_start", "window_end", "event_type", "n_events", "rnk"]
+    assert _canon(got, cols) == _canon(expected, cols)
+    # a replayed epoch appending (not overwriting) would duplicate rows
+    assert got.count() == got.distinct().count()
+    assert got.count() > 0

@@ -1,0 +1,167 @@
+"""Memory-pressure / spill rehearsal: the memory analog of BENCH_SKEW.
+
+The 100 TB operational claim under test: when partitions outgrow the
+executor heap, the engine DEGRADES (sort-based aggregation fallback,
+shuffle spill to disk, AQE re-plan) instead of DYING. BENCH.json runs
+with a memory-sized heap; this tool re-runs the heaviest queries of the
+corpus (the BENCH_SCALE battery) at sf0.1 under a deliberately small
+driver heap — default 4g for a workload that normally enjoys ~48g —
+and records per-query completion plus the actual spill counters
+(memoryBytesSpilled / diskBytesSpilled) from Spark's event log.
+
+Done = every query completes; the artifact names which operators
+spilled and by how much. A query that needed zero spill under 4g is
+also evidence (its working set was already partition-bounded).
+
+Metrics plumbing: a Python SparkListener needs a py4j callback server;
+instead the session writes a JSON event log (spark.eventLog), each
+query runs inside its own job group, and the log is parsed after
+spark.stop(): JobStart events map job-group -> stage ids, TaskEnd
+events carry per-task 'Memory Bytes Spilled' / 'Disk Bytes Spilled'.
+
+Usage: SPARK_GRAFT_DRIVER_MEM=4g python tools/bench_mempressure.py
+           [--sf-dir /root/testdata/sf0.1] [--out BENCH_MEMPRESSURE.json]
+Run SERIALLY (one JVM, timings embedded). The driver-mem override is
+read by session.get_spark; the tool refuses to run with a heap >= 8g
+so the artifact can't silently record an unpressured run.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from collections import defaultdict
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from tools.bench_scale import HEAVY  # noqa: E402
+
+EVENTLOG_DIR = "/tmp/spark_graft_eventlog"
+
+
+def _parse_eventlog(log_dir: str) -> dict[str, dict]:
+    """Aggregate task metrics per job group from the session event log."""
+    files = sorted(Path(log_dir).glob("*"), key=lambda p: p.stat().st_mtime)
+    if not files:
+        return {}
+    stage_to_group: dict[int, str] = {}
+    agg: dict[str, dict] = defaultdict(
+        lambda: {"memoryBytesSpilled": 0, "diskBytesSpilled": 0,
+                 "peakExecutionMemory": 0, "n_tasks": 0, "n_stages": 0}
+    )
+    with open(files[-1]) as fh:
+        for line in fh:
+            try:
+                ev = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            kind = ev.get("Event")
+            if kind == "SparkListenerJobStart":
+                group = (ev.get("Properties") or {}).get("spark.jobGroup.id")
+                if not group:
+                    continue
+                for sid in ev.get("Stage IDs", []):
+                    stage_to_group[sid] = group
+            elif kind == "SparkListenerStageCompleted":
+                sid = ev["Stage Info"]["Stage ID"]
+                group = stage_to_group.get(sid)
+                if group:
+                    agg[group]["n_stages"] += 1
+            elif kind == "SparkListenerTaskEnd":
+                group = stage_to_group.get(ev.get("Stage ID"))
+                m = ev.get("Task Metrics") or {}
+                if not group or not m:
+                    continue
+                a = agg[group]
+                a["memoryBytesSpilled"] += m.get("Memory Bytes Spilled", 0)
+                a["diskBytesSpilled"] += m.get("Disk Bytes Spilled", 0)
+                a["peakExecutionMemory"] = max(
+                    a["peakExecutionMemory"], m.get("Peak Execution Memory", 0)
+                )
+                a["n_tasks"] += 1
+    return dict(agg)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--out", default=str(
+        Path(__file__).resolve().parent.parent / "BENCH_MEMPRESSURE.json"))
+    args = ap.parse_args()
+
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "")
+    gig = driver_mem.rstrip("gG")
+    if not (gig.isdigit() and int(gig) < 8):
+        sys.exit("set SPARK_GRAFT_DRIVER_MEM to a small heap (e.g. 4g) — "
+                 "a big-heap run would record no memory pressure")
+
+    import shutil
+
+    shutil.rmtree(EVENTLOG_DIR, ignore_errors=True)
+    os.makedirs(EVENTLOG_DIR, exist_ok=True)
+
+    from etl_process_spark.queries import QUERIES
+    from etl_process_spark.session import get_spark
+
+    spark = get_spark(
+        "bench_mempressure",
+        extra_conf={
+            "spark.eventLog.enabled": "true",
+            "spark.eventLog.dir": f"file://{EVENTLOG_DIR}",
+            "spark.eventLog.compress": "false",
+        },
+    )
+    sc = spark.sparkContext
+
+    results: dict[str, dict] = {}
+    for name in HEAVY:
+        sc.setJobGroup(name, name)
+        start = time.perf_counter()
+        try:
+            n = QUERIES[name].builder(spark, args.sf_dir).count()
+            results[name] = {"completed": True, "rows": n,
+                             "sec": round(time.perf_counter() - start, 2)}
+        except Exception as exc:  # noqa: BLE001 — the artifact records OOMs
+            results[name] = {
+                "completed": False,
+                "sec": round(time.perf_counter() - start, 2),
+                "error": f"{type(exc).__name__}: {exc}"[:300],
+            }
+        finally:
+            sc.clearJobGroup()
+        print(f"{name}: {results[name]}", flush=True)
+
+    spark.stop()  # flush + close the event log before parsing
+    metrics = _parse_eventlog(EVENTLOG_DIR)
+    for name, res in results.items():
+        m = metrics.get(name)
+        if m:
+            res.update(m)
+
+    summary = {
+        "driver_mem": driver_mem,
+        "sf_dir": args.sf_dir,
+        "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+        "n_queries": len(results),
+        "n_completed": sum(1 for r in results.values() if r.get("completed")),
+        "n_spilled": sum(
+            1 for r in results.values()
+            if r.get("memoryBytesSpilled", 0) + r.get("diskBytesSpilled", 0) > 0
+        ),
+        "note": ("spill counters summed over all tasks of the query's job "
+                 "group; peakExecutionMemory is the max single-task peak. "
+                 "completed=true under a ~10x-undersized heap is the "
+                 "degrade-not-die claim, made measurable."),
+        "queries": results,
+    }
+    Path(args.out).write_text(json.dumps(summary, indent=1) + "\n")
+    print(f"wrote {args.out}: {summary['n_completed']}/{summary['n_queries']} "
+          f"completed, {summary['n_spilled']} spilled")
+
+
+if __name__ == "__main__":
+    main()

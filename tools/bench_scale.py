@@ -228,6 +228,13 @@ def build_big_corpus(spark, out_dir: str, n_replicas: int) -> dict[str, int]:
 
 
 def _plan_shape(spark, sf_dir: str, name: str) -> dict:
+    """Join/exchange counts of the query's FINAL plan, plus — for
+    iterative queries — the per-round shapes that ``localCheckpoint``
+    lineage truncation hides from the final plan. The probe installed on
+    ``operators.graph.ROUND_PLAN_PROBE`` materializes each round as it
+    records it, so round N's recorded plan is exactly the truncated-
+    lineage plan that executes (not rounds 1..N's accumulated lineage)."""
+    from etl_process_spark.operators import graph
     from etl_process_spark.plans import (
         broadcast_join_count,
         codegen_span_count,
@@ -236,13 +243,31 @@ def _plan_shape(spark, sf_dir: str, name: str) -> dict:
     )
     from etl_process_spark.queries import QUERIES
 
-    df = QUERIES[name].builder(spark, sf_dir)
-    return {
-        "broadcast_joins": broadcast_join_count(df),
-        "sortmerge_joins": sortmerge_join_count(df),
-        "exchanges": exchange_count(df),
-        "codegen_spans": codegen_span_count(df),
-    }
+    rounds: list[dict] = []
+
+    def probe(tag, i, pre, post):
+        rounds.append({
+            "round": i,
+            "broadcast_joins": broadcast_join_count(pre),
+            "sortmerge_joins": sortmerge_join_count(pre),
+            "exchanges": exchange_count(pre),
+        })
+        post.count()  # materialize: next round's lineage starts here
+
+    graph.ROUND_PLAN_PROBE = probe
+    try:
+        df = QUERIES[name].builder(spark, sf_dir)
+        shape = {
+            "broadcast_joins": broadcast_join_count(df),
+            "sortmerge_joins": sortmerge_join_count(df),
+            "exchanges": exchange_count(df),
+            "codegen_spans": codegen_span_count(df),
+        }
+    finally:
+        graph.ROUND_PLAN_PROBE = None
+    if rounds:
+        shape["rounds"] = rounds
+    return shape
 
 
 def _warmup(spark, sf_dir: str, tables=None) -> None:
@@ -287,17 +312,28 @@ def run_big_tier(spark, out_path: Path, n_big: int) -> None:
         "dir": BIG_DIR,
         **{t: counts_big[t] for t in ("documents", "lineitem")},
     }
+    base_label = f"{existing['replicas']}x"  # not a literal '10x': the
+    # battery may have been run with --replicas N != 10
     shapes: dict[str, dict] = {}
+    dropped = [
+        lbl for lbl, scale in existing["scales"].items()
+        if not Path(scale["dir"]).exists()
+    ]
+    if dropped:
+        print(f"plan_shapes: skipping scales with missing dirs: {dropped} "
+              "(earlier /tmp corpora wiped; rerun the full battery to "
+              "rebuild them)", flush=True)
     for name, drv in BIG_QUERIES.items():
         q = existing["queries"][name]
         q["sec"][label] = timings[name]
         q["driver_rows"][label] = counts_big[drv]
-        t3, t4 = q["sec"]["10x"], timings[name]
-        n3, n4 = q["driver_rows"]["10x"], counts_big[drv]
+        t3, t4 = q["sec"][base_label], timings[name]
+        n3, n4 = q["driver_rows"][base_label], counts_big[drv]
         q["exp_bigger"] = round(math.log(t4 / t3) / math.log(n4 / n3), 3)
         shapes[name] = {
             lbl: _plan_shape(spark, scale["dir"], name)
             for lbl, scale in existing["scales"].items()
+            if lbl not in dropped
         }
         print(f"{name}: exp 10x->{label} = {q['exp_bigger']}, "
               f"plans = {shapes[name]}", flush=True)
