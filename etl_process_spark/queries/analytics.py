@@ -1180,12 +1180,17 @@ def order_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "part_pagerank",
     """
-    WITH e AS (
+    WITH e AS MATERIALIZED (
+      -- MATERIALIZED: referenced by deg/nodes/c1/c2/c3; DuckDB inlines
+      -- multi-referenced CTEs, re-running the lineitem self-join per
+      -- reference — at the 10x replica (6M rows) the un-pinned form
+      -- exhausts the spill volume (the BFS oracle's round-7 failure
+      -- mode). One evaluation is cheap; five are not.
       SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
       FROM lineitem a JOIN lineitem b
         ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
-    deg AS (SELECT u, count(*) AS d FROM e GROUP BY u),
-    nodes AS (SELECT DISTINCT u AS node FROM e),
+    deg AS MATERIALIZED (SELECT u, count(*) AS d FROM e GROUP BY u),
+    nodes AS MATERIALIZED (SELECT DISTINCT u AS node FROM e),
     params AS (SELECT count(*) AS n,
                       (15 * 1000000000000) // (100 * count(*)) AS base,
                       1000000000000 // count(*) AS r_init

@@ -64,16 +64,43 @@ def main() -> None:
         if len(sys.argv) > 1
         else Path(__file__).resolve().parent.parent / "CORRECTNESS_10X.json"
     )
-    subset = sys.argv[2:]
+    subset = [a for a in sys.argv[2:] if not a.startswith("--")]
+    resume = "--resume" in sys.argv
     scope = [q for q in sorted(QUERIES) if q not in EXCLUDED]
     spark = get_spark("differential_10x")
     counts = build_scaled_corpus(spark, OUT_DIR, 10)
     out: dict[str, dict] = {}
-    if subset and out_path.exists():
+    if (subset or resume) and out_path.exists():
         prior = json.loads(out_path.read_text())["results"]
         # prune stale keys: only results still in scope carry forward
         out = {k: v for k, v in prior.items() if k in scope}
+    if resume:
+        # continue a crashed run: keep prior green results, re-run the
+        # rest (never trusts a prior FAILURE — those re-run)
+        subset = [q for q in scope if not out.get(q, {}).get("ok")]
+        print(f"resume: {len(scope) - len(subset)} green kept, "
+              f"{len(subset)} to run", flush=True)
     t0 = time.time()
+
+    def write_summary() -> dict:
+        # n_ok is computed over the SCOPE only (a merged artifact can
+        # carry no other keys after the prune above, but count
+        # defensively anyway)
+        summary = {
+            "sf_dir": OUT_DIR,
+            "replicas": 10,
+            "table_rows": {t: counts[t] for t in
+                           ("documents", "embeddings", "lineitem")},
+            "n_queries": len(scope),
+            "n_ok": sum(1 for q in scope if out.get(q, {}).get("ok")),
+            "n_run": sum(1 for q in scope if q in out),
+            "excluded": EXCLUDED,
+            "total_sec": round(time.time() - t0, 1),
+            "results": out,
+        }
+        out_path.write_text(json.dumps(summary, indent=1) + "\n")
+        return summary
+
     for name in subset or scope:
         start = time.time()
         try:
@@ -88,20 +115,10 @@ def main() -> None:
             detail = " " + (res.get("error") or res.get("detail") or "")[:200]
         print(f"{name}: ok={res.get('ok')} rows={res.get('rows_spark')} "
               f"{res['sec']}s{detail}", flush=True)
-    # n_ok is computed over the SCOPE only (a merged artifact can carry
-    # no other keys after the prune above, but count defensively anyway)
-    summary = {
-        "sf_dir": OUT_DIR,
-        "replicas": 10,
-        "table_rows": {t: counts[t] for t in
-                       ("documents", "embeddings", "lineitem")},
-        "n_queries": len(scope),
-        "n_ok": sum(1 for q in scope if out.get(q, {}).get("ok")),
-        "excluded": EXCLUDED,
-        "total_sec": round(time.time() - t0, 1),
-        "results": out,
-    }
-    out_path.write_text(json.dumps(summary, indent=1) + "\n")
+        # write-through after every query: a disk-full oracle (or the
+        # Spark JVM dying under it) must not lose the completed results
+        write_summary()
+    summary = write_summary()
     print(f"wrote {out_path}: {summary['n_ok']}/{summary['n_queries']} ok")
 
 
