@@ -84,6 +84,14 @@ def compare(
         res.update(oracle=False, rows_match=None, ok=len(s_rows) >= 0)
         return res
 
+    # canonicalize each side as soon as its raw rows exist and free them
+    # immediately: at the 10x replica the biggest queries collect
+    # millions of rows, and holding raw tuples for BOTH engines plus
+    # both canonical forms doubled peak driver memory (seen as DuckDB
+    # bad_alloc cascades once the box filled)
+    s_canon = _rows_to_canonical(s_cols, s_rows)
+    del s_rows
+
     con = duckdb_connection(sf_dir)
     try:
         for pragma in duckdb_pragmas or []:
@@ -96,14 +104,14 @@ def compare(
 
     res["rows_duckdb"] = len(o_rows)
     res["cols_match"] = sorted(s_cols) == sorted(o_cols)
-    res["rows_match"] = len(s_rows) == len(o_rows)
+    res["rows_match"] = res["rows_spark"] == len(o_rows)
     if not res["cols_match"]:
         res["ok"] = False
         res["detail"] = f"columns spark={sorted(s_cols)} duckdb={sorted(o_cols)}"
         return res
 
-    s_canon = _rows_to_canonical(s_cols, s_rows)
     o_canon = _rows_to_canonical(o_cols, o_rows)
+    del o_rows
     res["values_match"] = s_canon == o_canon
     res["ok"] = res["rows_match"] and res["values_match"]
     if not res["ok"]:

@@ -53,18 +53,26 @@ EXCLUDED: dict[str, str] = {}
 
 
 DUCKDB_PRAGMAS = [
-    "SET memory_limit='48GB'",
+    # 24GB, not "most of the box": the oracle shares the machine with a
+    # ~32-48g Spark driver JVM and the collected result sets; a 48GB cap
+    # plus allocator fragmentation over 200 connections exhausted the
+    # 125G box mid-run (bad_alloc cascade, then a duckdb segfault). The
+    # spill directory keeps the heavy oracles out-of-core at 24GB.
+    "SET memory_limit='24GB'",
     "SET temp_directory='/tmp/duckdb_spill_10x'",
 ]
 
 
 def main() -> None:
+    # flags are not positional: `tool.py --resume` must not treat the
+    # flag as out_path (that wrote an artifact literally named --resume)
+    positional = [a for a in sys.argv[1:] if not a.startswith("--")]
     out_path = (
-        Path(sys.argv[1]).resolve()
-        if len(sys.argv) > 1
+        Path(positional[0]).resolve()
+        if positional
         else Path(__file__).resolve().parent.parent / "CORRECTNESS_10X.json"
     )
-    subset = [a for a in sys.argv[2:] if not a.startswith("--")]
+    subset = positional[1:]
     resume = "--resume" in sys.argv
     scope = [q for q in sorted(QUERIES) if q not in EXCLUDED]
     spark = get_spark("differential_10x")
