@@ -391,7 +391,10 @@ def embedding_neardup_pairs(
         .join(vb, "vec_b")
         .withColumn(
             "cos_sim_e6",
-            F.floor(cosine(F.col("va"), F.col("vb")) * F.lit(1000000.0)).cast(
+            # static dim keeps the verify dot unrolled in whole-stage
+            # codegen; the interpreted fold costs ~20x more per
+            # candidate pair and is bit-identical (same IEEE add order)
+            F.floor(cosine(F.col("va"), F.col("vb"), dim) * F.lit(1000000.0)).cast(
                 "long"
             ),
         )
