@@ -110,14 +110,19 @@ def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH sh AS ({_SHINGLES}),
          sig AS ({_SIGS}),
          bands AS ({_BANDS}),
-    cand AS (
+    cand AS MATERIALIZED (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a
       JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
                    AND a.doc_id < b.doc_id),
     gr AS (SELECT doc_id, unnest(s) AS gram FROM sh),
     dfq AS (SELECT gram, count(*) AS dfc FROM gr GROUP BY 1),
-    ordered AS (
+    -- MATERIALIZED: referenced three times (pref, and twice in v);
+    -- DuckDB inlines multi-referenced CTEs, and three copies of the
+    -- per-doc gram-list build hold un-spillable list state that OOMs
+    -- the oracle at the 10x replica (same failure family as the BFS
+    -- and pagerank edge CTEs)
+    ordered AS MATERIALIZED (
       SELECT gr.doc_id, list(gr.gram ORDER BY dfq.dfc, gr.gram) AS t
       FROM gr JOIN dfq USING (gram) GROUP BY gr.doc_id),
     pref AS (
