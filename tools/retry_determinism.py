@@ -128,10 +128,18 @@ def _fail_first_attempt(fn):
 
 
 class _Injector:
-    """Context manager installing the failure hooks."""
+    """Context manager installing the failure hooks.
 
-    def __init__(self, wrap_scans: bool):
+    ``wrap_sql`` covers builders that read through SQL path-table
+    syntax (``FROM parquet.`...```), which never touches
+    DataFrameReader.parquet: the SparkSession.sql RESULT gains a
+    fail-once identity, so the injected failure lands in the query's
+    FINAL stage and the retry re-reads shuffle blocks — the
+    post-shuffle-stage analog of the scan-stage injection."""
+
+    def __init__(self, wrap_scans: bool, wrap_sql: bool = False):
         self.wrap_scans = wrap_scans
+        self.wrap_sql = wrap_sql
 
     def __enter__(self):
         # Patch the MIXINS, not pyspark.sql.DataFrame: the classic
@@ -139,7 +147,7 @@ class _Injector:
         # to ``PandasMapOpsMixin.mapInPandas(self, ...)`` by explicit
         # attribute reference, so a patch on the base class is shadowed
         # and never fires (observed: media queries ran injection-free).
-        from pyspark.sql import DataFrameReader
+        from pyspark.sql import DataFrameReader, SparkSession
         from pyspark.sql.pandas.group_ops import (
             PandasCogroupedOps,
             PandasGroupedOpsMixin,
@@ -151,6 +159,7 @@ class _Injector:
             "grouped": PandasGroupedOpsMixin.applyInPandas,
             "cogrouped": PandasCogroupedOps.applyInPandas,
             "parquet": DataFrameReader.parquet,
+            "sql": SparkSession.sql,
         }
         orig = self._orig
 
@@ -180,10 +189,22 @@ class _Injector:
                 return orig["map"](df, _fail_first_attempt(identity), df.schema)
 
             DataFrameReader.parquet = parquet
+
+        if self.wrap_sql:
+
+            def sql(session, *a, **kw):
+                df = orig["sql"](session, *a, **kw)
+
+                def identity(it):
+                    yield from it
+
+                return orig["map"](df, _fail_first_attempt(identity), df.schema)
+
+            SparkSession.sql = sql
         return self
 
     def __exit__(self, *exc):
-        from pyspark.sql import DataFrameReader
+        from pyspark.sql import DataFrameReader, SparkSession
         from pyspark.sql.pandas.group_ops import (
             PandasCogroupedOps,
             PandasGroupedOpsMixin,
@@ -194,6 +215,7 @@ class _Injector:
         PandasGroupedOpsMixin.applyInPandas = self._orig["grouped"]
         PandasCogroupedOps.applyInPandas = self._orig["cogrouped"]
         DataFrameReader.parquet = self._orig["parquet"]
+        SparkSession.sql = self._orig["sql"]
         return False
 
 
@@ -248,22 +270,34 @@ def main() -> None:
     failures = 0
     for name, wrap_scans in plan:
         base_hash, base_rows = _result_hash(spark, sf_dir, name)
-        try:
+
+        def _injected(wrap_sql: bool) -> dict:
             before = _RETRY_ACC.value
-            with _Injector(wrap_scans=wrap_scans):
+            with _Injector(wrap_scans=wrap_scans, wrap_sql=wrap_sql):
                 inj_hash, inj_rows = _result_hash(spark, sf_dir, name)
             retried = _RETRY_ACC.value - before
             # retried == 0 would make the pass vacuous — fail loudly
-            ok = inj_hash == base_hash and retried > 0
-            res = {
-                "ok": ok,
+            label = "sql" if wrap_sql else (
+                "scan" if wrap_scans else "python_stage")
+            return {
+                "ok": inj_hash == base_hash and retried > 0,
                 "rows": base_rows,
                 "rows_injected": inj_rows,
                 "hash": base_hash,
                 "hash_injected": inj_hash,
                 "retried_tasks": retried,
-                "injection": "scan" if wrap_scans else "python_stage",
+                "injection": label,
             }
+
+        try:
+            res = _injected(wrap_sql=False)
+            if res["retried_tasks"] == 0:
+                # builder never touched a hooked surface (e.g. SQL
+                # path-table scans bypass DataFrameReader.parquet) —
+                # inject via the SQL-result surface instead, which
+                # fails the FINAL stage's first attempts
+                res = _injected(wrap_sql=True)
+            ok = res["ok"]
         except Exception as exc:  # noqa: BLE001 — record, keep going
             ok = False
             res = {"ok": False, "error": f"{type(exc).__name__}: {exc}"[:300],
