@@ -17,6 +17,7 @@ bench, driver contract) runs with identical semantics:
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import SparkSession
 
@@ -38,6 +39,24 @@ def _default_driver_mem() -> str:
     return "4g"
 
 
+def _parse_mem(mem: str) -> int:
+    """'4g'/'512m'-style JVM memory string -> bytes (0 if unparseable)."""
+    m = re.fullmatch(r"(\d+)([kmgt]?)b?", mem.strip().lower())
+    if not m:
+        return 0
+    return int(m.group(1)) * 1024 ** ("bkmgt".index(m.group(2) or "b"))
+
+
+def _broadcast_threshold(driver_mem: str) -> int:
+    """autoBroadcastJoinThreshold sized to the heap: heap/256 bytes,
+    capped at 64MB (what a >=16g production executor gets), floored at
+    4MB so tiny test heaps still broadcast genuine dimension tables."""
+    heap = _parse_mem(driver_mem)
+    if not heap:
+        return 64 * 1024 * 1024
+    return max(4 * 1024 * 1024, min(64 * 1024 * 1024, heap // 256))
+
+
 def get_spark(app_name: str = "etl_process_spark", master: str | None = None,
               extra_conf: dict[str, str] | None = None) -> SparkSession:
     """Return (create if needed) the engine's SparkSession."""
@@ -48,7 +67,20 @@ def get_spark(app_name: str = "etl_process_spark", master: str | None = None,
     from etl_process_spark.vendor import ensure_protobuf
 
     ensure_protobuf()
-    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM") or _default_driver_mem()
+    # Memory-proportional parallelism: a local JVM running N concurrent
+    # tasks divides ONE heap N ways, so an undersized heap with full
+    # thread count starves every task (128MB/task at 4g/32 — task
+    # OutOfMemoryError, not spill, because operator working buffers are
+    # unspillable below a floor). Cap threads so each concurrent task
+    # keeps >=512MB — the same degrade-not-die choice a cluster
+    # submitter makes by lowering executor-cores when memory shrinks.
+    # At the normal machine-sized heap the cap is above the CPU count
+    # and nothing changes.
+    heap_bytes = _parse_mem(driver_mem)
+    if heap_bytes:
+        cpus = max(1, min(cpus, heap_bytes // (512 << 20)))
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master or f"local[{cpus}]")
@@ -60,17 +92,25 @@ def get_spark(app_name: str = "etl_process_spark", master: str | None = None,
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Broadcast threshold scaled to the heap, not flat: a planned
+        # broadcast that cannot build does NOT degrade to a sort-merge
+        # join — BroadcastExchangeExec throws "Not enough memory to
+        # build and broadcast the table" and kills the job (seen in the
+        # memory-pressure rehearsal: BFS's grown frontier planned as a
+        # 64MB-threshold broadcast under a 4g heap took down the whole
+        # context). Hash relations expand ~4-8x over their serialized
+        # estimate and share the heap with execution + storage, so the
+        # threshold follows executor memory: heap/256, capped at the
+        # 64MB that a 16g+ production executor gets.
+        .config("spark.sql.autoBroadcastJoinThreshold",
+                str(_broadcast_threshold(driver_mem)))
         # Size the single local JVM to the machine: the 1 GiB default heap
         # OOMs once ~32 concurrent hash-aggregate/sort tasks each hold
         # partial maps (seen on the part co-occurrence self-join at
         # sf0.1), while a hardcoded 48g would get the process OS-killed
         # on smaller hosts. On a real cluster this is the submitter's
         # executor-memory setting.
-        .config(
-            "spark.driver.memory",
-            os.environ.get("SPARK_GRAFT_DRIVER_MEM") or _default_driver_mem(),
-        )
+        .config("spark.driver.memory", driver_mem)
         # JVM unified logging writes [gc,alloc] warnings to STDOUT, which
         # corrupts bench.py's one-JSON-line contract under memory
         # pressure — route JVM logging off entirely.

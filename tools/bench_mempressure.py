@@ -43,47 +43,71 @@ from tools.bench_scale import HEAVY  # noqa: E402
 EVENTLOG_DIR = "/tmp/spark_graft_eventlog"
 
 
+def _apps(log_dir: str) -> list[list[Path]]:
+    """Event-log files grouped per application, oldest app first.
+
+    Spark 4 writes an ``eventlog_v2_<appid>`` DIRECTORY of rolling
+    ``events_N_*`` part files (plus an appstatus marker); older
+    releases write a single flat file. A run that rebuilds its session
+    after a dead SparkContext leaves MULTIPLE apps in log_dir — all are
+    parsed (stage ids restart per app, so each app gets its own
+    stage->group map; job-group names are globally unique here)."""
+    apps = []
+    for entry in sorted(Path(log_dir).glob("*"), key=lambda p: p.stat().st_mtime):
+        if entry.is_dir():
+            apps.append(sorted(
+                (p for p in entry.iterdir() if p.name.startswith("events_")),
+                key=lambda p: p.name,
+            ))
+        else:
+            apps.append([entry])
+    return apps
+
+
 def _parse_eventlog(log_dir: str) -> dict[str, dict]:
-    """Aggregate task metrics per job group from the session event log."""
-    files = sorted(Path(log_dir).glob("*"), key=lambda p: p.stat().st_mtime)
-    if not files:
-        return {}
-    stage_to_group: dict[int, str] = {}
+    """Aggregate task metrics per job group across all apps in log_dir."""
     agg: dict[str, dict] = defaultdict(
         lambda: {"memoryBytesSpilled": 0, "diskBytesSpilled": 0,
                  "peakExecutionMemory": 0, "n_tasks": 0, "n_stages": 0}
     )
-    with open(files[-1]) as fh:
-        for line in fh:
-            try:
-                ev = json.loads(line)
-            except json.JSONDecodeError:
-                continue
-            kind = ev.get("Event")
-            if kind == "SparkListenerJobStart":
-                group = (ev.get("Properties") or {}).get("spark.jobGroup.id")
-                if not group:
-                    continue
-                for sid in ev.get("Stage IDs", []):
-                    stage_to_group[sid] = group
-            elif kind == "SparkListenerStageCompleted":
-                sid = ev["Stage Info"]["Stage ID"]
-                group = stage_to_group.get(sid)
-                if group:
-                    agg[group]["n_stages"] += 1
-            elif kind == "SparkListenerTaskEnd":
-                group = stage_to_group.get(ev.get("Stage ID"))
-                m = ev.get("Task Metrics") or {}
-                if not group or not m:
-                    continue
-                a = agg[group]
-                a["memoryBytesSpilled"] += m.get("Memory Bytes Spilled", 0)
-                a["diskBytesSpilled"] += m.get("Disk Bytes Spilled", 0)
-                a["peakExecutionMemory"] = max(
-                    a["peakExecutionMemory"], m.get("Peak Execution Memory", 0)
-                )
-                a["n_tasks"] += 1
+    for files in _apps(log_dir):
+        stage_to_group: dict[int, str] = {}
+        for path in files:
+            with open(path) as fh:
+                _scan_events(fh, stage_to_group, agg)
     return dict(agg)
+
+
+def _scan_events(fh, stage_to_group, agg) -> None:
+    for line in fh:
+        try:
+            ev = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        kind = ev.get("Event")
+        if kind == "SparkListenerJobStart":
+            group = (ev.get("Properties") or {}).get("spark.jobGroup.id")
+            if not group:
+                continue
+            for sid in ev.get("Stage IDs", []):
+                stage_to_group[sid] = group
+        elif kind == "SparkListenerStageCompleted":
+            sid = ev["Stage Info"]["Stage ID"]
+            group = stage_to_group.get(sid)
+            if group:
+                agg[group]["n_stages"] += 1
+        elif kind == "SparkListenerTaskEnd":
+            group = stage_to_group.get(ev.get("Stage ID"))
+            m = ev.get("Task Metrics") or {}
+            if not group or not m:
+                continue
+            a = agg[group]
+            a["memoryBytesSpilled"] += m.get("Memory Bytes Spilled", 0)
+            a["diskBytesSpilled"] += m.get("Disk Bytes Spilled", 0)
+            a["peakExecutionMemory"] = max(
+                a["peakExecutionMemory"], m.get("Peak Execution Memory", 0)
+            )
+            a["n_tasks"] += 1
 
 
 def main() -> None:
@@ -107,19 +131,31 @@ def main() -> None:
     from etl_process_spark.queries import QUERIES
     from etl_process_spark.session import get_spark
 
-    spark = get_spark(
-        "bench_mempressure",
-        extra_conf={
-            "spark.eventLog.enabled": "true",
-            "spark.eventLog.dir": f"file://{EVENTLOG_DIR}",
-            "spark.eventLog.compress": "false",
-        },
-    )
-    sc = spark.sparkContext
+    def fresh_session():
+        return get_spark(
+            "bench_mempressure",
+            extra_conf={
+                "spark.eventLog.enabled": "true",
+                "spark.eventLog.dir": f"file://{EVENTLOG_DIR}",
+                "spark.eventLog.compress": "false",
+            },
+        )
+
+    spark = fresh_session()
 
     results: dict[str, dict] = {}
     for name in HEAVY:
-        sc.setJobGroup(name, name)
+        if spark.sparkContext._jsc.sc().isStopped():
+            # a previous query OOM-killed the whole context (that IS
+            # its recorded result) — rebuild so the rest of the battery
+            # still runs; the parser merges event logs across apps
+            spark.stop()
+            spark = fresh_session()
+        sc = spark.sparkContext
+        # setLocalProperty, not setJobGroup/clearJobGroup: PySpark 4
+        # removed SparkContext.clearJobGroup, and the property is what
+        # JobStart events actually carry
+        sc.setLocalProperty("spark.jobGroup.id", name)
         start = time.perf_counter()
         try:
             n = QUERIES[name].builder(spark, args.sf_dir).count()
@@ -132,7 +168,7 @@ def main() -> None:
                 "error": f"{type(exc).__name__}: {exc}"[:300],
             }
         finally:
-            sc.clearJobGroup()
+            sc.setLocalProperty("spark.jobGroup.id", None)
         print(f"{name}: {results[name]}", flush=True)
 
     spark.stop()  # flush + close the event log before parsing
