@@ -36,22 +36,49 @@ from tools.bench_scale import BIG_DIR, build_big_corpus  # noqa: E402
 FAMILY = ["part_bfs_reach", "image_phash_dup_pairs"]
 
 DUCKDB_PRAGMAS = [
-    "SET memory_limit='80GB'",
+    # 48GB, not "most of the box": the oracle shares the machine with a
+    # ~48g Spark JVM, and an 80GB cap got the python process
+    # kernel-OOM-killed at 77GB RSS mid-oracle. The spill directory
+    # keeps the per-frame DCT rebuild out-of-core at 48GB.
+    "SET memory_limit='48GB'",
     "SET temp_directory='/tmp/duckdb_spill_100x'",
 ]
 
 
 def main() -> None:
+    positional = [a for a in sys.argv[1:] if not a.startswith("--")]
     out_path = (
-        Path(sys.argv[1]).resolve()
-        if len(sys.argv) > 1
+        Path(positional[0]).resolve()
+        if positional
         else Path(__file__).resolve().parent.parent / "CORRECTNESS_100X.json"
     )
+    resume = "--resume" in sys.argv
     spark = get_spark("differential_100x")
     counts = build_big_corpus(spark, BIG_DIR, 100)
     out: dict[str, dict] = {}
+    if resume and out_path.exists():
+        prior = json.loads(out_path.read_text())["results"]
+        out = {k: v for k, v in prior.items()
+               if k in FAMILY and v.get("ok")}
+        print(f"resume: {len(out)} green kept", flush=True)
     t0 = time.time()
+
+    def write_summary() -> dict:
+        summary = {
+            "sf_dir": BIG_DIR,
+            "replicas": 100,
+            "table_rows": {t: counts[t] for t in ("documents", "lineitem")},
+            "n_queries": len(FAMILY),
+            "n_ok": sum(1 for q in FAMILY if out.get(q, {}).get("ok")),
+            "total_sec": round(time.time() - t0, 1),
+            "results": out,
+        }
+        out_path.write_text(json.dumps(summary, indent=1) + "\n")
+        return summary
+
     for name in FAMILY:
+        if out.get(name, {}).get("ok"):
+            continue
         start = time.time()
         try:
             res = compare(spark, BIG_DIR, QUERIES[name],
@@ -63,16 +90,10 @@ def main() -> None:
         out[name] = res
         print(f"{name}: ok={res.get('ok')} rows={res.get('rows_spark')} "
               f"{res['sec']}s", flush=True)
-    summary = {
-        "sf_dir": BIG_DIR,
-        "replicas": 100,
-        "table_rows": {t: counts[t] for t in ("documents", "lineitem")},
-        "n_queries": len(FAMILY),
-        "n_ok": sum(1 for q in FAMILY if out.get(q, {}).get("ok")),
-        "total_sec": round(time.time() - t0, 1),
-        "results": out,
-    }
-    out_path.write_text(json.dumps(summary, indent=1) + "\n")
+        # write-through: a kernel OOM on the second oracle must not
+        # lose the first query's completed result (it did once)
+        write_summary()
+    summary = write_summary()
     print(f"wrote {out_path}: {summary['n_ok']}/{summary['n_queries']} ok")
 
 
