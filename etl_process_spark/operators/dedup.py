@@ -339,7 +339,7 @@ def hyperplane_code(vec: Column, signs: list[list[int]]) -> Column:
 
 def embedding_neardup_pairs(
     df: DataFrame, threshold: float = 0.4, nbits: int = 8, nbands: int = 4,
-    dim: int = 64, id_col: str = "vec_id", vec_col: str = "embedding",
+    dim: int | None = None, id_col: str = "vec_id", vec_col: str = "embedding",
 ) -> DataFrame:
     """Embedding-cosine near-dup via random-hyperplane LSH + verify.
 
@@ -349,8 +349,10 @@ def embedding_neardup_pairs(
     tuned with nbits/nbands, and the verify join touches only bucket
     collisions.
     """
-    from etl_process_spark.operators.similarity import cosine
+    from etl_process_spark.operators.similarity import EMBED_DIM, dot, norm
 
+    if dim is None:
+        dim = EMBED_DIM
     # ONE fused aggregate computes all nbands×nbits projections, staged
     # behind a projection boundary (CollapseProject keeps a non-cheap
     # alias used by every band fold from being re-inlined) — 4 band-wise
@@ -382,9 +384,23 @@ def embedding_neardup_pairs(
     )
     cand = bucket_pairs(codes)
     # candidate rows carry only id pairs through the shuffle; vectors are
-    # re-attached by key for the verify stage
-    va = df.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"))
-    vb = df.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"))
+    # re-attached by key for the verify stage. Norms are computed once
+    # per ROW here, not per pair: norm(v) on the same array is the same
+    # fold in the same IEEE order wherever it runs, so hoisting it out
+    # of the pair expression is bit-identical — and it cuts the verify
+    # expression from three unrolled dim-term chains (dot + 2 norms) to
+    # one, which matters twice: per-pair work at scale (each vector's
+    # norm used to be recomputed for EVERY candidate it appears in) and
+    # driver-side Catalyst/codegen cost per run (~3x smaller tree; the
+    # 192-term form cost ~1.3 s of plan time per run at any SF).
+    va = df.select(
+        F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"),
+        norm(F.col(vec_col), dim).alias("na"),
+    )
+    vb = df.select(
+        F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"),
+        norm(F.col(vec_col), dim).alias("nb"),
+    )
     return (
         cand.select(F.col("doc_a").alias("vec_a"), F.col("doc_b").alias("vec_b"))
         .join(va, "vec_a")
@@ -394,9 +410,10 @@ def embedding_neardup_pairs(
             # static dim keeps the verify dot unrolled in whole-stage
             # codegen; the interpreted fold costs ~20x more per
             # candidate pair and is bit-identical (same IEEE add order)
-            F.floor(cosine(F.col("va"), F.col("vb"), dim) * F.lit(1000000.0)).cast(
-                "long"
-            ),
+            F.floor(
+                dot(F.col("va"), F.col("vb"), dim) / (F.col("na") * F.col("nb"))
+                * F.lit(1000000.0)
+            ).cast("long"),
         )
         .filter(F.col("cos_sim_e6") >= int(threshold * 1000000))
         .select("vec_a", "vec_b", "cos_sim_e6")

@@ -25,9 +25,35 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+# The test corpus's embedding dimensionality (embeddings.parquet).
+# Shared by every static-dim unrolled dot/norm call site: with ANSI off,
+# element_at past the array end returns NULL, so a silently-wrong dim
+# would NULL the dot/norm instead of erroring — one constant keeps every
+# site in sync with the data.
+EMBED_DIM = 64
+
 
 def _dbl(arr: Column) -> Column:
     return F.transform(arr, lambda x: x.cast("double"))
+
+
+_IDENT = __import__("re").compile(
+    r"^[A-Za-z_][A-Za-z0-9_]*(\.[A-Za-z_][A-Za-z0-9_]*)*$"
+)
+
+
+def _expr_sql(c: Column) -> str | None:
+    """SQL text for a Column that is a PLAIN (possibly dotted) column
+    reference, else None — callers fall back to building the tree with
+    Column operators. Derived from ``str(c)`` ("Column<'va'>"), zero
+    py4j calls; Spark 4's Java Column no longer exposes ``expr()``, and
+    simple references are the only call-site shape anyway."""
+    s = str(c)
+    if s.startswith("Column<'") and s.endswith("'>"):
+        name = s[8:-2]
+        if _IDENT.match(name):
+            return ".".join(f"`{p}`" for p in name.split("."))
+    return None
 
 
 def fixed_e6(x: Column) -> Column:
@@ -47,13 +73,29 @@ def dot(a: Column, b: Column, dim: int | None = None) -> Column:
     ``dim=None`` path uses. The unrolled chain is left-associated
     starting from 0.0, the IDENTICAL IEEE addition order as the
     aggregate fold, so the two forms are bit-identical and can be mixed
-    freely (the oracle replays either)."""
+    freely (the oracle replays either).
+
+    The unrolled tree is BUILT as one SQL string parsed JVM-side in a
+    single ``F.expr`` call, not a Python loop of Column operators: dim
+    64 means ~384 Column ops, i.e. ~384 py4j round-trips, ~0.4 s of
+    driver time PER CONSTRUCTED EXPRESSION (measured — it made the
+    LSH verify stage's query build cost exceed its execution at sf0.1).
+    SQL ``+`` / ``*`` are left-associative, so the parsed tree is
+    node-for-node the tree the loop built."""
     if dim is None:
         return F.aggregate(
             F.zip_with(_dbl(a), _dbl(b), lambda x, y: x * y),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
+    asql, bsql = _expr_sql(a), _expr_sql(b)
+    if asql is not None and bsql is not None:
+        terms = " + ".join(
+            f"(CAST(element_at({asql}, {i}) AS DOUBLE) * "
+            f"CAST(element_at({bsql}, {i}) AS DOUBLE))"
+            for i in range(1, dim + 1)
+        )
+        return F.expr(f"CAST(0.0 AS DOUBLE) + {terms}")
     acc: Column = F.lit(0.0)
     for i in range(1, dim + 1):
         acc = acc + F.element_at(a, i).cast("double") * F.element_at(b, i).cast(

@@ -1815,7 +1815,7 @@ def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cluster task at the 10x replica, ~20x cheaper unrolled. Same IEEE
     # operation order (left-associated fold from 0.0), so the floored
     # e6 boundary is bit-identical.
-    n = n.withColumn("nrm", sim.norm(F.col("v"), dim=64))
+    n = n.withColumn("nrm", sim.norm(F.col("v"), dim=sim.EMBED_DIM))
     a, b = n.alias("a"), n.alias("b")
     drops = (
         a.join(
@@ -1825,7 +1825,7 @@ def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(
             sim.fixed_e6(
-                sim.dot(F.col("a.v"), F.col("b.v"), dim=64)
+                sim.dot(F.col("a.v"), F.col("b.v"), dim=sim.EMBED_DIM)
                 / (F.col("a.nrm") * F.col("b.nrm"))
             ) >= 400000
         )
@@ -3505,7 +3505,7 @@ def margin_bitext_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = tbl(spark, sf_dir, "embeddings")
     side_a = emb.filter(F.col("label") % 2 == 0)
     side_b = emb.filter(F.col("label") % 2 == 1)
-    return sim.margin_mutual_pairs(side_a, side_b, k=4, nprobe=3, dim=64,
+    return sim.margin_mutual_pairs(side_a, side_b, k=4, nprobe=3, dim=sim.EMBED_DIM,
                                    impl="arrow")
 
 

@@ -67,7 +67,15 @@ def get_spark(app_name: str = "etl_process_spark", master: str | None = None,
     from etl_process_spark.vendor import ensure_protobuf
 
     ensure_protobuf()
-    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # Defensive parse: a non-integer SPARK_GRAFT_CPUS (e.g. "*") is
+    # passed through to local[...] as before instead of crashing every
+    # entry point at session creation; the memory-proportional thread
+    # cap below only applies when the value is a plain integer.
+    cpus_raw = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    try:
+        cpus = int(cpus_raw)
+    except ValueError:
+        cpus = None
     driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM") or _default_driver_mem()
     # Memory-proportional parallelism: a local JVM running N concurrent
     # tasks divides ONE heap N ways, so an undersized heap with full
@@ -79,11 +87,11 @@ def get_spark(app_name: str = "etl_process_spark", master: str | None = None,
     # At the normal machine-sized heap the cap is above the CPU count
     # and nothing changes.
     heap_bytes = _parse_mem(driver_mem)
-    if heap_bytes:
+    if heap_bytes and cpus is not None:
         cpus = max(1, min(cpus, heap_bytes // (512 << 20)))
     builder = (
         SparkSession.builder.appName(app_name)
-        .master(master or f"local[{cpus}]")
+        .master(master or f"local[{cpus if cpus is not None else cpus_raw}]")
         .config("spark.sql.shuffle.partitions", DEFAULT_SHUFFLE_PARTITIONS)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

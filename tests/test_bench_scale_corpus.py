@@ -97,3 +97,51 @@ def test_replica_key_spaces_are_disjoint(spark):
     assert ids1 == {i + GAPS["doc"] for i in ids0}
     # gid parity preserved (pair-group queries keep their structure)
     assert GAPS["doc"] % 2 == 0
+
+
+def test_wide_cipher_expr_matches_literal_form(spark):
+    """_cipher_wide_expr (codepoint arithmetic over a replica COLUMN,
+    used by the crossJoin-replicated 100x builder) must produce the
+    byte-identical text _cipher_wide (translate with a literal replica)
+    produces, for replicas across the full 130-period including ones
+    past the 26-letter cycle."""
+    from bench_scale import _cipher_wide, _cipher_wide_expr
+
+    docs = _docs(spark, 15)
+    for i in (0, 1, 13, 26, 27, 64, 99):
+        out = docs.select(
+            _cipher_wide(F.col("text"), i).alias("lit"),
+            _cipher_wide_expr(F.col("text"), F.lit(i)).alias("expr"),
+        ).collect()
+        for r in out:
+            assert r.lit == r.expr, f"replica {i} diverged"
+
+
+def test_wide_cipher_decorrelates_past_26_replicas(spark):
+    """Replicas 0 and 26 share the letter rotation — the 10x cipher
+    would make them exact twins; the wide cipher must not (digits
+    differ), and any two replicas below 100 must differ for text
+    containing at least one digit and one letter."""
+    from bench_scale import _cipher_wide
+
+    row = _docs(spark, 1).select(
+        F.lit("Quarter 3 revenue grew 12 percent").alias("text")
+    )
+    texts = {}
+    for i in (0, 10, 26, 52, 78, 99):
+        texts[i] = row.select(_cipher_wide(F.col("text"), i)).first()[0]
+    vals = list(texts.values())
+    assert len(set(vals)) == len(vals), "wide cipher collided below 100"
+
+
+def test_rotate_vec_expr_matches_literal_form(spark):
+    from bench_scale import _rotate_vec, _rotate_vec_expr
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").limit(10)
+    for i in (0, 1, 9, 64, 65, 99):
+        out = emb.select(
+            _rotate_vec(F.col("embedding"), i).alias("lit"),
+            _rotate_vec_expr(F.col("embedding"), F.lit(i)).alias("expr"),
+        ).collect()
+        for r in out:
+            assert list(r.lit) == list(r.expr), f"replica {i} diverged"

@@ -1035,12 +1035,23 @@ def _tws_leg(leg):
         session_type_profile_batch,
         session_type_profile_stream_tws,
         sessionize_batch,
+        sessionize_stream,
         sessionize_stream_tws,
     )
 
     return {
         "value_state": (
             sessionize_stream_tws, sessionize_batch,
+            ["user_id", "session_start", "session_end", "n_events",
+             "total_value_e4"],
+        ),
+        # the LEGACY applyInPandasWithState sessionizer: same semantics
+        # as value_state, but a different operator, state encoding (one
+        # tuple + a single timeout slot instead of named RocksDB state +
+        # registered timers) and state-store recovery path (HDFS-backed
+        # provider, pinned in the test)
+        "legacy_value_state": (
+            sessionize_stream, sessionize_batch,
             ["user_id", "session_start", "session_end", "n_events",
              "total_value_e4"],
         ),
@@ -1057,23 +1068,28 @@ def _tws_leg(leg):
     }[leg]
 
 
-@pytest.mark.parametrize("leg", ["value_state", "map_state", "list_state"])
+@pytest.mark.parametrize(
+    "leg", ["value_state", "map_state", "list_state", "legacy_value_state"]
+)
 def test_tws_restart_recovers_state_and_timers(
     spark, tws_restart_corpus, tmp_path, leg
 ):
-    """Kill/restart each transformWithState query from its checkpoint
-    mid-stream. Phase 1 streams the first half and terminates
-    (availableNow); phase 2 adds the second half and restarts the SAME
-    query (checkpoint + sink). The resumed run must:
+    """Kill/restart each stateful query from its checkpoint mid-stream.
+    Phase 1 streams the first half and terminates (availableNow);
+    phase 2 adds the second half and restarts the SAME query
+    (checkpoint + sink). The resumed run must:
 
     * re-emit nothing (exactly-once across the restart),
     * stay a subset of the batch twin over the streamed corpus,
     * emit the BRIDGE sessions that start before the restart boundary
-      and end after it — only possible if the RocksDB named state
-      (ValueState / MapState / ListState) recovered, and
+      and end after it — only possible if the state recovered (RocksDB
+      named ValueState / MapState / ListState for the TWS legs; the
+      HDFS-backed store's single state tuple for the legacy
+      applyInPandasWithState leg), and
     * emit the TIMER USER's session, for which phase 2 carries ZERO
       input rows — only possible if the phase-1-registered event-time
-      timer survived the restart and fired on watermark advance.
+      timer (TWS) / timeout timestamp (legacy) survived the restart and
+      fired on watermark advance.
     """
     import os
     import shutil
@@ -1093,10 +1109,14 @@ def test_tws_restart_recovers_state_and_timers(
 
     provider_key = "spark.sql.streaming.stateStore.providerClass"
     prev_provider = spark.conf.get(provider_key, None)
+    # the legacy leg pins the DEFAULT HDFS-backed provider explicitly —
+    # its snapshot+delta recovery path is different code from RocksDB's
+    # checkpoint load, and is exactly what that leg exists to prove
     spark.conf.set(
         provider_key,
         "org.apache.spark.sql.execution.streaming.state."
-        "RocksDBStateStoreProvider",
+        + ("HDFSBackedStateStoreProvider" if leg == "legacy_value_state"
+           else "RocksDBStateStoreProvider"),
     )
 
     def run_phase():

@@ -55,9 +55,18 @@ def _apps(log_dir: str) -> list[list[Path]]:
     apps = []
     for entry in sorted(Path(log_dir).glob("*"), key=lambda p: p.stat().st_mtime):
         if entry.is_dir():
+            # sort by the NUMERIC rolling index, not lexicographically:
+            # events_10_* must come after events_9_*, or TaskEnd events
+            # can be scanned before the JobStart that maps their stage
+            def _idx(p: Path) -> tuple:
+                parts = p.name.split("_")
+                try:
+                    return (int(parts[1]), p.name)
+                except (IndexError, ValueError):
+                    return (1 << 30, p.name)
             apps.append(sorted(
                 (p for p in entry.iterdir() if p.name.startswith("events_")),
-                key=lambda p: p.name,
+                key=_idx,
             ))
         else:
             apps.append([entry])
@@ -144,8 +153,17 @@ def main() -> None:
     spark = fresh_session()
 
     results: dict[str, dict] = {}
+    def _context_dead(s) -> bool:
+        # the probe itself raises (py4j connection error) if the JVM was
+        # kernel-OOM-killed rather than the context stopped — any
+        # exception means "dead, rebuild"
+        try:
+            return s.sparkContext._jsc.sc().isStopped()
+        except Exception:  # noqa: BLE001
+            return True
+
     for name in HEAVY:
-        if spark.sparkContext._jsc.sc().isStopped():
+        if _context_dead(spark):
             # a previous query OOM-killed the whole context (that IS
             # its recorded result) — rebuild so the rest of the battery
             # still runs; the parser merges event logs across apps

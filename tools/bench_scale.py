@@ -190,15 +190,45 @@ def build_scaled_corpus(spark, out_dir: str, n_replicas: int) -> dict[str, int]:
 
 BIG_DIR = "/tmp/spark_graft_scale_big"
 BIG_QUERIES = {"part_bfs_reach": "lineitem", "image_phash_dup_pairs": "documents"}
-BIG_TABLES = ("documents", "lineitem", "part")
+BIG_TABLES = ("documents", "lineitem", "part", "embeddings")
+
+DIGITS = "0123456789"
+
+
+def _cipher_wide(col, i: int):
+    """Per-replica substitution cipher with a period that outlives 100
+    replicas: lowercase rotated by 5i, uppercase by 7i (both mod 26),
+    digits by i (mod 10). Two replicas collide only when i ≡ j
+    (mod 26) AND (mod 10), i.e. mod 130 — every pair of the 100 big-tier
+    replicas gets distinct text. (Residual caveat, documented in the
+    100x artifact: a document containing NO letters of one case and no
+    digits can still find a twin at the shorter sub-period; the corpus'
+    synthetic prose makes that set empty in practice.) Like ``_cipher``
+    it preserves lengths, word boundaries and within-replica duplicate
+    structure exactly, so dedup outputs scale ~linearly with replicas —
+    a verbatim 100x copy would instead square the near-dup pair count
+    and bury the differential in cross-replica twins."""
+    rl, ru, rd = (5 * i) % 26, (7 * i) % 26, i % 10
+    if rl == 0 and ru == 0 and rd == 0:
+        return col
+    to = (LOWER[rl:] + LOWER[:rl] + UPPER[ru:] + UPPER[:ru]
+          + DIGITS[rd:] + DIGITS[:rd])
+    return F.translate(col, LOWER + UPPER + DIGITS, to)
 
 
 def build_big_corpus(spark, out_dir: str, n_replicas: int) -> dict[str, int]:
     """N-x replica of only BIG_TABLES via crossJoin(range(N)) + key
-    offsets — the same decorrelation rule as ``_replica`` minus the
-    text/vector transforms (unused by the big-tier queries)."""
+    offsets — the same decorrelation rule as ``_replica``, with the
+    text cipher swapped for ``_cipher_wide`` (the 10x cipher's 26-letter
+    rotation cycles out below 100 replicas) and the embeddings vector
+    rotation kept as-is (period 64: replicas i and i+64 share a
+    rotation, so ~36% of vectors have one exact cross-replica twin —
+    harmless for top-k/IVF correctness, ties break on id in both
+    engines; documented rather than engineered away)."""
     out = Path(out_dir)
-    marker = out / f".complete_{n_replicas}x"
+    # v2: wide-ciphered documents + embeddings table added — a marker
+    # from the v1 builder must NOT satisfy this one
+    marker = out / f".complete_{n_replicas}x_v2"
     if marker.exists():
         return json.loads(marker.read_text())
     if out.exists():
@@ -210,6 +240,7 @@ def build_big_corpus(spark, out_dir: str, n_replicas: int) -> dict[str, int]:
         "lineitem": {"l_orderkey": GAPS["order"], "l_partkey": GAPS["part"],
                      "l_suppkey": GAPS["supp"]},
         "part": {"p_partkey": GAPS["part"]},
+        "embeddings": {"vec_id": GAPS["vec"]},
     }
     counts: dict[str, int] = {}
     for t in BIG_TABLES:
@@ -218,6 +249,18 @@ def build_big_corpus(spark, out_dir: str, n_replicas: int) -> dict[str, int]:
         x = df.crossJoin(F.broadcast(r))
         for col, gap in offsets[t].items():
             x = x.withColumn(col, F.col(col) + rep * gap)
+        if t == "documents":
+            # translate() needs a constant mapping and __rep is a
+            # column here (crossJoin replication, not a union of N
+            # branches) — so the wide cipher is applied as codepoint
+            # arithmetic parameterized by __rep, one expression for all
+            # replicas (bit-equal to _cipher_wide per literal i).
+            x = x.withColumn("text", _cipher_wide_expr(F.col("text"), rep))
+        if t == "embeddings":
+            x = x.withColumn("label", F.col("label") + rep * N_LABELS)
+            x = x.withColumn(
+                "embedding", _rotate_vec_expr(F.col("embedding"), rep)
+            )
         x.drop("__rep").repartition(32).write.mode("overwrite").parquet(
             f"{out_dir}/{t}.parquet"
         )
@@ -225,6 +268,46 @@ def build_big_corpus(spark, out_dir: str, n_replicas: int) -> dict[str, int]:
         print(f"built big {t}: {counts[t]} rows", flush=True)
     marker.write_text(json.dumps(counts))
     return counts
+
+
+def _cipher_wide_expr(col, rep):
+    """``_cipher_wide`` for a NON-LITERAL replica column: translate()
+    needs constant mappings, so the rotation is done with codepoint
+    arithmetic over the exploded string — transform() on split('')
+    keeps it JVM-side. Identical mapping to _cipher_wide(col, i) for
+    every literal i (pinned by a test)."""
+    rl, ru, rd = (rep * 5) % 26, (rep * 7) % 26, rep % 10
+
+    def _rot(ch, base: int, span: int, r):
+        code = F.ascii(ch)
+        return F.char(
+            (code - base + r) % span + base
+        )
+
+    return F.array_join(
+        F.transform(
+            F.split(col, ""),
+            lambda ch: F.when(
+                (ch >= "a") & (ch <= "z"), _rot(ch, 97, 26, rl)
+            ).when(
+                (ch >= "A") & (ch <= "Z"), _rot(ch, 65, 26, ru)
+            ).when(
+                (ch >= "0") & (ch <= "9"), _rot(ch, 48, 10, rd)
+            ).otherwise(ch),
+        ),
+        "",
+    )
+
+
+def _rotate_vec_expr(col, rep):
+    """``_rotate_vec`` for a non-literal replica column: circular dim
+    shift by 7·rep mod 64 via slice() with computed offsets."""
+    s = (rep * 7) % EMB_DIM
+    return F.when(s == 0, col).otherwise(
+        F.concat(
+            F.slice(col, s + 1, F.lit(EMB_DIM) - s), F.slice(col, 1, s)
+        )
+    )
 
 
 def _plan_shape(spark, sf_dir: str, name: str) -> dict:

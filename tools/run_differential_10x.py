@@ -127,7 +127,10 @@ def main() -> None:
                           duckdb_pragmas=DUCKDB_PRAGMAS)
         except Exception as exc:  # noqa: BLE001 — artifact records the failure
             res = {"name": name, "ok": False, "error": f"{type(exc).__name__}: {exc}"}
-        if not res.get("ok") and "Out of Memory" in (res.get("error") or ""):
+        # retry only DuckDB-side OOMs (exception TYPE name, not the
+        # free-text "Out of Memory" substring a Spark-side failure could
+        # also carry — a bigger oracle cap can't fix those)
+        if not res.get("ok") and "OutOfMemoryException" in (res.get("error") or ""):
             try:
                 res = compare(spark, OUT_DIR, QUERIES[name],
                               duckdb_pragmas=DUCKDB_PRAGMAS_BIG)
