@@ -4,14 +4,23 @@ The 100 TB operational claim under test: when partitions outgrow the
 executor heap, the engine DEGRADES (sort-based aggregation fallback,
 shuffle spill to disk, AQE re-plan) instead of DYING. BENCH.json runs
 with a memory-sized heap; this tool re-runs the heaviest queries of the
-corpus (the BENCH_SCALE battery) at sf0.1 under a deliberately small
-driver heap — default 4g for a workload that normally enjoys ~48g —
-and records per-query completion plus the actual spill counters
-(memoryBytesSpilled / diskBytesSpilled) from Spark's event log.
+corpus (the BENCH_SCALE battery) under deliberate memory pressure, in
+two complementary modes writing two SECTIONS of one artifact:
 
-Done = every query completes; the artifact names which operators
-spilled and by how much. A query that needed zero spill under 4g is
-also evidence (its working set was already partition-bounded).
+* **complete mode** (default): a ~10x-undersized heap (e.g. 4g) with
+  the engine's own degrade-not-die session logic active (heap-scaled
+  broadcast threshold, memory-proportional thread cap). Done = every
+  query completes; the artifact names which operators spilled. This is
+  the "survives an undersized executor" claim.
+* **--spill mode**: the thread cap is deliberately BYPASSED (master
+  pinned to local[32]) and ``spark.memory.fraction`` shrunk (default
+  0.10), so 32 concurrent tasks share a ~0.5GB execution pool and the
+  sort/agg-heavy queries are FORCED through their spill paths — and
+  every result must be hash-identical to an unpressured baseline run
+  in the same process. This is the "spilled data is the SAME data"
+  claim: completion alone (complete mode relieved pressure so well
+  that only 1/10 queries spilled) proves survival, not spill-path
+  correctness.
 
 Metrics plumbing: a Python SparkListener needs a py4j callback server;
 instead the session writes a JSON event log (spark.eventLog), each
@@ -20,10 +29,12 @@ spark.stop(): JobStart events map job-group -> stage ids, TaskEnd
 events carry per-task 'Memory Bytes Spilled' / 'Disk Bytes Spilled'.
 
 Usage: SPARK_GRAFT_DRIVER_MEM=4g python tools/bench_mempressure.py
-           [--sf-dir /root/testdata/sf0.1] [--out BENCH_MEMPRESSURE.json]
+           [--sf-dir DIR] [--out BENCH_MEMPRESSURE.json]
+       SPARK_GRAFT_DRIVER_MEM=6g python tools/bench_mempressure.py \
+           --spill [--memory-fraction 0.10] [--sf-dir DIR]
 Run SERIALLY (one JVM, timings embedded). The driver-mem override is
-read by session.get_spark; the tool refuses to run with a heap >= 8g
-so the artifact can't silently record an unpressured run.
+read by session.get_spark; each mode refuses to run with a heap big
+enough to make its artifact an unpressured no-op.
 """
 
 from __future__ import annotations
@@ -119,56 +130,35 @@ def _scan_events(fh, stage_to_group, agg) -> None:
             a["n_tasks"] += 1
 
 
-def main() -> None:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
-    ap.add_argument("--out", default=str(
-        Path(__file__).resolve().parent.parent / "BENCH_MEMPRESSURE.json"))
-    args = ap.parse_args()
+def _context_dead(s) -> bool:
+    # the probe itself raises (py4j connection error) if the JVM was
+    # kernel-OOM-killed rather than the context stopped — any
+    # exception means "dead, rebuild"
+    try:
+        return s.sparkContext._jsc.sc().isStopped()
+    except Exception:  # noqa: BLE001
+        return True
 
-    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "")
-    gig = driver_mem.rstrip("gG")
-    if not (gig.isdigit() and int(gig) < 8):
-        sys.exit("set SPARK_GRAFT_DRIVER_MEM to a small heap (e.g. 4g) — "
-                 "a big-heap run would record no memory pressure")
 
-    import shutil
-
-    shutil.rmtree(EVENTLOG_DIR, ignore_errors=True)
-    os.makedirs(EVENTLOG_DIR, exist_ok=True)
-
+def _run_battery(spark_factory, sf_dir: str, hash_results: bool):
+    """Run HEAVY under the given session factory; returns (results,
+    last_session). Each query gets its own job group for the event-log
+    parser; with hash_results the canonical row-set hash is recorded."""
     from etl_process_spark.queries import QUERIES
-    from etl_process_spark.session import get_spark
+    from tools.retry_determinism import _result_hash
 
-    def fresh_session():
-        return get_spark(
-            "bench_mempressure",
-            extra_conf={
-                "spark.eventLog.enabled": "true",
-                "spark.eventLog.dir": f"file://{EVENTLOG_DIR}",
-                "spark.eventLog.compress": "false",
-            },
-        )
-
-    spark = fresh_session()
-
+    spark = spark_factory()
     results: dict[str, dict] = {}
-    def _context_dead(s) -> bool:
-        # the probe itself raises (py4j connection error) if the JVM was
-        # kernel-OOM-killed rather than the context stopped — any
-        # exception means "dead, rebuild"
-        try:
-            return s.sparkContext._jsc.sc().isStopped()
-        except Exception:  # noqa: BLE001
-            return True
-
     for name in HEAVY:
         if _context_dead(spark):
             # a previous query OOM-killed the whole context (that IS
             # its recorded result) — rebuild so the rest of the battery
             # still runs; the parser merges event logs across apps
-            spark.stop()
-            spark = fresh_session()
+            try:
+                spark.stop()
+            except Exception:  # noqa: BLE001
+                pass
+            spark = spark_factory()
         sc = spark.sparkContext
         # setLocalProperty, not setJobGroup/clearJobGroup: PySpark 4
         # removed SparkContext.clearJobGroup, and the property is what
@@ -176,9 +166,14 @@ def main() -> None:
         sc.setLocalProperty("spark.jobGroup.id", name)
         start = time.perf_counter()
         try:
-            n = QUERIES[name].builder(spark, args.sf_dir).count()
-            results[name] = {"completed": True, "rows": n,
-                             "sec": round(time.perf_counter() - start, 2)}
+            if hash_results:
+                h, n = _result_hash(spark, sf_dir, name)
+                results[name] = {"completed": True, "rows": n, "hash": h,
+                                 "sec": round(time.perf_counter() - start, 2)}
+            else:
+                n = QUERIES[name].builder(spark, sf_dir).count()
+                results[name] = {"completed": True, "rows": n,
+                                 "sec": round(time.perf_counter() - start, 2)}
         except Exception as exc:  # noqa: BLE001 — the artifact records OOMs
             results[name] = {
                 "completed": False,
@@ -188,33 +183,166 @@ def main() -> None:
         finally:
             sc.setLocalProperty("spark.jobGroup.id", None)
         print(f"{name}: {results[name]}", flush=True)
+    return results, spark
 
-    spark.stop()  # flush + close the event log before parsing
+
+def _merge_artifact(out_path: Path, section: str, payload: dict) -> None:
+    """Write `section` into the two-section artifact, preserving the
+    other section (and migrating the pre-v2 flat schema)."""
+    doc: dict = {}
+    if out_path.exists():
+        try:
+            doc = json.loads(out_path.read_text())
+        except Exception:  # noqa: BLE001
+            doc = {}
+        if "queries" in doc:  # pre-v2 flat schema = complete mode
+            doc = {"complete_under_pressure": doc}
+    doc[section] = payload
+    out_path.write_text(json.dumps(doc, indent=1) + "\n")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--out", default=str(
+        Path(__file__).resolve().parent.parent / "BENCH_MEMPRESSURE.json"))
+    ap.add_argument("--spill", action="store_true",
+                    help="force spills at full parallelism and assert "
+                         "hash equality with an unpressured baseline")
+    ap.add_argument("--memory-fraction", default="0.10",
+                    help="spark.memory.fraction for --spill mode")
+    args = ap.parse_args()
+
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "")
+    gig = driver_mem.rstrip("gG")
+    cap = 16 if args.spill else 8
+    if not (gig.isdigit() and int(gig) < cap):
+        sys.exit(f"set SPARK_GRAFT_DRIVER_MEM to a small heap (< {cap}g) — "
+                 "a big-heap run would record no memory pressure")
+
+    import shutil
+
+    shutil.rmtree(EVENTLOG_DIR, ignore_errors=True)
+    os.makedirs(EVENTLOG_DIR, exist_ok=True)
+
+    from etl_process_spark.session import get_spark
+
+    out_path = Path(args.out)
+
+    if not args.spill:
+        def fresh_session():
+            return get_spark(
+                "bench_mempressure",
+                extra_conf={
+                    "spark.eventLog.enabled": "true",
+                    "spark.eventLog.dir": f"file://{EVENTLOG_DIR}",
+                    "spark.eventLog.compress": "false",
+                },
+            )
+
+        results, spark = _run_battery(fresh_session, args.sf_dir, False)
+        spark.stop()  # flush + close the event log before parsing
+        metrics = _parse_eventlog(EVENTLOG_DIR)
+        for name, res in results.items():
+            m = metrics.get(name)
+            if m:
+                res.update(m)
+        summary = {
+            "driver_mem": driver_mem,
+            "sf_dir": args.sf_dir,
+            "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+            "n_queries": len(results),
+            "n_completed": sum(
+                1 for r in results.values() if r.get("completed")),
+            "n_spilled": sum(
+                1 for r in results.values()
+                if r.get("memoryBytesSpilled", 0)
+                + r.get("diskBytesSpilled", 0) > 0
+            ),
+            "note": ("spill counters summed over all tasks of the query's "
+                     "job group; peakExecutionMemory is the max single-task "
+                     "peak. completed=true under a ~10x-undersized heap is "
+                     "the degrade-not-die claim, made measurable."),
+            "queries": results,
+        }
+        _merge_artifact(out_path, "complete_under_pressure", summary)
+        print(f"wrote {out_path}: {summary['n_completed']}/"
+              f"{summary['n_queries']} completed, "
+              f"{summary['n_spilled']} spilled")
+        return
+
+    # ---- spill mode: baseline hashes at full memory, then a forced-
+    # spill run at full parallelism, hash-compared per query ----
+    def baseline_session():
+        # machine-sized heap, engine defaults: the unpressured truth
+        prev = os.environ.pop("SPARK_GRAFT_DRIVER_MEM")
+        try:
+            return get_spark("bench_mempressure_baseline")
+        finally:
+            os.environ["SPARK_GRAFT_DRIVER_MEM"] = prev
+
+    print("== baseline (unpressured) hashes ==", flush=True)
+    baseline, spark = _run_battery(baseline_session, args.sf_dir, True)
+    spark.stop()
+
+    def spill_session():
+        # master pinned to local[32]: get_spark's memory-proportional
+        # thread cap would shrink concurrency and relieve the very
+        # pressure this mode exists to create. The shrunken
+        # spark.memory.fraction moves the squeeze INTO the unified
+        # execution pool, where the operators' spill paths live —
+        # object headroom stays outside it, so tasks spill instead of
+        # the JVM dying.
+        return get_spark(
+            "bench_mempressure_spill",
+            master="local[32]",
+            extra_conf={
+                "spark.memory.fraction": args.memory_fraction,
+                "spark.eventLog.enabled": "true",
+                "spark.eventLog.dir": f"file://{EVENTLOG_DIR}",
+                "spark.eventLog.compress": "false",
+            },
+        )
+
+    print("== pressured (forced-spill) run ==", flush=True)
+    results, spark = _run_battery(spill_session, args.sf_dir, True)
+    spark.stop()
     metrics = _parse_eventlog(EVENTLOG_DIR)
     for name, res in results.items():
         m = metrics.get(name)
         if m:
             res.update(m)
+        b = baseline.get(name, {})
+        res["hash_baseline"] = b.get("hash")
+        res["hash_match"] = (
+            res.get("completed", False) and b.get("completed", False)
+            and res.get("hash") == b.get("hash")
+        )
 
     summary = {
         "driver_mem": driver_mem,
+        "memory_fraction": args.memory_fraction,
+        "master": "local[32] (thread cap bypassed by design)",
         "sf_dir": args.sf_dir,
-        "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
         "n_queries": len(results),
         "n_completed": sum(1 for r in results.values() if r.get("completed")),
         "n_spilled": sum(
             1 for r in results.values()
             if r.get("memoryBytesSpilled", 0) + r.get("diskBytesSpilled", 0) > 0
         ),
-        "note": ("spill counters summed over all tasks of the query's job "
-                 "group; peakExecutionMemory is the max single-task peak. "
-                 "completed=true under a ~10x-undersized heap is the "
-                 "degrade-not-die claim, made measurable."),
+        "n_hash_match": sum(1 for r in results.values() if r.get("hash_match")),
+        "note": ("forced-spill correctness: 32 concurrent tasks share a "
+                 "memory.fraction-shrunken execution pool, so sort/agg/"
+                 "join operators MUST take their spill paths, and every "
+                 "canonical row-set hash must equal the unpressured "
+                 "baseline's — 'the spilled data is the same data'."),
         "queries": results,
     }
-    Path(args.out).write_text(json.dumps(summary, indent=1) + "\n")
-    print(f"wrote {args.out}: {summary['n_completed']}/{summary['n_queries']} "
-          f"completed, {summary['n_spilled']} spilled")
+    _merge_artifact(out_path, "spill_correctness", summary)
+    print(f"wrote {out_path} [spill_correctness]: "
+          f"{summary['n_completed']}/{summary['n_queries']} completed, "
+          f"{summary['n_spilled']} spilled, "
+          f"{summary['n_hash_match']} hash-identical")
 
 
 if __name__ == "__main__":

@@ -10,33 +10,42 @@ which attempt of the same partition wins.
 
 Mechanism — three parts:
 
-* **A real multi-executor master.** Speculation is dead code in local
-  mode: ``TaskSchedulerImpl.start()`` only schedules the speculation
-  checker when ``!isLocal`` (apache/spark, core/.../TaskSchedulerImpl
-  .scala). So the rehearsal runs on ``local-cluster[2,4,2048]`` — 2
-  separate executor JVM processes x 4 cores, the smallest topology
-  where a speculative copy can land on another executor.
+* **A real multi-HOST cluster.** Speculation needs more than a
+  non-local master: the scheduler refuses to place a speculative copy
+  on a host that already runs an attempt of the task
+  (TaskSetManager.dequeueTaskHelper's ``!hasAttemptOnHost`` guard), so
+  ``local-cluster[2,...]`` — two executors, ONE host — marks tasks
+  speculatable and then never launches a copy (observed: "Marking task
+  0 ... as speculatable" with zero speculative TaskStarts). The tool
+  therefore launches a REAL standalone master plus two workers pinned
+  to distinct loopback hostnames (SPARK_LOCAL_HOSTNAME=127.0.0.2 /
+  127.0.0.3 — the whole 127/8 block is the loopback interface on
+  Linux), giving the scheduler a genuinely different "host" to place
+  duplicates on. Workers launched via raw ``java`` need
+  SPARK_SCALA_VERSION set explicitly (normally load-spark-env.sh's
+  job; without it executor launch dies with "Cannot find any build
+  directories").
 * **Injected stragglers.** The same monkeypatch surfaces as the retry
   harness (mapInPandas / grouped & cogrouped applyInPandas for Python
   families, a scan-identity wrap for JVM queries), but the guard
   SLEEPS instead of raising: attempt 0 of every third partition sleeps
-  ``SLEEP_SEC`` while its siblings finish in milliseconds, making the
-  task speculatable (runtime >> multiplier x median). The speculative
-  duplicate runs the guard with ``attemptNumber() > 0``, skips the
-  sleep, finishes first, and wins the commit race; the original is
-  killed mid-sleep ("another attempt succeeded") or completes late and
-  is discarded.
+  ``SLEEP_SEC`` while its siblings finish in well under
+  ``multiplier x median``. The speculative duplicate runs the guard
+  with ``attemptNumber() > 0``, skips the sleep, finishes first and
+  wins the commit; the original is killed mid-sleep ("another attempt
+  succeeded") — the stage completes at speculation latency, not at
+  SLEEP_SEC.
 * **Proof the race actually happened, per query.** Two independent
   counters: (a) an accumulator incremented when the hooked operator
   runs with ``attemptNumber() > 0`` — no task ever FAILS in this
   rehearsal (the guard only sleeps), so attempt>0 can only be a
   speculative duplicate, and Spark applies accumulator updates from
-  the FIRST successful attempt, which here is the duplicate; (b) the
+  the first SUCCESSFUL attempt, which here is the duplicate; (b) the
   JSON event log, where every ``SparkListenerTaskStart``'s Task Info
   carries ``Speculative: true|false`` — counted per job group, along
-  with ``TaskKilled(another attempt succeeded)`` ends. A query whose
-  run produced zero speculative attempts is recorded ok=false
-  (vacuous, same rule as the retry harness).
+  with ``TaskKilled`` ends (the losing attempts). A query whose
+  injected run produced zero speculative attempts is recorded
+  ok=false (vacuous, same rule as the retry harness).
 
 Each query runs twice in the same session — baseline (no stragglers;
 fast uniform tasks don't speculate) and injected — and the
@@ -44,10 +53,12 @@ canonicalized sorted row sets (differential._rows_to_canonical, the
 hash the DuckDB gate uses) must be IDENTICAL.
 
 Usage: python tools/speculation_determinism.py [sf_dir] [out.json]
-Writes SPECULATION_DETERMINISM.json; exits nonzero on any mismatch or
-vacuous run. Run SERIALLY — the straggler sleeps are wall-clock timed
-against their siblings' medians, so a loaded machine skews
-speculatability, never correctness.
+           [--quick]
+Writes SPECULATION_DETERMINISM.json (full 12-query suite; --quick runs
+a 2-query smoke and does NOT overwrite the artifact unless an out path
+is given); exits nonzero on any mismatch or vacuous run. Run SERIALLY —
+stragglers are timed against their siblings' medians, so a loaded
+machine skews speculatability, never correctness.
 """
 
 from __future__ import annotations
@@ -56,6 +67,8 @@ import functools
 import inspect
 import json
 import os
+import shutil
+import subprocess
 import sys
 import time
 from collections import defaultdict
@@ -70,9 +83,12 @@ from tools.retry_determinism import (  # noqa: E402
     _result_hash,
 )
 
-SLEEP_EVERY = 3   # partitions with pid % SLEEP_EVERY == 0 straggle
-SLEEP_SEC = 6.0   # straggler sleep; siblings finish in ~0.1-0.5 s
+SLEEP_EVERY = 3    # partitions with pid % SLEEP_EVERY == 0 straggle
+SLEEP_SEC = 20.0   # straggler sleep; must dwarf multiplier x median
 EVENTLOG_DIR = "/tmp/spark_graft_spec_eventlog"
+MASTER_HOST = "127.0.0.1"
+MASTER_PORT = 7077
+WORKER_HOSTS = ["127.0.0.2", "127.0.0.3"]
 
 _SPEC_ACC = None  # accumulator: hooked-operator runs with attempt > 0
 
@@ -197,12 +213,72 @@ class _Straggler:
         return False
 
 
+class _MiniCluster:
+    """Standalone master + two workers on distinct loopback hostnames,
+    managed as child processes; logs under /tmp/spark_graft_spec_*."""
+
+    def __init__(self):
+        self.procs: list[subprocess.Popen] = []
+
+    def __enter__(self):
+        from pyspark.find_spark_home import _find_spark_home
+
+        spark_home = _find_spark_home()
+        cp = f"{spark_home}/jars/*"
+        java = os.path.join(os.environ.get("JAVA_HOME", "/usr"), "bin", "java")
+        base = dict(os.environ)
+        base["SPARK_HOME"] = spark_home
+        # executors inherit the WORKER's environment: the repo must be
+        # importable (module-refs in pickled functions) and the scala
+        # version must be known to the executor command builder
+        base["PYTHONPATH"] = os.environ.get("PYTHONPATH", "")
+        base["PYSPARK_PYTHON"] = sys.executable
+        base.setdefault("SPARK_SCALA_VERSION", "2.13")
+
+        def launch(args, env, log):
+            fh = open(log, "w")
+            p = subprocess.Popen(args, env=env, stdout=fh,
+                                 stderr=subprocess.STDOUT)
+            self.procs.append(p)
+
+        menv = dict(base)
+        menv["SPARK_LOCAL_HOSTNAME"] = MASTER_HOST
+        launch([java, "-cp", cp, "-Xmx512m",
+                "org.apache.spark.deploy.master.Master",
+                "--host", MASTER_HOST, "--port", str(MASTER_PORT),
+                "--webui-port", "0"],
+               menv, "/tmp/spark_graft_spec_master.log")
+        time.sleep(4)
+        for i, host in enumerate(WORKER_HOSTS):
+            wenv = dict(base)
+            wenv["SPARK_LOCAL_HOSTNAME"] = host
+            launch([java, "-cp", cp, "-Xmx512m",
+                    "org.apache.spark.deploy.worker.Worker",
+                    "--host", host, "--cores", "4", "--memory", "3g",
+                    "--webui-port", "0",
+                    f"spark://{MASTER_HOST}:{MASTER_PORT}"],
+                   wenv, f"/tmp/spark_graft_spec_worker{i}.log")
+        time.sleep(5)
+        return f"spark://{MASTER_HOST}:{MASTER_PORT}"
+
+    def __exit__(self, *exc):
+        for p in self.procs:
+            p.terminate()
+        deadline = time.time() + 10
+        for p in self.procs:
+            try:
+                p.wait(timeout=max(0.1, deadline - time.time()))
+            except subprocess.TimeoutExpired:
+                p.kill()
+        return False
+
+
 def _parse_speculation_eventlog(log_dir: str) -> dict[str, dict]:
-    """Per-job-group speculative TaskStart / killed-duplicate counts.
-    Same rolling-file layout handling as tools/bench_mempressure.py,
-    numeric part-file order included."""
+    """Per-job-group speculative TaskStart / killed-attempt counts.
+    Rolling part files ordered by their NUMERIC index (events_10_*
+    after events_9_*)."""
     agg: dict[str, dict] = defaultdict(
-        lambda: {"speculative_started": 0, "killed_duplicates": 0, "n_tasks": 0}
+        lambda: {"speculative_started": 0, "killed_attempts": 0, "n_tasks": 0}
     )
 
     def _idx(p: Path) -> tuple:
@@ -250,131 +326,173 @@ def _parse_speculation_eventlog(log_dir: str) -> dict[str, dict]:
                         group = stage_to_group.get(ev.get("Stage ID"))
                         reason = ev.get("Task End Reason") or {}
                         if group and reason.get("Reason") == "TaskKilled":
-                            agg[group]["killed_duplicates"] += 1
+                            agg[group]["killed_attempts"] += 1
     return dict(agg)
 
 
 def main() -> None:
     argv = [a for a in sys.argv[1:] if not a.startswith("--")]
+    quick = "--quick" in sys.argv
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
-    out_path = Path(argv[1]) if len(argv) > 1 else (
-        REPO / "SPECULATION_DETERMINISM.json")
+    out_path = (
+        Path(argv[1]) if len(argv) > 1
+        else (None if quick else REPO / "SPECULATION_DETERMINISM.json")
+    )
 
-    # local-cluster executors are SEPARATE JVM processes whose Python
-    # workers inherit os.environ, not this process' sys.path — the repo
-    # root must be on PYTHONPATH for workers to unpickle module-level
-    # functions (etl_process_spark.*) by reference.
+    # workers/executors are separate processes whose Python workers
+    # inherit os.environ, not this process' sys.path
     existing = os.environ.get("PYTHONPATH", "")
     if str(REPO) not in existing.split(os.pathsep):
         os.environ["PYTHONPATH"] = str(REPO) + (
             os.pathsep + existing if existing else "")
     os.environ.setdefault("PYSPARK_PYTHON", sys.executable)
 
-    import shutil
-
     shutil.rmtree(EVENTLOG_DIR, ignore_errors=True)
     os.makedirs(EVENTLOG_DIR, exist_ok=True)
 
     from etl_process_spark.session import get_spark
 
-    spark = get_spark(
-        "speculation_determinism",
-        master="local-cluster[2,4,2048]",
-        extra_conf={
-            "spark.executor.memory": "2g",
-            "spark.sql.shuffle.partitions": "8",
-            "spark.speculation": "true",
-            # check often; speculate once 30% of a stage's tasks are
-            # done (the default 0.75 would never trigger: 3 of 8
-            # partitions straggle, so only 5/8 = 0.625 finish fast)
-            "spark.speculation.interval": "100ms",
-            "spark.speculation.quantile": "0.3",
-            "spark.speculation.multiplier": "1.5",
-            # single-task stages can't form a median; duration
-            # threshold lets their stragglers speculate too
-            "spark.speculation.task.duration.threshold": "4s",
-            "spark.eventLog.enabled": "true",
-            "spark.eventLog.dir": f"file://{EVENTLOG_DIR}",
-            "spark.eventLog.compress": "false",
-        },
-    )
-    global _SPEC_ACC
-    _SPEC_ACC = spark.sparkContext.accumulator(0)
-
-    plan = [(q, False) for q in PYTHON_FAMILIES] + [
-        (q, True) for q in JVM_QUERIES
-    ]
+    if quick:
+        plan = [(PYTHON_FAMILIES[0], False), (JVM_QUERIES[0], True)]
+    else:
+        plan = [(q, False) for q in PYTHON_FAMILIES] + [
+            (q, True) for q in JVM_QUERIES
+        ]
 
     results: dict[str, dict] = {}
     failures = 0
-    sc = spark.sparkContext
-    for name, wrap_scans in plan:
-        sc.setLocalProperty("spark.jobGroup.id", f"base::{name}")
-        base_hash, base_rows = _result_hash(spark, sf_dir, name)
+    with _MiniCluster() as master_url:
+        spark = get_spark(
+            "speculation_determinism",
+            master=master_url,
+            extra_conf={
+                "spark.driver.host": MASTER_HOST,
+                "spark.executor.memory": "2g",
+                "spark.executor.cores": "4",
+                "spark.cores.max": "8",
+                "spark.sql.shuffle.partitions": "8",
+                "spark.locality.wait": "0s",
+                "spark.speculation": "true",
+                # check often; speculate once 20% of a stage's tasks
+                # are done (the default 0.75 can never be reached when
+                # 1/3 of the partitions straggle)
+                "spark.speculation.interval": "100ms",
+                "spark.speculation.quantile": "0.2",
+                "spark.speculation.multiplier": "1.5",
+                # single-task stages (tiny sf0.01 scans, global merges)
+                # have no sibling median to compare against — the
+                # duration threshold lets their stragglers speculate
+                # too (applies to stages with <= one executor's slots)
+                "spark.speculation.task.duration.threshold": "5s",
+                "spark.eventLog.enabled": "true",
+                "spark.eventLog.dir": f"file://{EVENTLOG_DIR}",
+                "spark.eventLog.compress": "false",
+            },
+        )
+        global _SPEC_ACC
+        _SPEC_ACC = spark.sparkContext.accumulator(0)
+        sc = spark.sparkContext
 
-        def _speculated(wrap_sql: bool) -> dict:
-            before = _SPEC_ACC.value
-            sc.setLocalProperty("spark.jobGroup.id", f"spec::{name}")
+        for name, wrap_scans in plan:
+            sc.setLocalProperty("spark.jobGroup.id", f"base::{name}")
             try:
-                with _Straggler(wrap_scans=wrap_scans, wrap_sql=wrap_sql):
-                    spec_hash, spec_rows = _result_hash(spark, sf_dir, name)
+                base_hash, base_rows = _result_hash(spark, sf_dir, name)
+            except Exception as exc:  # noqa: BLE001
+                results[name] = {
+                    "ok": False,
+                    "error": f"baseline: {type(exc).__name__}: {exc}"[:300],
+                }
+                failures += 1
+                continue
             finally:
                 sc.setLocalProperty("spark.jobGroup.id", None)
-            speculated = _SPEC_ACC.value - before
-            label = "sql" if wrap_sql else (
-                "scan" if wrap_scans else "python_stage")
-            return {
-                "ok": spec_hash == base_hash and speculated > 0,
-                "rows": base_rows,
-                "rows_speculated": spec_rows,
-                "hash": base_hash,
-                "hash_speculated": spec_hash,
-                "speculative_attempts_at_operator": speculated,
-                "injection": label,
-            }
 
-        try:
-            res = _speculated(wrap_sql=False)
-            if res["speculative_attempts_at_operator"] == 0 and wrap_scans:
-                # builder reads via SQL path-table syntax (bypasses
-                # DataFrameReader.parquet) — straggle the final stage
-                res = _speculated(wrap_sql=True)
-            ok = res["ok"]
-        except Exception as exc:  # noqa: BLE001 — record, keep going
-            ok = False
-            res = {"ok": False,
-                   "error": f"{type(exc).__name__}: {exc}"[:300],
-                   "injection": "scan" if wrap_scans else "python_stage"}
-        finally:
-            sc.setLocalProperty("spark.jobGroup.id", None)
-        failures += 0 if ok else 1
-        results[name] = res
-        print(json.dumps({"query": name, **res}), flush=True)
+            def _speculated(wrap_sql: bool) -> dict:
+                before = _SPEC_ACC.value
+                sc.setLocalProperty("spark.jobGroup.id", f"spec::{name}")
+                try:
+                    with _Straggler(wrap_scans=wrap_scans, wrap_sql=wrap_sql):
+                        spec_hash, spec_rows = _result_hash(spark, sf_dir, name)
+                finally:
+                    sc.setLocalProperty("spark.jobGroup.id", None)
+                speculated = _SPEC_ACC.value - before
+                label = "sql" if wrap_sql else (
+                    "scan" if wrap_scans else "python_stage")
+                return {
+                    # provisional: finalized after the event log is
+                    # parsed (a speculative duplicate that LOST the
+                    # commit race to its original still proves the race
+                    # ran — it just never updates the accumulator,
+                    # whose adds only survive from winning attempts)
+                    "ok": spec_hash == base_hash and speculated > 0,
+                    "hash_match": spec_hash == base_hash,
+                    "rows": base_rows,
+                    "rows_speculated": spec_rows,
+                    "hash": base_hash,
+                    "hash_speculated": spec_hash,
+                    "speculative_attempts_at_operator": speculated,
+                    "injection": label,
+                }
 
-    spark.stop()  # flush the event log before parsing
+            try:
+                res = _speculated(wrap_sql=False)
+                if res["speculative_attempts_at_operator"] == 0 and wrap_scans:
+                    # builder reads via SQL path-table syntax (bypasses
+                    # DataFrameReader.parquet) — straggle the final stage
+                    res = _speculated(wrap_sql=True)
+                ok = res["ok"]
+            except Exception as exc:  # noqa: BLE001 — record, keep going
+                ok = False
+                res = {"ok": False,
+                       "error": f"{type(exc).__name__}: {exc}"[:300],
+                       "injection": "scan" if wrap_scans else "python_stage"}
+            failures += 0 if ok else 1
+            results[name] = res
+            print(json.dumps({"query": name, **res}), flush=True)
+
+        spark.stop()  # flush the event log before parsing
+
     spec_log = _parse_speculation_eventlog(EVENTLOG_DIR)
     for name, res in results.items():
         m = spec_log.get(f"spec::{name}")
         if m:
             res["eventlog"] = m
+        # finalize: speculation is proven by EITHER counter — the
+        # accumulator (duplicate ran the hooked operator AND won) or
+        # the event log's speculative TaskStarts (a duplicate was
+        # launched and raced, even if the original won). hash equality
+        # is non-negotiable either way.
+        if not res.get("ok") and res.get("hash_match"):
+            if (m or {}).get("speculative_started", 0) > 0:
+                res["ok"] = True
+    failures = sum(1 for r in results.values() if not r.get("ok"))
 
     summary = {
         "n_queries": len(results),
         "n_ok": len(results) - failures,
         "sleep_every": SLEEP_EVERY,
         "sleep_sec": SLEEP_SEC,
-        "master": "local-cluster[2,4,2048]",
+        "topology": (f"standalone master {MASTER_HOST}:{MASTER_PORT} + "
+                     f"workers on {WORKER_HOSTS} (distinct loopback "
+                     "hostnames so speculative copies can cross 'hosts')"),
         "sf_dir": sf_dir,
-        "note": ("ok requires hash_speculated == hash AND proven "
-                 "speculative attempts (>0) at the hooked operator; "
-                 "eventlog counts are the independent cross-check "
-                 "(TaskStart Speculative=true / TaskKilled duplicate "
-                 "ends per injected job group)."),
+        "mode": "quick" if quick else "suite",
+        "note": ("ok requires hash_speculated == hash AND a proven "
+                 "speculative race: either the accumulator (>0 means a "
+                 "duplicate ran the hooked operator and WON — no task "
+                 "ever fails here, so attempt>0 is speculation by "
+                 "construction) or the event log's speculative "
+                 "TaskStarts (a duplicate launched and raced even if "
+                 "the original won). killed_attempts counts the losing "
+                 "side of each race."),
         "results": results,
     }
-    out_path.write_text(json.dumps(summary, indent=1) + "\n")
-    print(f"wrote {out_path}: {summary['n_ok']}/{summary['n_queries']} ok",
-          flush=True)
+    if out_path is not None:
+        out_path.write_text(json.dumps(summary, indent=1) + "\n")
+        print(f"wrote {out_path}: {summary['n_ok']}/{summary['n_queries']} ok",
+              flush=True)
+    else:
+        print(json.dumps(summary), flush=True)
     sys.exit(1 if failures else 0)
 
 
