@@ -34,6 +34,7 @@ Writes CORRECTNESS_100X.json. Run SERIALLY; the DuckDB side is given
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -60,11 +61,15 @@ FAMILY = [
 EXCLUDED: dict[str, str] = {}
 
 DUCKDB_PRAGMAS = [
-    # 48GB, not "most of the box": the oracle shares the machine with a
-    # ~48g Spark JVM, and an 80GB cap got the python process
-    # kernel-OOM-killed at 77GB RSS mid-oracle. The spill directory
-    # keeps the per-frame DCT rebuild out-of-core at 48GB.
-    "SET memory_limit='48GB'",
+    # Default 48GB, not "most of the box": the oracle shares the
+    # machine with a ~48g Spark JVM, and an 80GB cap once got the
+    # python process kernel-OOM-killed at 77GB RSS mid-oracle. The
+    # spill directory keeps the per-frame DCT rebuild out-of-core.
+    # SPARK_GRAFT_ORACLE_MEM overrides the cap: when the DISK is the
+    # binding constraint instead (the 500k-image oracle's spill once
+    # outran /tmp's free space), a bigger in-memory share is the only
+    # lever — raise it only while the Spark side is idle/small.
+    f"SET memory_limit='{os.environ.get('SPARK_GRAFT_ORACLE_MEM', '48GB')}'",
     "SET temp_directory='/tmp/duckdb_spill_100x'",
 ]
 
