@@ -82,6 +82,11 @@ def main() -> None:
         else Path(__file__).resolve().parent.parent / "CORRECTNESS_100X.json"
     )
     resume = "--resume" in sys.argv
+    # stale temp storage from a killed prior run corrupts later oracle
+    # spills (see run_differential_10x.py) — start clean
+    import shutil
+
+    shutil.rmtree("/tmp/duckdb_spill_100x", ignore_errors=True)
     spark = get_spark("differential_100x")
     counts = build_big_corpus(spark, BIG_DIR, 100)
     out: dict[str, dict] = {}

@@ -35,6 +35,7 @@ all-pairs Jaccard verify) OOM at 50k docs instead of going out-of-core.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -86,6 +87,24 @@ def main() -> None:
     subset = positional[1:]
     resume = "--resume" in sys.argv
     scope = [q for q in sorted(QUERIES) if q not in EXCLUDED]
+    # Modest driver heap BY DEFAULT: this box enforces a ~66GB commit
+    # limit (/proc/meminfo CommitLimit), and a machine-sized 48g JVM
+    # next to the 24-56GB oracle caps pushed a full 204-query run over
+    # it mid-battery — DuckDB then dies with malloc-level "Failed to
+    # allocate block (bad allocation)" cascades that look like oracle
+    # OOMs but are really commit exhaustion (observed round 9: 128
+    # failures from one run, all green again at 12g). The Spark side of
+    # every query is proven fine far below 12g by BENCH_MEMPRESSURE.
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "12g")
+    # A previous kernel-OOM-killed run leaves half-written
+    # duckdb_temp_storage files in the shared spill dir, and a later
+    # connection reusing the path dies READING them ("Could not read
+    # enough bytes from file ... duckdb_temp_storage-0.tmp") — start
+    # from a clean spill dir. (Runs are serial by discipline, so
+    # clearing it can't race another oracle.)
+    import shutil
+
+    shutil.rmtree("/tmp/duckdb_spill_10x", ignore_errors=True)
     spark = get_spark("differential_10x")
     counts = build_scaled_corpus(spark, OUT_DIR, 10)
     out: dict[str, dict] = {}
