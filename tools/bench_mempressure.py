@@ -288,16 +288,32 @@ def main() -> None:
     def spill_session():
         # master pinned to local[32]: get_spark's memory-proportional
         # thread cap would shrink concurrency and relieve the very
-        # pressure this mode exists to create. The shrunken
-        # spark.memory.fraction moves the squeeze INTO the unified
-        # execution pool, where the operators' spill paths live —
-        # object headroom stays outside it, so tasks spill instead of
-        # the JVM dying.
+        # pressure this mode exists to create. Two pressure sources
+        # compose:
+        # * a shrunken spark.memory.fraction squeezes the unified
+        #   execution pool (object headroom stays outside it, so tasks
+        #   spill instead of the JVM dying);
+        # * element-count force-spill thresholds make every external
+        #   sorter / aggregation map / SMJ+window buffer take its REAL
+        #   spill-and-merge path after 3k rows regardless of pool
+        #   headroom. This matters because the battery's working sets
+        #   are partition-bounded BY DESIGN — at the 10x corpus most
+        #   queries fit a 7MB/task pool without spilling (measured:
+        #   fraction 0.04 produced 1 spill and 1 OOM death, pure
+        #   squeeze cannot separate 'never needs to spill here' from
+        #   'spill path works') — while at 100TB the same operators
+        #   WILL spill, so the spill path itself is what needs the
+        #   correctness proof.
         return get_spark(
             "bench_mempressure_spill",
             master="local[32]",
             extra_conf={
                 "spark.memory.fraction": args.memory_fraction,
+                "spark.shuffle.spill.numElementsForceSpillThreshold": "3000",
+                "spark.sql.sortMergeJoinExec.buffer.spill.threshold": "3000",
+                "spark.sql.windowExec.buffer.spill.threshold": "3000",
+                "spark.sql.cartesianProductExec.buffer.spill.threshold":
+                    "3000",
                 "spark.eventLog.enabled": "true",
                 "spark.eventLog.dir": f"file://{EVENTLOG_DIR}",
                 "spark.eventLog.compress": "false",
