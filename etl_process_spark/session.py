@@ -57,9 +57,49 @@ def _broadcast_threshold(driver_mem: str) -> int:
     return max(4 * 1024 * 1024, min(64 * 1024 * 1024, heap // 256))
 
 
+def _install_ckpt_replication() -> None:
+    """Executor-loss resilience for the iterative operators.
+
+    The engine's iterative loops (graph CC/BFS/label-prop, delta BPE,
+    k-means) truncate lineage with ``localCheckpoint`` — the right
+    speed choice, but local checkpoint blocks live on ONE executor
+    with no lineage to rebuild from, so losing that executor aborts
+    the query (Spark's documented localCheckpoint trade-off; the
+    orchestrator-level answer is a deterministic job retry, proven in
+    EXECUTORLOSS_DETERMINISM.json). For clusters where in-flight
+    survival matters more than the replication write cost,
+    ``SPARK_GRAFT_CHECKPOINT_REPLICAS=2`` switches every
+    ``localCheckpoint`` call that doesn't name its own storage level
+    to ``MEMORY_AND_DISK_2`` — each block gets a second replica on
+    another executor, so one lost worker leaves every block readable
+    and recovery is ordinary stage resubmission.
+
+    Installed as a default-argument wrapper on the classic DataFrame
+    (the env var is read per CALL, so one process can rehearse both
+    modes); with the variable unset the wrapper is a pass-through.
+    """
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    if getattr(DataFrame, "_graft_ckpt_wrapped", False):
+        return
+    orig = DataFrame.localCheckpoint
+
+    def localCheckpoint(self, eager: bool = True, storageLevel=None):
+        if (storageLevel is None
+                and os.environ.get("SPARK_GRAFT_CHECKPOINT_REPLICAS") == "2"):
+            from pyspark.storagelevel import StorageLevel
+
+            storageLevel = StorageLevel.MEMORY_AND_DISK_2
+        return orig(self, eager, storageLevel)
+
+    DataFrame.localCheckpoint = localCheckpoint
+    DataFrame._graft_ckpt_wrapped = True
+
+
 def get_spark(app_name: str = "etl_process_spark", master: str | None = None,
               extra_conf: dict[str, str] | None = None) -> SparkSession:
     """Return (create if needed) the engine's SparkSession."""
+    _install_ckpt_replication()
     # transformWithStateInPandas workers import google.protobuf; this
     # container has none, so activate the vendored mini-runtime. Must
     # happen BEFORE the JVM starts: workers inherit PYTHONPATH through
@@ -67,15 +107,30 @@ def get_spark(app_name: str = "etl_process_spark", master: str | None = None,
     from etl_process_spark.vendor import ensure_protobuf
 
     ensure_protobuf()
-    # Defensive parse: a non-integer SPARK_GRAFT_CPUS (e.g. "*") is
-    # passed through to local[...] as before instead of crashing every
-    # entry point at session creation; the memory-proportional thread
-    # cap below only applies when the value is a plain integer.
+    # Defensive parse: a non-integer SPARK_GRAFT_CPUS must not crash
+    # every entry point at session creation. "*" (Spark's own
+    # all-cores spelling) resolves to the machine's core count so the
+    # memory-proportional thread cap below STILL applies — otherwise
+    # '*' with a small SPARK_GRAFT_DRIVER_MEM would silently run
+    # full-width on an undersized heap, reintroducing the task-OOM
+    # mode the cap exists to prevent. Any other non-integer passes
+    # through to local[...] with a loud warning that the cap is off.
     cpus_raw = os.environ.get("SPARK_GRAFT_CPUS", "32")
     try:
         cpus = int(cpus_raw)
     except ValueError:
-        cpus = None
+        if cpus_raw.strip() == "*":
+            cpus = os.cpu_count() or 1
+        else:
+            cpus = None
+            import warnings
+
+            warnings.warn(
+                f"SPARK_GRAFT_CPUS={cpus_raw!r} is not an integer: the "
+                "memory-proportional thread cap is DISABLED for this "
+                "session — an undersized heap may OOM at full width",
+                stacklevel=2,
+            )
     driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM") or _default_driver_mem()
     # Memory-proportional parallelism: a local JVM running N concurrent
     # tasks divides ONE heap N ways, so an undersized heap with full

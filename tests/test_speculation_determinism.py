@@ -46,10 +46,14 @@ def test_speculation_determinism_quick_subprocess():
         f"speculation-determinism failures: {json.dumps(bad, indent=1)}\n"
         f"stderr tail: {proc.stderr[-2000:]}"
     )
-    # both injection surfaces exercised, and every query must show a
-    # PROVEN speculative race from at least one counter
+    # both injection surfaces exercised: one Python-stage query plus one
+    # JVM-side query. The JVM query's surface may legitimately be the
+    # sql-result wrap — the harness falls back to it when the scan wrap
+    # produces zero speculative attempts (SQL path-table reads bypass
+    # DataFrameReader.parquet) — so accept either JVM injection kind;
+    # the raced/hash assertions below stay the hard gate.
     kinds = {r["injection"] for r in summary["results"].values()}
-    assert kinds == {"python_stage", "scan"}
+    assert "python_stage" in kinds and kinds & {"scan", "sql"}, kinds
     for q, r in summary["results"].items():
         raced = (
             r.get("speculative_attempts_at_operator", 0) > 0
