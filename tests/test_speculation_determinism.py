@@ -60,3 +60,28 @@ def test_speculation_determinism_quick_subprocess():
             or (r.get("eventlog") or {}).get("speculative_started", 0) > 0
         )
         assert raced, f"{q}: no speculative attempt was ever launched"
+
+
+def test_suite_covers_every_python_stage_family(spark):
+    """Every injection family observed ANYWHERE in the corpus must have
+    at least one member in the 12-query rehearsal suite — a corpus
+    addition that introduces a new Python-stage surface (e.g. grouped
+    applyInPandas) must fail here instead of silently inheriting the
+    suite's determinism claims."""
+    from tools.family_census import corpus_census, query_families
+    from tools.retry_determinism import JVM_QUERIES, PYTHON_FAMILIES
+
+    sf_small = "/root/testdata/sf0.001"
+    census = corpus_census(spark, sf_small)
+    suite = PYTHON_FAMILIES + JVM_QUERIES
+    suite_fams = {
+        f for fams in query_families(spark, sf_small, suite).values()
+        for f in fams
+    }
+    uncovered = set(census["universe"]) - suite_fams
+    assert not uncovered, (
+        f"corpus uses Python-stage families with NO rehearsal-suite "
+        f"member: {sorted(uncovered)} — extend PYTHON_FAMILIES in "
+        "tools/retry_determinism.py and refresh the speculation and "
+        "executor-loss artifacts"
+    )

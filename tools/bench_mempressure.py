@@ -14,27 +14,42 @@ two complementary modes writing two SECTIONS of one artifact:
   the "survives an undersized executor" claim.
 * **--spill mode**: the thread cap is deliberately BYPASSED (master
   pinned to local[32]) and ``spark.memory.fraction`` shrunk (default
-  0.10), so 32 concurrent tasks share a ~0.5GB execution pool and the
+  0.10), so 32 concurrent tasks share a squeezed execution pool and the
   sort/agg-heavy queries are FORCED through their spill paths — and
-  every result must be hash-identical to an unpressured baseline run
-  in the same process. This is the "spilled data is the SAME data"
-  claim: completion alone (complete mode relieved pressure so well
-  that only 1/10 queries spilled) proves survival, not spill-path
-  correctness.
+  every result must be hash-identical to an unpressured baseline run.
+  This is the "spilled data is the SAME data" claim: completion alone
+  (complete mode relieved pressure so well that only 1/10 queries
+  spilled) proves survival, not spill-path correctness.
+
+v3 (per round-9 ADVICE): each battery runs in its OWN SUBPROCESS.
+``spark.driver.memory`` only takes effect at the first JVM launch in a
+process, so the v2 layout — baseline first, spill second, one process —
+silently gave the spill session the baseline's machine-sized heap; the
+<16g guard and the recorded driver_mem described a run that never
+happened. Now the spill child is its own process with its own small
+JVM, and every battery records the heap it ACTUALLY ran with
+(Runtime.getRuntime().maxMemory()) instead of echoing an env var.
+
+v3 also chases the spill HOLDOUTS: queries whose per-task working sets
+at sf0.1 stay under even the 3000-element force-spill thresholds
+(documents: ~1.5k rows/task at 32 partitions) are re-run at the 10x
+replica corpus (~15k rows/task), where the same operators MUST cross
+the thresholds — each holdout either spills there (with the same
+hash-equality gate) or is recorded with its measured peak task memory
+as genuinely unable to spill at the rehearsal corpus.
 
 Metrics plumbing: a Python SparkListener needs a py4j callback server;
-instead the session writes a JSON event log (spark.eventLog), each
-query runs inside its own job group, and the log is parsed after
-spark.stop(): JobStart events map job-group -> stage ids, TaskEnd
-events carry per-task 'Memory Bytes Spilled' / 'Disk Bytes Spilled'.
+instead each battery writes a JSON event log (spark.eventLog), each
+query runs inside its own job group, and the child parses the log
+after spark.stop(): JobStart events map job-group -> stage ids,
+TaskEnd events carry per-task 'Memory Bytes Spilled' / 'Disk Bytes
+Spilled'.
 
 Usage: SPARK_GRAFT_DRIVER_MEM=4g python tools/bench_mempressure.py
            [--sf-dir DIR] [--out BENCH_MEMPRESSURE.json]
        SPARK_GRAFT_DRIVER_MEM=6g python tools/bench_mempressure.py \
            --spill [--memory-fraction 0.10] [--sf-dir DIR]
-Run SERIALLY (one JVM, timings embedded). The driver-mem override is
-read by session.get_spark; each mode refuses to run with a heap big
-enough to make its artifact an unpressured no-op.
+Run SERIALLY (timings embedded; batteries are sequential subprocesses).
 """
 
 from __future__ import annotations
@@ -42,16 +57,19 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import shutil
+import subprocess
 import sys
+import tempfile
 import time
 from collections import defaultdict
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-from tools.bench_scale import HEAVY  # noqa: E402
+from tools.bench_scale import HEAVY, OUT_DIR as SCALE10_DIR  # noqa: E402
 
-EVENTLOG_DIR = "/tmp/spark_graft_eventlog"
+EVENTLOG_BASE = "/tmp/spark_graft_eventlog"
 
 
 def _apps(log_dir: str) -> list[list[Path]]:
@@ -140,16 +158,26 @@ def _context_dead(s) -> bool:
         return True
 
 
-def _run_battery(spark_factory, sf_dir: str, hash_results: bool):
-    """Run HEAVY under the given session factory; returns (results,
-    last_session). Each query gets its own job group for the event-log
-    parser; with hash_results the canonical row-set hash is recorded."""
+def _jvm_max_heap(s) -> int | None:
+    try:
+        return int(s.sparkContext._jvm.java.lang.Runtime.getRuntime()
+                   .maxMemory())
+    except Exception:  # noqa: BLE001
+        return None
+
+
+def _run_battery(spark_factory, sf_dir: str, hash_results: bool, names):
+    """Run `names` under the given session factory; returns (results,
+    jvm_max_heap, last_session). Each query gets its own job group for
+    the event-log parser; with hash_results the canonical row-set hash
+    is recorded."""
     from etl_process_spark.queries import QUERIES
     from tools.retry_determinism import _result_hash
 
     spark = spark_factory()
+    heap = _jvm_max_heap(spark)
     results: dict[str, dict] = {}
-    for name in HEAVY:
+    for name in names:
         if _context_dead(spark):
             # a previous query OOM-killed the whole context (that IS
             # its recorded result) — rebuild so the rest of the battery
@@ -183,12 +211,12 @@ def _run_battery(spark_factory, sf_dir: str, hash_results: bool):
         finally:
             sc.setLocalProperty("spark.jobGroup.id", None)
         print(f"{name}: {results[name]}", flush=True)
-    return results, spark
+    return results, heap, spark
 
 
 def _merge_artifact(out_path: Path, section: str, payload: dict) -> None:
-    """Write `section` into the two-section artifact, preserving the
-    other section (and migrating the pre-v2 flat schema)."""
+    """Write `section` into the multi-section artifact, preserving the
+    other sections (and migrating the pre-v2 flat schema)."""
     doc: dict = {}
     if out_path.exists():
         try:
@@ -201,6 +229,138 @@ def _merge_artifact(out_path: Path, section: str, payload: dict) -> None:
     out_path.write_text(json.dumps(doc, indent=1) + "\n")
 
 
+# ---------------------------------------------------------------------
+# child process: one battery, one JVM, one event log
+# ---------------------------------------------------------------------
+
+def _battery_child(args) -> None:
+    eventlog_dir = args.eventlog_dir
+    shutil.rmtree(eventlog_dir, ignore_errors=True)
+    os.makedirs(eventlog_dir, exist_ok=True)
+
+    from etl_process_spark.session import get_spark
+
+    base_conf = {
+        "spark.eventLog.enabled": "true",
+        "spark.eventLog.dir": f"file://{eventlog_dir}",
+        "spark.eventLog.compress": "false",
+    }
+
+    if args.session == "spill":
+        def factory():
+            # master pinned to local[32]: get_spark's memory-
+            # proportional thread cap would shrink concurrency and
+            # relieve the very pressure this mode exists to create.
+            # Two pressure sources compose:
+            # * a shrunken spark.memory.fraction squeezes the unified
+            #   execution pool (object headroom stays outside it, so
+            #   tasks spill instead of the JVM dying);
+            # * element-count force-spill thresholds make every
+            #   external sorter / aggregation map / SMJ+window buffer
+            #   take its REAL spill-and-merge path after 3k rows
+            #   regardless of pool headroom — partition-bounded working
+            #   sets at the rehearsal corpus often fit the pool, while
+            #   at 100TB the same operators WILL spill, so the spill
+            #   path itself is what needs the correctness proof.
+            return get_spark(
+                "bench_mempressure_spill",
+                master="local[32]",
+                extra_conf={
+                    **base_conf,
+                    "spark.memory.fraction": args.memory_fraction,
+                    "spark.shuffle.spill.numElementsForceSpillThreshold":
+                        "3000",
+                    "spark.sql.sortMergeJoinExec.buffer.spill.threshold":
+                        "3000",
+                    "spark.sql.windowExec.buffer.spill.threshold": "3000",
+                    "spark.sql.cartesianProductExec.buffer.spill.threshold":
+                        "3000",
+                },
+            )
+    elif args.session == "baseline":
+        def factory():
+            # machine-sized heap, engine defaults: the unpressured truth
+            return get_spark("bench_mempressure_baseline",
+                             extra_conf=base_conf)
+    else:  # complete
+        def factory():
+            return get_spark("bench_mempressure", extra_conf=base_conf)
+
+    names = args.queries.split(",") if args.queries else list(HEAVY)
+    results, heap, spark = _run_battery(
+        factory, args.sf_dir, args.hash_results, names)
+    if heap is None:
+        heap = _jvm_max_heap(spark)
+    try:
+        spark.stop()  # flush + close the event log before parsing
+    except Exception:  # noqa: BLE001
+        pass
+    metrics = _parse_eventlog(eventlog_dir)
+    for name, res in results.items():
+        m = metrics.get(name)
+        if m:
+            res.update(m)
+    payload = {
+        "results": results,
+        "jvm_max_heap_bytes": heap,
+        "driver_mem_env": os.environ.get("SPARK_GRAFT_DRIVER_MEM", ""),
+        "session": args.session,
+        "sf_dir": args.sf_dir,
+    }
+    Path(args.result_file).write_text(json.dumps(payload))
+
+
+def _run_child(session: str, sf_dir: str, hash_results: bool,
+               queries: list[str] | None, driver_mem: str | None,
+               memory_fraction: str) -> dict:
+    """Launch one battery in a fresh subprocess (its own JVM, so
+    spark.driver.memory actually applies) and return its payload."""
+    env = dict(os.environ)
+    if driver_mem is None:
+        env.pop("SPARK_GRAFT_DRIVER_MEM", None)
+    else:
+        env["SPARK_GRAFT_DRIVER_MEM"] = driver_mem
+    with tempfile.NamedTemporaryFile("r", suffix=".json",
+                                     delete=False) as fh:
+        result_file = fh.name
+    eventlog_dir = f"{EVENTLOG_BASE}_{session}_{os.getpid()}"
+    cmd = [sys.executable, os.path.abspath(__file__),
+           "--battery", session,
+           "--sf-dir", sf_dir,
+           "--result-file", result_file,
+           "--eventlog-dir", eventlog_dir,
+           "--memory-fraction", memory_fraction]
+    if hash_results:
+        cmd.append("--hash-results")
+    if queries:
+        cmd += ["--queries", ",".join(queries)]
+    print(f"== battery {session} @ {sf_dir} "
+          f"(driver_mem={driver_mem or '<machine-sized>'}"
+          f"{', queries=' + ','.join(queries) if queries else ''}) ==",
+          flush=True)
+    proc = subprocess.run(cmd, env=env)
+    if proc.returncode != 0:
+        raise RuntimeError(f"battery {session} exited {proc.returncode}")
+    payload = json.loads(Path(result_file).read_text())
+    os.unlink(result_file)
+    return payload
+
+
+def _spilled(res: dict) -> bool:
+    return (res.get("memoryBytesSpilled", 0)
+            + res.get("diskBytesSpilled", 0)) > 0
+
+
+def _hash_compare(pressured: dict, baseline: dict) -> None:
+    for name, res in pressured.items():
+        b = baseline.get(name, {})
+        res["hash_baseline"] = b.get("hash")
+        res["hash_match"] = (
+            res.get("completed", False) and b.get("completed", False)
+            and res.get("hash") == b.get("hash")
+        )
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
@@ -211,7 +371,21 @@ def main() -> None:
                          "hash equality with an unpressured baseline")
     ap.add_argument("--memory-fraction", default="0.10",
                     help="spark.memory.fraction for --spill mode")
+    # internal (subprocess battery) flags
+    ap.add_argument("--battery", choices=["complete", "baseline", "spill"],
+                    help=argparse.SUPPRESS)
+    ap.add_argument("--result-file", help=argparse.SUPPRESS)
+    ap.add_argument("--eventlog-dir", dest="eventlog_dir",
+                    help=argparse.SUPPRESS)
+    ap.add_argument("--hash-results", dest="hash_results",
+                    action="store_true", help=argparse.SUPPRESS)
+    ap.add_argument("--queries", help=argparse.SUPPRESS)
     args = ap.parse_args()
+
+    if args.battery:
+        args.session = args.battery
+        _battery_child(args)
+        return
 
     driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "")
     gig = driver_mem.rstrip("gG")
@@ -220,49 +394,28 @@ def main() -> None:
         sys.exit(f"set SPARK_GRAFT_DRIVER_MEM to a small heap (< {cap}g) — "
                  "a big-heap run would record no memory pressure")
 
-    import shutil
-
-    shutil.rmtree(EVENTLOG_DIR, ignore_errors=True)
-    os.makedirs(EVENTLOG_DIR, exist_ok=True)
-
-    from etl_process_spark.session import get_spark
-
     out_path = Path(args.out)
 
     if not args.spill:
-        def fresh_session():
-            return get_spark(
-                "bench_mempressure",
-                extra_conf={
-                    "spark.eventLog.enabled": "true",
-                    "spark.eventLog.dir": f"file://{EVENTLOG_DIR}",
-                    "spark.eventLog.compress": "false",
-                },
-            )
-
-        results, spark = _run_battery(fresh_session, args.sf_dir, False)
-        spark.stop()  # flush + close the event log before parsing
-        metrics = _parse_eventlog(EVENTLOG_DIR)
-        for name, res in results.items():
-            m = metrics.get(name)
-            if m:
-                res.update(m)
+        payload = _run_child("complete", args.sf_dir, False, None,
+                             driver_mem, args.memory_fraction)
+        results = payload["results"]
         summary = {
             "driver_mem": driver_mem,
+            "jvm_max_heap_bytes": payload["jvm_max_heap_bytes"],
             "sf_dir": args.sf_dir,
             "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
             "n_queries": len(results),
             "n_completed": sum(
                 1 for r in results.values() if r.get("completed")),
-            "n_spilled": sum(
-                1 for r in results.values()
-                if r.get("memoryBytesSpilled", 0)
-                + r.get("diskBytesSpilled", 0) > 0
-            ),
+            "n_spilled": sum(1 for r in results.values() if _spilled(r)),
             "note": ("spill counters summed over all tasks of the query's "
                      "job group; peakExecutionMemory is the max single-task "
                      "peak. completed=true under a ~10x-undersized heap is "
-                     "the degrade-not-die claim, made measurable."),
+                     "the degrade-not-die claim, made measurable. "
+                     "jvm_max_heap_bytes is Runtime.maxMemory() of the "
+                     "battery's own subprocess JVM — the heap the run "
+                     "ACTUALLY had."),
             "queries": results,
         }
         _merge_artifact(out_path, "complete_under_pressure", summary)
@@ -271,94 +424,80 @@ def main() -> None:
               f"{summary['n_spilled']} spilled")
         return
 
-    # ---- spill mode: baseline hashes at full memory, then a forced-
-    # spill run at full parallelism, hash-compared per query ----
-    def baseline_session():
-        # machine-sized heap, engine defaults: the unpressured truth
-        prev = os.environ.pop("SPARK_GRAFT_DRIVER_MEM")
-        try:
-            return get_spark("bench_mempressure_baseline")
-        finally:
-            os.environ["SPARK_GRAFT_DRIVER_MEM"] = prev
+    # ---- spill mode: pressured and baseline batteries in SEPARATE
+    # subprocesses (own JVMs -> the heaps recorded are the heaps used),
+    # hash-compared per query; holdouts chased at the 10x corpus ----
+    spill = _run_child("spill", args.sf_dir, True, None,
+                       driver_mem, args.memory_fraction)
+    base = _run_child("baseline", args.sf_dir, True, None,
+                      None, args.memory_fraction)
+    results = spill["results"]
+    _hash_compare(results, base["results"])
 
-    print("== baseline (unpressured) hashes ==", flush=True)
-    baseline, spark = _run_battery(baseline_session, args.sf_dir, True)
-    spark.stop()
-
-    def spill_session():
-        # master pinned to local[32]: get_spark's memory-proportional
-        # thread cap would shrink concurrency and relieve the very
-        # pressure this mode exists to create. Two pressure sources
-        # compose:
-        # * a shrunken spark.memory.fraction squeezes the unified
-        #   execution pool (object headroom stays outside it, so tasks
-        #   spill instead of the JVM dying);
-        # * element-count force-spill thresholds make every external
-        #   sorter / aggregation map / SMJ+window buffer take its REAL
-        #   spill-and-merge path after 3k rows regardless of pool
-        #   headroom. This matters because the battery's working sets
-        #   are partition-bounded BY DESIGN — at the 10x corpus most
-        #   queries fit a 7MB/task pool without spilling (measured:
-        #   fraction 0.04 produced 1 spill and 1 OOM death, pure
-        #   squeeze cannot separate 'never needs to spill here' from
-        #   'spill path works') — while at 100TB the same operators
-        #   WILL spill, so the spill path itself is what needs the
-        #   correctness proof.
-        return get_spark(
-            "bench_mempressure_spill",
-            master="local[32]",
-            extra_conf={
-                "spark.memory.fraction": args.memory_fraction,
-                "spark.shuffle.spill.numElementsForceSpillThreshold": "3000",
-                "spark.sql.sortMergeJoinExec.buffer.spill.threshold": "3000",
-                "spark.sql.windowExec.buffer.spill.threshold": "3000",
-                "spark.sql.cartesianProductExec.buffer.spill.threshold":
-                    "3000",
-                "spark.eventLog.enabled": "true",
-                "spark.eventLog.dir": f"file://{EVENTLOG_DIR}",
-                "spark.eventLog.compress": "false",
-            },
-        )
-
-    print("== pressured (forced-spill) run ==", flush=True)
-    results, spark = _run_battery(spill_session, args.sf_dir, True)
-    spark.stop()
-    metrics = _parse_eventlog(EVENTLOG_DIR)
-    for name, res in results.items():
-        m = metrics.get(name)
-        if m:
-            res.update(m)
-        b = baseline.get(name, {})
-        res["hash_baseline"] = b.get("hash")
-        res["hash_match"] = (
-            res.get("completed", False) and b.get("completed", False)
-            and res.get("hash") == b.get("hash")
-        )
+    holdouts = sorted(
+        n for n, r in results.items() if r.get("completed") and not _spilled(r)
+    )
+    holdout_section = None
+    scale10_ready = (Path(SCALE10_DIR) / ".complete_10x").exists()
+    if holdouts and scale10_ready:
+        h_spill = _run_child("spill", SCALE10_DIR, True, holdouts,
+                             driver_mem, args.memory_fraction)
+        h_base = _run_child("baseline", SCALE10_DIR, True, holdouts,
+                            None, args.memory_fraction)
+        h_results = h_spill["results"]
+        _hash_compare(h_results, h_base["results"])
+        holdout_section = {
+            "sf_dir": SCALE10_DIR,
+            "jvm_max_heap_bytes": h_spill["jvm_max_heap_bytes"],
+            "baseline_jvm_max_heap_bytes": h_base["jvm_max_heap_bytes"],
+            "n_queries": len(h_results),
+            "n_spilled": sum(1 for r in h_results.values() if _spilled(r)),
+            "n_hash_match": sum(
+                1 for r in h_results.values() if r.get("hash_match")),
+            "note": ("sf0.1 non-spillers re-run at the 10x replica where "
+                     "per-task working sets cross the 3000-element force-"
+                     "spill thresholds; same hash-equality gate. A query "
+                     "still not spilling here records its peak task memory "
+                     "as the genuinely-too-small working set."),
+            "queries": h_results,
+        }
+    elif holdouts:
+        holdout_section = {
+            "skipped": f"{SCALE10_DIR} not built; run tools/bench_scale.py "
+                       "first to chase holdouts at 10x",
+            "holdouts": holdouts,
+        }
 
     summary = {
         "driver_mem": driver_mem,
+        "jvm_max_heap_bytes": spill["jvm_max_heap_bytes"],
+        "baseline_jvm_max_heap_bytes": base["jvm_max_heap_bytes"],
         "memory_fraction": args.memory_fraction,
         "master": "local[32] (thread cap bypassed by design)",
         "sf_dir": args.sf_dir,
         "n_queries": len(results),
         "n_completed": sum(1 for r in results.values() if r.get("completed")),
-        "n_spilled": sum(
-            1 for r in results.values()
-            if r.get("memoryBytesSpilled", 0) + r.get("diskBytesSpilled", 0) > 0
-        ),
+        "n_spilled": sum(1 for r in results.values() if _spilled(r)),
         "n_hash_match": sum(1 for r in results.values() if r.get("hash_match")),
         "note": ("forced-spill correctness: 32 concurrent tasks share a "
                  "memory.fraction-shrunken execution pool, so sort/agg/"
                  "join operators MUST take their spill paths, and every "
                  "canonical row-set hash must equal the unpressured "
-                 "baseline's — 'the spilled data is the same data'."),
+                 "baseline's — 'the spilled data is the same data'. "
+                 "Batteries run in separate subprocesses so "
+                 "jvm_max_heap_bytes is the heap each JVM actually got."),
         "queries": results,
     }
     _merge_artifact(out_path, "spill_correctness", summary)
+    if holdout_section is not None:
+        _merge_artifact(out_path, "spill_holdouts_10x", holdout_section)
     print(f"wrote {out_path} [spill_correctness]: "
           f"{summary['n_completed']}/{summary['n_queries']} completed, "
           f"{summary['n_spilled']} spilled, "
-          f"{summary['n_hash_match']} hash-identical")
+          f"{summary['n_hash_match']} hash-identical"
+          + (f"; holdouts@10x: {holdout_section.get('n_spilled')}"
+             f"/{holdout_section.get('n_queries')} spilled"
+             if holdout_section and "queries" in holdout_section else ""))
 
 
 if __name__ == "__main__":

@@ -192,6 +192,21 @@ BIG_DIR = "/tmp/spark_graft_scale_big"
 BIG_QUERIES = {"part_bfs_reach": "lineitem", "image_phash_dup_pairs": "documents"}
 BIG_TABLES = ("documents", "lineitem", "part", "embeddings")
 
+# the CORRECTNESS_100X heavy family (tools/run_differential_100x.FAMILY
+# — duplicated here, that module imports this one) with each query's
+# cost-driving table; --family times these at the 10x and Nx corpora
+# and records growth exponents, so the sub-linear claim covers every
+# query the 100x differential proved correct
+FAMILY_100X = {
+    "dedup_exact": "documents",
+    "embedding_topk_cosine": "embeddings",
+    "bm25_search_topk": "documents",
+    "simhash_dup_pairs": "documents",
+    "lsh_candidate_pairs": "documents",
+    "part_bfs_reach": "lineitem",
+    "image_phash_dup_pairs": "documents",
+}
+
 DIGITS = "0123456789"
 
 
@@ -432,6 +447,47 @@ def run_big_tier(spark, out_path: Path, n_big: int) -> None:
     print(f"wrote {out_path}")
 
 
+def run_family_tier(spark, out_path: Path, n_big: int) -> None:
+    """Time the CORRECTNESS_100X heavy family at the 10x replica and the
+    N-x big corpus; record per-query growth exponents into a
+    ``family_100x`` section of BENCH_SCALE.json. The 100x differential
+    proved these queries CORRECT at this scale; this records whether
+    their cost grows like their driver table (e ~ 1.0) or worse."""
+    existing = json.loads(out_path.read_text())
+    counts_big = build_big_corpus(spark, BIG_DIR, n_big)
+    counts_10x = build_scaled_corpus(spark, OUT_DIR, 10)
+    names = list(FAMILY_100X)
+    print(f"== family tier: timing at 10x ({OUT_DIR})", flush=True)
+    t10 = _time_queries(spark, OUT_DIR, names)
+    print(f"== family tier: timing at {n_big}x ({BIG_DIR})", flush=True)
+    tbig = _time_queries(spark, BIG_DIR, names, BIG_TABLES)
+    section: dict = {
+        "replicas_big": n_big,
+        "dirs": {"10x": OUT_DIR, f"{n_big}x": BIG_DIR},
+        "note": ("exp = log(t_big/t_10x)/log(rows_big/rows_10x) on the "
+                 "query's driver table; ~1.0 = linear in its input. "
+                 "Queries here are exactly CORRECTNESS_100X.json's "
+                 "results set — correctness and cost growth now cover "
+                 "the same family."),
+        "queries": {},
+    }
+    for name in names:
+        drv = FAMILY_100X[name]
+        n1, n2 = counts_10x[drv], counts_big[drv]
+        t1, t2 = t10[name], tbig[name]
+        section["queries"][name] = {
+            "driver_table": drv,
+            "sec": {"10x": t1, f"{n_big}x": t2},
+            "driver_rows": {"10x": n1, f"{n_big}x": n2},
+            "exp": round(math.log(t2 / t1) / math.log(n2 / n1), 3),
+        }
+        print(f"{name}: {t1:.2f}s @10x -> {t2:.2f}s @{n_big}x, "
+              f"exp = {section['queries'][name]['exp']}", flush=True)
+    existing["family_100x"] = section
+    out_path.write_text(json.dumps(existing, indent=1) + "\n")
+    print(f"wrote {out_path} [family_100x]")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--replicas", type=int, default=10)
@@ -440,6 +496,10 @@ def main() -> None:
     ap.add_argument("--big-only", action="store_true",
                     help="skip the 10-query battery; extend the existing "
                          "artifact with the --big tier")
+    ap.add_argument("--family", type=int, default=0,
+                    help="time the CORRECTNESS_100X family at 10x + N-x "
+                         "and record growth exponents (family_100x "
+                         "section); skips the main battery")
     ap.add_argument("--out", default=str(
         Path(__file__).resolve().parent.parent / "BENCH_SCALE.json"))
     args = ap.parse_args()
@@ -447,6 +507,9 @@ def main() -> None:
     from etl_process_spark.session import get_spark
 
     spark = get_spark("bench_scale")
+    if args.family:
+        run_family_tier(spark, Path(args.out), args.family)
+        return
     if args.big_only:
         run_big_tier(spark, Path(args.out), args.big or 100)
         return

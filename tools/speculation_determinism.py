@@ -68,7 +68,6 @@ import inspect
 import json
 import os
 import shutil
-import subprocess
 import sys
 import time
 from collections import defaultdict
@@ -82,13 +81,12 @@ from tools.retry_determinism import (  # noqa: E402
     PYTHON_FAMILIES,
     _result_hash,
 )
+from tools.family_census import query_families  # noqa: E402
+from tools.minicluster import MASTER_HOST, MiniCluster, WORKER_HOSTS  # noqa: E402
 
 SLEEP_EVERY = 3    # partitions with pid % SLEEP_EVERY == 0 straggle
 SLEEP_SEC = 20.0   # straggler sleep; must dwarf multiplier x median
 EVENTLOG_DIR = "/tmp/spark_graft_spec_eventlog"
-MASTER_HOST = "127.0.0.1"
-MASTER_PORT = 7077
-WORKER_HOSTS = ["127.0.0.2", "127.0.0.3"]
 
 _SPEC_ACC = None  # accumulator: hooked-operator runs with attempt > 0
 
@@ -213,66 +211,6 @@ class _Straggler:
         return False
 
 
-class _MiniCluster:
-    """Standalone master + two workers on distinct loopback hostnames,
-    managed as child processes; logs under /tmp/spark_graft_spec_*."""
-
-    def __init__(self):
-        self.procs: list[subprocess.Popen] = []
-
-    def __enter__(self):
-        from pyspark.find_spark_home import _find_spark_home
-
-        spark_home = _find_spark_home()
-        cp = f"{spark_home}/jars/*"
-        java = os.path.join(os.environ.get("JAVA_HOME", "/usr"), "bin", "java")
-        base = dict(os.environ)
-        base["SPARK_HOME"] = spark_home
-        # executors inherit the WORKER's environment: the repo must be
-        # importable (module-refs in pickled functions) and the scala
-        # version must be known to the executor command builder
-        base["PYTHONPATH"] = os.environ.get("PYTHONPATH", "")
-        base["PYSPARK_PYTHON"] = sys.executable
-        base.setdefault("SPARK_SCALA_VERSION", "2.13")
-
-        def launch(args, env, log):
-            fh = open(log, "w")
-            p = subprocess.Popen(args, env=env, stdout=fh,
-                                 stderr=subprocess.STDOUT)
-            self.procs.append(p)
-
-        menv = dict(base)
-        menv["SPARK_LOCAL_HOSTNAME"] = MASTER_HOST
-        launch([java, "-cp", cp, "-Xmx512m",
-                "org.apache.spark.deploy.master.Master",
-                "--host", MASTER_HOST, "--port", str(MASTER_PORT),
-                "--webui-port", "0"],
-               menv, "/tmp/spark_graft_spec_master.log")
-        time.sleep(4)
-        for i, host in enumerate(WORKER_HOSTS):
-            wenv = dict(base)
-            wenv["SPARK_LOCAL_HOSTNAME"] = host
-            launch([java, "-cp", cp, "-Xmx512m",
-                    "org.apache.spark.deploy.worker.Worker",
-                    "--host", host, "--cores", "4", "--memory", "3g",
-                    "--webui-port", "0",
-                    f"spark://{MASTER_HOST}:{MASTER_PORT}"],
-                   wenv, f"/tmp/spark_graft_spec_worker{i}.log")
-        time.sleep(5)
-        return f"spark://{MASTER_HOST}:{MASTER_PORT}"
-
-    def __exit__(self, *exc):
-        for p in self.procs:
-            p.terminate()
-        deadline = time.time() + 10
-        for p in self.procs:
-            try:
-                p.wait(timeout=max(0.1, deadline - time.time()))
-            except subprocess.TimeoutExpired:
-                p.kill()
-        return False
-
-
 def _parse_speculation_eventlog(log_dir: str) -> dict[str, dict]:
     """Per-job-group speculative TaskStart / killed-attempt counts.
     Rolling part files ordered by their NUMERIC index (events_10_*
@@ -361,7 +299,7 @@ def main() -> None:
 
     results: dict[str, dict] = {}
     failures = 0
-    with _MiniCluster() as master_url:
+    with MiniCluster(tag="spec") as master_url:
         spark = get_spark(
             "speculation_determinism",
             master=master_url,
@@ -450,6 +388,15 @@ def main() -> None:
             results[name] = res
             print(json.dumps({"query": name, **res}), flush=True)
 
+        # stamp each suite member with the injection FAMILY it stands
+        # in for — observed from its builder (tools/family_census),
+        # not asserted from memory — so a future corpus addition with
+        # a new Python-stage family visibly falls outside this suite
+        fams = query_families(spark, sf_dir, [q for q, _ in plan])
+        for name, fam in fams.items():
+            if name in results:
+                results[name]["family"] = fam
+
         spark.stop()  # flush the event log before parsing
 
     spec_log = _parse_speculation_eventlog(EVENTLOG_DIR)
@@ -467,12 +414,17 @@ def main() -> None:
                 res["ok"] = True
     failures = sum(1 for r in results.values() if not r.get("ok"))
 
+    coverage: dict[str, list[str]] = {}
+    for name, res in results.items():
+        for fam in res.get("family", []):
+            coverage.setdefault(fam, []).append(name)
     summary = {
         "n_queries": len(results),
         "n_ok": len(results) - failures,
         "sleep_every": SLEEP_EVERY,
         "sleep_sec": SLEEP_SEC,
-        "topology": (f"standalone master {MASTER_HOST}:{MASTER_PORT} + "
+        "family_coverage": coverage,
+        "topology": (f"standalone master {MASTER_HOST} (dynamic port) + "
                      f"workers on {WORKER_HOSTS} (distinct loopback "
                      "hostnames so speculative copies can cross 'hosts')"),
         "sf_dir": sf_dir,
