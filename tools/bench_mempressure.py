@@ -13,13 +13,20 @@ two complementary modes writing two SECTIONS of one artifact:
   query completes; the artifact names which operators spilled. This is
   the "survives an undersized executor" claim.
 * **--spill mode**: the thread cap is deliberately BYPASSED (master
-  pinned to local[32]) and ``spark.memory.fraction`` shrunk (default
-  0.10), so 32 concurrent tasks share a squeezed execution pool and the
+  pinned to local[32]), ``spark.memory.fraction`` shrunk (default
+  0.10), and 3000-element force-spill thresholds installed, so the
   sort/agg-heavy queries are FORCED through their spill paths — and
   every result must be hash-identical to an unpressured baseline run.
   This is the "spilled data is the SAME data" claim: completion alone
   (complete mode relieved pressure so well that only 1/10 queries
-  spilled) proves survival, not spill-path correctness.
+  spilled) proves survival, not spill-path correctness. The spill
+  child runs at the MACHINE-SIZED heap on purpose: surviving a tiny
+  heap is complete mode's claim (with the engine's thread cap doing
+  its job); here 32 cap-bypassed tasks need object headroom to stay
+  alive long enough to exercise the spill-and-merge path (measured: a
+  real 12g heap at 32 threads dies task-OOM on label-propagation before
+  spilling), and the artifact records Runtime.maxMemory() so the
+  conditions are stated, not implied.
 
 v3 (per round-9 ADVICE): each battery runs in its OWN SUBPROCESS.
 ``spark.driver.memory`` only takes effect at the first JVM launch in a
@@ -30,13 +37,14 @@ happened. Now the spill child is its own process with its own small
 JVM, and every battery records the heap it ACTUALLY ran with
 (Runtime.getRuntime().maxMemory()) instead of echoing an env var.
 
-v3 also chases the spill HOLDOUTS: queries whose per-task working sets
-at sf0.1 stay under even the 3000-element force-spill thresholds
-(documents: ~1.5k rows/task at 32 partitions) are re-run at the 10x
-replica corpus (~15k rows/task), where the same operators MUST cross
-the thresholds — each holdout either spills there (with the same
+v3 also chases the spill HOLDOUTS: queries whose per-task working
+sets stay under even the 3000-element force-spill thresholds at the
+rehearsal corpus (the 10x replica) are re-run at the 100x big corpus
+(500k docs / 60M-row lineitem — every HEAVY query reads only tables
+that corpus carries), where the same operators' working sets outgrow
+the squeezed pool — each holdout either spills there (with the same
 hash-equality gate) or is recorded with its measured peak task memory
-as genuinely unable to spill at the rehearsal corpus.
+as genuinely unable to spill at any rehearsal corpus.
 
 Metrics plumbing: a Python SparkListener needs a py4j callback server;
 instead each battery writes a JSON event log (spark.eventLog), each
@@ -47,8 +55,11 @@ Spilled'.
 
 Usage: SPARK_GRAFT_DRIVER_MEM=4g python tools/bench_mempressure.py
            [--sf-dir DIR] [--out BENCH_MEMPRESSURE.json]
-       SPARK_GRAFT_DRIVER_MEM=6g python tools/bench_mempressure.py \
+       python tools/bench_mempressure.py \
            --spill [--memory-fraction 0.10] [--sf-dir DIR]
+Default --sf-dir is the 10x replica (build with tools/bench_scale.py);
+the holdout chase needs the 100x corpus (tools/bench_scale.py --big
+100 or tools/run_differential_100x.py builds it).
 Run SERIALLY (timings embedded; batteries are sequential subprocesses).
 """
 
@@ -67,7 +78,7 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-from tools.bench_scale import HEAVY, OUT_DIR as SCALE10_DIR  # noqa: E402
+from tools.bench_scale import BIG_DIR, HEAVY, OUT_DIR as SCALE10_DIR  # noqa: E402
 
 EVENTLOG_BASE = "/tmp/spark_graft_eventlog"
 
@@ -275,6 +286,14 @@ def _battery_child(args) -> None:
                     "spark.sql.windowExec.buffer.spill.threshold": "3000",
                     "spark.sql.cartesianProductExec.buffer.spill.threshold":
                         "3000",
+                    # Tungsten hash aggregation ignores the sorter
+                    # thresholds above — this (Spark's own test hook
+                    # for exactly this purpose) forces HashAggregate to
+                    # its sort-based fallback after 3k groups, so
+                    # aggregation-shaped working sets (the BPE pair
+                    # counts) exercise their spill-and-merge path too
+                    "spark.sql.TungstenAggregate.testFallbackStartsAt":
+                        "3000,3000",
                 },
             )
     elif args.session == "baseline":
@@ -363,7 +382,7 @@ def _hash_compare(pressured: dict, baseline: dict) -> None:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--sf-dir", default=SCALE10_DIR)
     ap.add_argument("--out", default=str(
         Path(__file__).resolve().parent.parent / "BENCH_MEMPRESSURE.json"))
     ap.add_argument("--spill", action="store_true",
@@ -371,6 +390,12 @@ def main() -> None:
                          "hash equality with an unpressured baseline")
     ap.add_argument("--memory-fraction", default="0.10",
                     help="spark.memory.fraction for --spill mode")
+    ap.add_argument("--holdout-fraction", default="0.20",
+                    help="spark.memory.fraction for the 100x holdout "
+                         "chase: the 100x working sets need a pool above "
+                         "their unspillable per-task floor (BFS at 60M "
+                         "rows dies mid-spill at 0.10) — the 3000-element "
+                         "thresholds stay the spill-forcing mechanism")
     # internal (subprocess battery) flags
     ap.add_argument("--battery", choices=["complete", "baseline", "spill"],
                     help=argparse.SUPPRESS)
@@ -388,11 +413,11 @@ def main() -> None:
         return
 
     driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "")
-    gig = driver_mem.rstrip("gG")
-    cap = 16 if args.spill else 8
-    if not (gig.isdigit() and int(gig) < cap):
-        sys.exit(f"set SPARK_GRAFT_DRIVER_MEM to a small heap (< {cap}g) — "
-                 "a big-heap run would record no memory pressure")
+    if not args.spill:
+        gig = driver_mem.rstrip("gG")
+        if not (gig.isdigit() and int(gig) < 8):
+            sys.exit("set SPARK_GRAFT_DRIVER_MEM to a small heap (< 8g) — "
+                     "a big-heap run would record no memory pressure")
 
     out_path = Path(args.out)
 
@@ -427,8 +452,11 @@ def main() -> None:
     # ---- spill mode: pressured and baseline batteries in SEPARATE
     # subprocesses (own JVMs -> the heaps recorded are the heaps used),
     # hash-compared per query; holdouts chased at the 10x corpus ----
+    # machine-sized heap for the spill child (None pops the env var):
+    # pressure comes from the shrunken fraction + force thresholds,
+    # recorded heap comes from the JVM itself
     spill = _run_child("spill", args.sf_dir, True, None,
-                       driver_mem, args.memory_fraction)
+                       None, args.memory_fraction)
     base = _run_child("baseline", args.sf_dir, True, None,
                       None, args.memory_fraction)
     results = spill["results"]
@@ -438,38 +466,50 @@ def main() -> None:
         n for n, r in results.items() if r.get("completed") and not _spilled(r)
     )
     holdout_section = None
-    scale10_ready = (Path(SCALE10_DIR) / ".complete_10x").exists()
-    if holdouts and scale10_ready:
-        h_spill = _run_child("spill", SCALE10_DIR, True, holdouts,
-                             driver_mem, args.memory_fraction)
-        h_base = _run_child("baseline", SCALE10_DIR, True, holdouts,
-                            None, args.memory_fraction)
+    big_ready = (Path(BIG_DIR) / ".complete_100x_v2").exists()
+    if holdouts and big_ready:
+        h_spill = _run_child("spill", BIG_DIR, True, holdouts,
+                             None, args.holdout_fraction)
+        h_base = _run_child("baseline", BIG_DIR, True, holdouts,
+                            None, args.holdout_fraction)
         h_results = h_spill["results"]
         _hash_compare(h_results, h_base["results"])
         holdout_section = {
-            "sf_dir": SCALE10_DIR,
+            "sf_dir": BIG_DIR,
+            "memory_fraction": args.holdout_fraction,
             "jvm_max_heap_bytes": h_spill["jvm_max_heap_bytes"],
             "baseline_jvm_max_heap_bytes": h_base["jvm_max_heap_bytes"],
             "n_queries": len(h_results),
             "n_spilled": sum(1 for r in h_results.values() if _spilled(r)),
             "n_hash_match": sum(
                 1 for r in h_results.values() if r.get("hash_match")),
-            "note": ("sf0.1 non-spillers re-run at the 10x replica where "
-                     "per-task working sets cross the 3000-element force-"
-                     "spill thresholds; same hash-equality gate. A query "
-                     "still not spilling here records its peak task memory "
-                     "as the genuinely-too-small working set."),
+            "note": ("rehearsal-corpus non-spillers re-run at the 100x "
+                     "big corpus where per-task working sets outgrow the "
+                     "squeezed pool / cross the 3000-element force-spill "
+                     "thresholds; same hash-equality gate. A query still "
+                     "not spilling here records its peak task memory as "
+                     "the genuinely-too-small working set."),
             "queries": h_results,
         }
     elif holdouts:
         holdout_section = {
-            "skipped": f"{SCALE10_DIR} not built; run tools/bench_scale.py "
-                       "first to chase holdouts at 10x",
+            "skipped": f"{BIG_DIR} not built; run tools/bench_scale.py "
+                       "--big 100 (or tools/run_differential_100x.py) "
+                       "first to chase holdouts at 100x",
             "holdouts": holdouts,
+        }
+    else:
+        # explicit empty section: a stale chase from an earlier run must
+        # not survive a rerun where every query spilled at the primary
+        # tier
+        holdout_section = {
+            "holdouts": [],
+            "note": ("no holdouts: every battery query spilled at the "
+                     "primary tier (the Tungsten hash-agg fallback "
+                     "threshold closed the aggregation-shaped gap)"),
         }
 
     summary = {
-        "driver_mem": driver_mem,
         "jvm_max_heap_bytes": spill["jvm_max_heap_bytes"],
         "baseline_jvm_max_heap_bytes": base["jvm_max_heap_bytes"],
         "memory_fraction": args.memory_fraction,
@@ -490,12 +530,12 @@ def main() -> None:
     }
     _merge_artifact(out_path, "spill_correctness", summary)
     if holdout_section is not None:
-        _merge_artifact(out_path, "spill_holdouts_10x", holdout_section)
+        _merge_artifact(out_path, "spill_holdouts_100x", holdout_section)
     print(f"wrote {out_path} [spill_correctness]: "
           f"{summary['n_completed']}/{summary['n_queries']} completed, "
           f"{summary['n_spilled']} spilled, "
           f"{summary['n_hash_match']} hash-identical"
-          + (f"; holdouts@10x: {holdout_section.get('n_spilled')}"
+          + (f"; holdouts@100x: {holdout_section.get('n_spilled')}"
              f"/{holdout_section.get('n_queries')} spilled"
              if holdout_section and "queries" in holdout_section else ""))
 

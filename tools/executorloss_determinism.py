@@ -434,6 +434,14 @@ def main() -> None:  # noqa: C901 — linear rehearsal script
                 k: v for k, v in res.items() if k != "injected"},
                 "kill": res["injected"].get("kill")}), flush=True)
 
+        # stamp the injection family each suite member stands in for
+        # (observed from its builder — tools/family_census)
+        from tools.family_census import query_families
+
+        for name, fam in query_families(spark, sf_dir, suite).items():
+            if name in results:
+                results[name]["family"] = fam
+
         spark.stop()  # flush event log
     finally:
         cluster.__exit__(None, None, None)
@@ -470,9 +478,14 @@ def main() -> None:  # noqa: C901 — linear rehearsal script
                 res["ok"] = False
 
     failures = sum(1 for r in results.values() if not r.get("ok"))
+    coverage: dict[str, list[str]] = {}
+    for name, res in results.items():
+        for fam in res.get("family", []):
+            coverage.setdefault(fam, []).append(name)
     summary = {
         "n_queries": len(results),
         "n_ok": len(results) - failures,
+        "family_coverage": coverage,
         "n_stage_resubmission": sum(
             1 for r in results.values()
             if r.get("recovery") == "stage_resubmission"),
