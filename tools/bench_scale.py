@@ -447,20 +447,51 @@ def run_big_tier(spark, out_path: Path, n_big: int) -> None:
     print(f"wrote {out_path}")
 
 
+def _family_leg(sf_dir: str) -> None:
+    """Internal: time FAMILY_100X at one corpus dir in THIS process and
+    print one JSON line. run_family_tier spawns a fresh subprocess per
+    scale leg because a first measurement showed ~2.6x inflation on the
+    later leg of a shared-JVM run (image_phash 94.8s after 13 heavy
+    timings vs 36s in a fresh JVM — GC/heap buildup, not the plan)."""
+    from etl_process_spark.session import get_spark
+
+    spark = get_spark("bench_scale_family_leg")
+    tables = BIG_TABLES if sf_dir == BIG_DIR else None
+    timings = _time_queries(spark, sf_dir, list(FAMILY_100X), tables)
+    print("FAMILY_LEG_RESULT " + json.dumps(timings), flush=True)
+
+
+def _family_leg_subprocess(sf_dir: str) -> dict[str, float]:
+    import subprocess
+
+    proc = subprocess.run(
+        [sys.executable, __file__, "--family-leg", sf_dir],
+        capture_output=True, text=True, check=True,
+    )
+    for line in proc.stdout.splitlines():
+        if line.startswith("FAMILY_LEG_RESULT "):
+            return json.loads(line[len("FAMILY_LEG_RESULT "):])
+    raise RuntimeError(f"no FAMILY_LEG_RESULT in leg output:\n{proc.stdout[-2000:]}")
+
+
 def run_family_tier(spark, out_path: Path, n_big: int) -> None:
     """Time the CORRECTNESS_100X heavy family at the 10x replica and the
     N-x big corpus; record per-query growth exponents into a
     ``family_100x`` section of BENCH_SCALE.json. The 100x differential
     proved these queries CORRECT at this scale; this records whether
-    their cost grows like their driver table (e ~ 1.0) or worse."""
+    their cost grows like their driver table (e ~ 1.0) or worse.
+    Each scale leg runs in its own subprocess (fresh JVM) so the 100x
+    leg's timings don't inherit heap buildup from the 10x leg."""
     existing = json.loads(out_path.read_text())
     counts_big = build_big_corpus(spark, BIG_DIR, n_big)
     counts_10x = build_scaled_corpus(spark, OUT_DIR, 10)
     names = list(FAMILY_100X)
-    print(f"== family tier: timing at 10x ({OUT_DIR})", flush=True)
-    t10 = _time_queries(spark, OUT_DIR, names)
-    print(f"== family tier: timing at {n_big}x ({BIG_DIR})", flush=True)
-    tbig = _time_queries(spark, BIG_DIR, names, BIG_TABLES)
+    print(f"== family tier: timing at 10x ({OUT_DIR}) [fresh JVM]",
+          flush=True)
+    t10 = _family_leg_subprocess(OUT_DIR)
+    print(f"== family tier: timing at {n_big}x ({BIG_DIR}) [fresh JVM]",
+          flush=True)
+    tbig = _family_leg_subprocess(BIG_DIR)
     section: dict = {
         "replicas_big": n_big,
         "dirs": {"10x": OUT_DIR, f"{n_big}x": BIG_DIR},
@@ -468,7 +499,8 @@ def run_family_tier(spark, out_path: Path, n_big: int) -> None:
                  "query's driver table; ~1.0 = linear in its input. "
                  "Queries here are exactly CORRECTNESS_100X.json's "
                  "results set — correctness and cost growth now cover "
-                 "the same family."),
+                 "the same family. Each scale leg timed in a fresh "
+                 "JVM subprocess."),
         "queries": {},
     }
     for name in names:
@@ -500,9 +532,16 @@ def main() -> None:
                     help="time the CORRECTNESS_100X family at 10x + N-x "
                          "and record growth exponents (family_100x "
                          "section); skips the main battery")
+    ap.add_argument("--family-leg", default=None, metavar="DIR",
+                    help="internal: time the family at one corpus dir in "
+                         "this process and print a JSON line")
     ap.add_argument("--out", default=str(
         Path(__file__).resolve().parent.parent / "BENCH_SCALE.json"))
     args = ap.parse_args()
+
+    if args.family_leg:
+        _family_leg(args.family_leg)
+        return
 
     from etl_process_spark.session import get_spark
 
