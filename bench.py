@@ -65,6 +65,18 @@ def main() -> None:
 
     import gc
 
+    def _unpersist_all() -> None:
+        # drop builder refs AND explicitly unpersist every persistent
+        # RDD (localCheckpoint blocks: CC rounds, triangle edge sets)
+        # between runs — the ContextCleaner is asynchronous, and
+        # between back-to-back runs of a checkpoint-heavy query its lag
+        # leaves run 1's blocks cached while run 2 re-caches the same
+        # data, doubling storage (observed as executor OOM on the 100x
+        # BFS leg of bench_scale before the same fix landed there)
+        gc.collect()
+        for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            jrdd.unpersist()
+
     timings: dict[str, float] = {}
     for name in names:
         runs = []
@@ -72,18 +84,15 @@ def main() -> None:
             start = time.perf_counter()
             QUERIES[name].builder(spark, sf_dir).count()
             runs.append(time.perf_counter() - start)
+            _unpersist_all()
         # transient host contention shows up as the two runs disagreeing
         # wildly — take one more sample before trusting the minimum
         if min(runs) > 0.3 and max(runs) > 2 * min(runs):
             start = time.perf_counter()
             QUERIES[name].builder(spark, sf_dir).count()
             runs.append(time.perf_counter() - start)
+            _unpersist_all()
         timings[name] = round(min(runs), 3)
-        # drop builder refs promptly so the ContextCleaner unpersists
-        # localCheckpoint blocks (CC rounds, triangle edge sets) between
-        # queries — otherwise storage memory accumulates across the
-        # corpus and later queries inherit GC pauses
-        gc.collect()
 
     # Host-contention second pass: a shared machine can stay busy for a
     # multi-second WINDOW, long enough that best-of-2-plus-retry all land
@@ -108,7 +117,7 @@ def main() -> None:
                 start = time.perf_counter()
                 QUERIES[name].builder(spark, sf_dir).count()
                 runs.append(time.perf_counter() - start)
-                gc.collect()
+                _unpersist_all()
             timings[name] = round(min(runs), 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

@@ -145,3 +145,20 @@ def test_rotate_vec_expr_matches_literal_form(spark):
         ).collect()
         for r in out:
             assert list(r.lit) == list(r.expr), f"replica {i} diverged"
+
+
+def test_family_tier_matches_100x_correctness_set():
+    """The family tier times EXACTLY the query set the 100x differential
+    proved correct — if CORRECTNESS_100X.json gains or loses a query,
+    this fails until FAMILY_100X (tools/bench_scale.py) is updated, so
+    the correctness and cost-growth artifacts can never silently cover
+    different families."""
+    import json
+    from pathlib import Path
+
+    from bench_scale import FAMILY_100X
+
+    artifact = Path(__file__).resolve().parent.parent / "CORRECTNESS_100X.json"
+    proven = set(json.loads(artifact.read_text())["results"])
+    assert set(FAMILY_100X) == proven, (
+        sorted(set(FAMILY_100X) ^ proven))

@@ -376,6 +376,18 @@ def _warmup(spark, sf_dir: str, tables=None) -> None:
     spark.range(64).mapInPandas(lambda it: it, "id long").count()
 
 
+def _unpersist_all(spark) -> None:
+    """Drop every persistent RDD (localCheckpoint blocks included) so
+    the next timed run starts from a clean storage pool. ContextCleaner
+    does this asynchronously when Python references die, but between
+    back-to-back runs of a checkpoint-heavy query the lag DOUBLES
+    cached storage — observed as a flaky executor java.lang.OOM on
+    part_bfs_reach's run 2 at the 100x corpus."""
+    gc.collect()
+    for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+        jrdd.unpersist()
+
+
 def _time_queries(spark, sf_dir: str, names, tables=None) -> dict[str, float]:
     from etl_process_spark.queries import QUERIES
 
@@ -387,13 +399,14 @@ def _time_queries(spark, sf_dir: str, names, tables=None) -> dict[str, float]:
             start = time.perf_counter()
             QUERIES[name].builder(spark, sf_dir).count()
             runs.append(time.perf_counter() - start)
+            _unpersist_all(spark)
         if min(runs) > 0.3 and max(runs) > 2 * min(runs):
             start = time.perf_counter()
             QUERIES[name].builder(spark, sf_dir).count()
             runs.append(time.perf_counter() - start)
+            _unpersist_all(spark)
         timings[name] = round(min(runs), 3)
         print(f"  {sf_dir}: {name} {timings[name]:.2f}s", flush=True)
-        gc.collect()
     return timings
 
 
@@ -447,31 +460,41 @@ def run_big_tier(spark, out_path: Path, n_big: int) -> None:
     print(f"wrote {out_path}")
 
 
-def _family_leg(sf_dir: str) -> None:
-    """Internal: time FAMILY_100X at one corpus dir in THIS process and
-    print one JSON line. run_family_tier spawns a fresh subprocess per
-    scale leg because a first measurement showed ~2.6x inflation on the
-    later leg of a shared-JVM run (image_phash 94.8s after 13 heavy
-    timings vs 36s in a fresh JVM — GC/heap buildup, not the plan)."""
+def _family_leg(sf_dir: str, names: list[str]) -> None:
+    """Internal: time the given FAMILY_100X queries at one corpus dir in
+    THIS process and print one JSON line. run_family_tier spawns a
+    fresh subprocess PER QUERY: a shared-JVM battery inflated the
+    later entries ~1.5-2.6x (image_phash 94.8s after 13 heavy timings,
+    65s after 6, 36s in a fresh JVM — GC/heap/shuffle-dir buildup, not
+    the plan), so every recorded number is a fresh-JVM min-of-runs."""
     from etl_process_spark.session import get_spark
 
     spark = get_spark("bench_scale_family_leg")
     tables = BIG_TABLES if sf_dir == BIG_DIR else None
-    timings = _time_queries(spark, sf_dir, list(FAMILY_100X), tables)
+    timings = _time_queries(spark, sf_dir, names, tables)
     print("FAMILY_LEG_RESULT " + json.dumps(timings), flush=True)
 
 
 def _family_leg_subprocess(sf_dir: str) -> dict[str, float]:
     import subprocess
 
-    proc = subprocess.run(
-        [sys.executable, __file__, "--family-leg", sf_dir],
-        capture_output=True, text=True, check=True,
-    )
-    for line in proc.stdout.splitlines():
-        if line.startswith("FAMILY_LEG_RESULT "):
-            return json.loads(line[len("FAMILY_LEG_RESULT "):])
-    raise RuntimeError(f"no FAMILY_LEG_RESULT in leg output:\n{proc.stdout[-2000:]}")
+    out: dict[str, float] = {}
+    for name in FAMILY_100X:
+        proc = subprocess.run(
+            [sys.executable, __file__, "--family-leg", sf_dir,
+             "--family-query", name],
+            capture_output=True, text=True, check=True,
+        )
+        for line in proc.stdout.splitlines():
+            if line.startswith("FAMILY_LEG_RESULT "):
+                out.update(json.loads(line[len("FAMILY_LEG_RESULT "):]))
+                break
+        else:
+            raise RuntimeError(
+                f"no FAMILY_LEG_RESULT for {name}:\n{proc.stdout[-2000:]}")
+        print(f"  {sf_dir}: {name} {out[name]:.2f}s [fresh JVM]",
+              flush=True)
+    return out
 
 
 def run_family_tier(spark, out_path: Path, n_big: int) -> None:
@@ -482,10 +505,21 @@ def run_family_tier(spark, out_path: Path, n_big: int) -> None:
     their cost grows like their driver table (e ~ 1.0) or worse.
     Each scale leg runs in its own subprocess (fresh JVM) so the 100x
     leg's timings don't inherit heap buildup from the 10x leg."""
+    import duckdb
+
     existing = json.loads(out_path.read_text())
     counts_big = build_big_corpus(spark, BIG_DIR, n_big)
     counts_10x = build_scaled_corpus(spark, OUT_DIR, 10)
+    counts_sf01 = {
+        t: duckdb.sql(
+            f"SELECT count(*) FROM '{SRC_DIR}/{t}.parquet'"
+        ).fetchone()[0]
+        for t in set(FAMILY_100X.values())
+    }
     names = list(FAMILY_100X)
+    print(f"== family tier: timing at sf0.1 ({SRC_DIR}) [fresh JVM]",
+          flush=True)
+    t01 = _family_leg_subprocess(SRC_DIR)
     print(f"== family tier: timing at 10x ({OUT_DIR}) [fresh JVM]",
           flush=True)
     t10 = _family_leg_subprocess(OUT_DIR)
@@ -494,30 +528,63 @@ def run_family_tier(spark, out_path: Path, n_big: int) -> None:
     tbig = _family_leg_subprocess(BIG_DIR)
     section: dict = {
         "replicas_big": n_big,
-        "dirs": {"10x": OUT_DIR, f"{n_big}x": BIG_DIR},
-        "note": ("exp = log(t_big/t_10x)/log(rows_big/rows_10x) on the "
+        "dirs": {"sf0.1": SRC_DIR, "10x": OUT_DIR, f"{n_big}x": BIG_DIR},
+        "note": ("exp_small = sf0.1 -> 10x, exp_big = 10x -> "
+                 f"{n_big}x; exp = log(t2/t1)/log(rows2/rows1) on the "
                  "query's driver table; ~1.0 = linear in its input. "
                  "Queries here are exactly CORRECTNESS_100X.json's "
                  "results set — correctness and cost growth now cover "
-                 "the same family. Each scale leg timed in a fresh "
-                 "JVM subprocess."),
+                 "the same family across two decades. Every number is "
+                 "a fresh-JVM-per-query min-of-runs."),
         "queries": {},
     }
+
+    def _exp(t1, t2, n1, n2) -> float:
+        return round(math.log(t2 / t1) / math.log(n2 / n1), 3)
+
     for name in names:
         drv = FAMILY_100X[name]
-        n1, n2 = counts_10x[drv], counts_big[drv]
-        t1, t2 = t10[name], tbig[name]
+        n0, n1, n2 = counts_sf01[drv], counts_10x[drv], counts_big[drv]
+        t0, t1, t2 = t01[name], t10[name], tbig[name]
         section["queries"][name] = {
             "driver_table": drv,
-            "sec": {"10x": t1, f"{n_big}x": t2},
-            "driver_rows": {"10x": n1, f"{n_big}x": n2},
-            "exp": round(math.log(t2 / t1) / math.log(n2 / n1), 3),
+            "sec": {"sf0.1": t0, "10x": t1, f"{n_big}x": t2},
+            "driver_rows": {"sf0.1": n0, "10x": n1, f"{n_big}x": n2},
+            "exp_small": _exp(t0, t1, n0, n1),
+            "exp_big": _exp(t1, t2, n1, n2),
         }
-        print(f"{name}: {t1:.2f}s @10x -> {t2:.2f}s @{n_big}x, "
-              f"exp = {section['queries'][name]['exp']}", flush=True)
+        q = section["queries"][name]
+        print(f"{name}: {t0:.2f}s @sf0.1 -> {t1:.2f}s @10x -> "
+              f"{t2:.2f}s @{n_big}x, exp_small = {q['exp_small']}, "
+              f"exp_big = {q['exp_big']}", flush=True)
     existing["family_100x"] = section
     out_path.write_text(json.dumps(existing, indent=1) + "\n")
     print(f"wrote {out_path} [family_100x]")
+    run_family_shapes(spark, out_path, n_big)
+
+
+def run_family_shapes(spark, out_path: Path, n_big: int) -> None:
+    """Record each family query's physical plan shape at the 10x and
+    N-x corpora into family_100x.plan_shapes — a broadcast->SMJ or
+    exchange-count transition across the decade is then NAMED in the
+    artifact (the big tier's convention) instead of inferred from a
+    bent exponent. Not timing-sensitive: runs in the orchestrating
+    session after the timing subprocesses."""
+    existing = json.loads(out_path.read_text())
+    section = existing.get("family_100x")
+    if not section:
+        raise RuntimeError("family_100x section missing — run --family first")
+    label = f"{n_big}x"
+    shapes: dict[str, dict] = {}
+    for name in FAMILY_100X:
+        shapes[name] = {
+            "10x": _plan_shape(spark, OUT_DIR, name),
+            label: _plan_shape(spark, BIG_DIR, name),
+        }
+        print(f"plan shapes {name}: {shapes[name]}", flush=True)
+    section["plan_shapes"] = shapes
+    out_path.write_text(json.dumps(existing, indent=1) + "\n")
+    print(f"wrote {out_path} [family_100x.plan_shapes]")
 
 
 def main() -> None:
@@ -533,19 +600,29 @@ def main() -> None:
                          "and record growth exponents (family_100x "
                          "section); skips the main battery")
     ap.add_argument("--family-leg", default=None, metavar="DIR",
-                    help="internal: time the family at one corpus dir in "
-                         "this process and print a JSON line")
+                    help="internal: time family queries at one corpus dir "
+                         "in this process and print a JSON line")
+    ap.add_argument("--family-query", default=None, metavar="NAME",
+                    help="internal: restrict --family-leg to one query")
+    ap.add_argument("--family-shapes", type=int, default=0, metavar="N",
+                    help="record plan shapes for the family at 10x + N-x "
+                         "into an existing family_100x section")
     ap.add_argument("--out", default=str(
         Path(__file__).resolve().parent.parent / "BENCH_SCALE.json"))
     args = ap.parse_args()
 
     if args.family_leg:
-        _family_leg(args.family_leg)
+        names = ([args.family_query] if args.family_query
+                 else list(FAMILY_100X))
+        _family_leg(args.family_leg, names)
         return
 
     from etl_process_spark.session import get_spark
 
     spark = get_spark("bench_scale")
+    if args.family_shapes:
+        run_family_shapes(spark, Path(args.out), args.family_shapes)
+        return
     if args.family:
         run_family_tier(spark, Path(args.out), args.family)
         return
