@@ -46,6 +46,7 @@ Suite — one query per state mechanism / provider combination:
 | dedup_stream         | dropDuplicates keyed state  | RocksDB |
 | sessionize_stream    | applyInPandasWithState (Python state tuple) | HDFS-backed |
 | sessionize_stream_tws| transformWithStateInPandas (named state + timers) | RocksDB (required) |
+| stream_stream_join   | time-bounded left-outer join (two sources, 4-store join state, watermark-driven unmatched-row emission) | HDFS-backed |
 
 Usage: python tools/streaming_executorloss.py [out.json] [--quick]
 Writes STREAMING_EXECUTORLOSS.json (--quick runs tumbling + legacy
@@ -82,29 +83,61 @@ PROVIDER_KEY = "spark.sql.streaming.stateStore.providerClass"
 
 
 def _suite() -> list[dict]:
+    """Each entry's ``build`` takes a ZERO-ARG stream factory (a fresh
+    ``read_event_stream`` over the inbox per call) so multi-source
+    queries — the stream-stream join reads the inbox twice — get as
+    many independent sources as they need."""
+    from pyspark.sql import functions as F
+
     from etl_process_spark.streaming import (
         sessionize_stream,
         tumbling_counts,
     )
+    from etl_process_spark.streaming.joins import time_bounded_join_stream
     from etl_process_spark.streaming.sources import dedup_stream
     from etl_process_spark.streaming.stateful import sessionize_stream_tws
 
+    def _ss_join(mk):
+        def split(df, kind, idc, tsc):
+            return df.filter(F.col("event_type") == kind).select(
+                "user_id",
+                F.col("event_id").alias(idc),
+                F.col("ts").alias(tsc),
+            )
+
+        # left_outer: matched rows emit on arrival, unmatched lefts
+        # only when the watermark PROVES no match can arrive — so the
+        # kill exercises both join-state lookup and watermark-driven
+        # state eviction/emission on the recovered store
+        return time_bounded_join_stream(
+            split(mk(), "click", "click_id", "c_ts"),
+            split(mk(), "view", "view_id", "v_ts"),
+            key="user_id", left_ts="c_ts", right_ts="v_ts",
+            watermark="48 hours", within="24 hours", how="left_outer",
+        )
+
     return [
         {"name": "tumbling_counts",
-         "build": lambda s: tumbling_counts(s, watermark="0 seconds"),
+         "build": lambda mk: tumbling_counts(mk(), watermark="0 seconds"),
          "provider": "hdfs", "mechanism": "windowed aggregation state"},
         {"name": "dedup_stream",
-         "build": lambda s: dedup_stream(s, ["event_id"],
-                                         watermark="60 days"),
+         "build": lambda mk: dedup_stream(mk(), ["event_id"],
+                                          watermark="60 days"),
          "provider": "rocksdb", "mechanism": "dropDuplicates keyed state"},
         {"name": "sessionize_stream",
-         "build": lambda s: sessionize_stream(s, gap_seconds=1800),
+         "build": lambda mk: sessionize_stream(mk(), gap_seconds=1800),
          "provider": "hdfs",
          "mechanism": "applyInPandasWithState (Python state tuple)"},
         {"name": "sessionize_stream_tws",
-         "build": lambda s: sessionize_stream_tws(s, gap_seconds=1800),
+         "build": lambda mk: sessionize_stream_tws(mk(), gap_seconds=1800),
          "provider": "rocksdb",
          "mechanism": "transformWithStateInPandas (named state + timers)"},
+        {"name": "stream_stream_join",
+         "build": _ss_join,
+         "provider": "hdfs",
+         "mechanism": ("stream-stream time-bounded left-outer join "
+                       "(two sources, 4-store join state, "
+                       "watermark-driven unmatched-row emission)")},
     ]
 
 
@@ -162,8 +195,11 @@ def _run_leg(spark, spec: dict, leg: str,
     out_dir = f"{ROOT}/{name}/{leg}/out"
     ckpt = f"{ROOT}/{name}/{leg}/ckpt"
     shutil.rmtree(f"{ROOT}/{name}/{leg}", ignore_errors=True)
-    stream = read_event_stream(spark, INBOX, max_files_per_trigger=1)
-    df = spec["build"](stream)
+
+    def mk_stream():
+        return read_event_stream(spark, INBOX, max_files_per_trigger=1)
+
+    df = spec["build"](mk_stream)
     q = (df.writeStream.format("parquet").outputMode("append")
            .option("path", out_dir)
            .option("checkpointLocation", ckpt)
