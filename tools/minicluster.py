@@ -70,13 +70,22 @@ class MiniCluster:
     the original one-value call sites)."""
 
     def __init__(self, tag: str = "mini", n_workers: int = 2,
-                 cores: int = 4, memory: str = "3g"):
+                 cores: int = 4, memory: str = "3g",
+                 worker_java_opts: tuple[str, ...] = ()):
         if n_workers > len(WORKER_HOSTS):
             raise ValueError(f"at most {len(WORKER_HOSTS)} workers")
         self.tag = tag
         self.n_workers = n_workers
         self.cores = cores
         self.memory = memory
+        # extra -D system properties for the WORKER daemons — e.g. the
+        # decommission rehearsal needs spark.decommission.enabled=true
+        # ON THE WORKER, because the SIGPWR handler is installed at
+        # worker startup only when that conf is set; without it SIGPWR
+        # keeps its default disposition and simply TERMINATES the JVM
+        # (observed: "worker lost: got disassociated" instead of a
+        # graceful drain)
+        self.worker_java_opts = tuple(worker_java_opts)
         self.master_proc: subprocess.Popen | None = None
         self.workers: list[subprocess.Popen | None] = [None] * n_workers
         self.master_url = ""
@@ -136,7 +145,8 @@ class MiniCluster:
         wenv = dict(self._base_env)
         wenv["SPARK_LOCAL_HOSTNAME"] = host
         self.workers[i] = self._launch(
-            ["-Xmx512m", "org.apache.spark.deploy.worker.Worker",
+            ["-Xmx512m", *self.worker_java_opts,
+             "org.apache.spark.deploy.worker.Worker",
              "--host", host, "--cores", str(self.cores),
              "--memory", self.memory, "--webui-port", "0",
              self.master_url], wenv, wlog)
