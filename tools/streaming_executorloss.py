@@ -49,10 +49,19 @@ Suite — one query per state mechanism / provider combination:
 | stream_stream_join   | time-bounded left-outer join (two sources, 4-store join state, watermark-driven unmatched-row emission) | HDFS-backed |
 
 Usage: python tools/streaming_executorloss.py [out.json] [--quick]
+           [--drain]
 Writes STREAMING_EXECUTORLOSS.json (--quick runs tumbling + legacy
 sessionizer only and does NOT overwrite the artifact unless an out
 path is given); exits nonzero on any mismatch or vacuous run.
 Run SERIALLY (kill timing shares the host with the batches).
+
+``--drain`` swaps the SIGKILL for Spark's graceful decommission
+(SIGPWR to a worker launched with ``spark.decommission.enabled``):
+the executor stops taking tasks, finishes its in-flight micro-batch
+work, migrates blocks, and exits — the spot-reclaim path for a
+long-running streaming job. Same gates, separate artifact
+(STREAMING_DECOMMISSION.json), plus an app-level FetchFailed count
+that must be zero.
 """
 
 from __future__ import annotations
@@ -242,27 +251,33 @@ def _run_leg(spark, spec: dict, leg: str,
     return res
 
 
-def _executors_removed(log_dir: str) -> int:
-    n = 0
+def _eventlog_counts(log_dir: str) -> dict:
+    removed = fetch_failed = 0
     for entry in Path(log_dir).glob("**/*"):
         if not entry.is_file():
             continue
         try:
             with open(entry) as fh:
                 for line in fh:
-                    if '"Event":"SparkListenerExecutorRemoved"' in line.replace(" ", ""):
-                        n += 1
+                    compact = line.replace(" ", "")
+                    if '"Event":"SparkListenerExecutorRemoved"' in compact:
+                        removed += 1
+                    if '"Reason":"FetchFailed"' in compact:
+                        fetch_failed += 1
         except (OSError, UnicodeDecodeError):
             continue
-    return n
+    return {"executors_removed": removed, "fetch_failed": fetch_failed}
 
 
 def main() -> None:
     argv = [a for a in sys.argv[1:] if not a.startswith("--")]
     quick = "--quick" in sys.argv
+    drain = "--drain" in sys.argv
+    default_out = ("STREAMING_DECOMMISSION.json" if drain
+                   else "STREAMING_EXECUTORLOSS.json")
     out_path = (
         Path(argv[0]) if argv
-        else (None if quick else REPO / "STREAMING_EXECUTORLOSS.json")
+        else (None if quick else REPO / default_out)
     )
 
     existing = os.environ.get("PYTHONPATH", "")
@@ -289,23 +304,35 @@ def main() -> None:
         suite = [s for s in suite if s["name"] in keep]
 
     results: dict[str, dict] = {}
-    cluster = MiniCluster(tag="stream_exloss")
+    cluster = MiniCluster(
+        tag="stream_drain" if drain else "stream_exloss",
+        worker_java_opts=(
+            ("-Dspark.decommission.enabled=true",) if drain else ()),
+    )
     cluster.__enter__()
     try:
+        conf = {
+            "spark.driver.host": "127.0.0.1",
+            "spark.executor.memory": "2g",
+            "spark.executor.cores": "4",
+            "spark.cores.max": "8",
+            "spark.sql.shuffle.partitions": "8",
+            "spark.locality.wait": "0s",
+            "spark.eventLog.enabled": "true",
+            "spark.eventLog.dir": f"file://{EVENTLOG_DIR}",
+            "spark.eventLog.compress": "false",
+        }
+        if drain:
+            conf.update({
+                "spark.decommission.enabled": "true",
+                "spark.storage.decommission.enabled": "true",
+                "spark.storage.decommission.rddBlocks.enabled": "true",
+                "spark.storage.decommission.shuffleBlocks.enabled": "true",
+            })
         spark = get_spark(
-            "streaming_executorloss",
+            "streaming_decommission" if drain else "streaming_executorloss",
             master=cluster.master_url,
-            extra_conf={
-                "spark.driver.host": "127.0.0.1",
-                "spark.executor.memory": "2g",
-                "spark.executor.cores": "4",
-                "spark.cores.max": "8",
-                "spark.sql.shuffle.partitions": "8",
-                "spark.locality.wait": "0s",
-                "spark.eventLog.enabled": "true",
-                "spark.eventLog.dir": f"file://{EVENTLOG_DIR}",
-                "spark.eventLog.compress": "false",
-            },
+            extra_conf=conf,
         )
         _build_inbox(spark)
         victim = 0
@@ -324,9 +351,17 @@ def main() -> None:
                     continue
 
                 def _kill(i=victim):
+                    if drain:
+                        import signal as _sig
+
+                        os.kill(cluster.workers[i].pid, _sig.SIGPWR)
+                        return {"victim_worker": i,
+                                "victim_host": WORKER_HOSTS[i],
+                                "killed": True, "kind": "sigpwr_drain"}
                     cluster.kill_worker(i)
                     return {"victim_worker": i,
-                            "victim_host": WORKER_HOSTS[i], "killed": True}
+                            "victim_host": WORKER_HOSTS[i], "killed": True,
+                            "kind": "sigkill"}
 
                 inj = _run_leg(spark, spec, "injected", kill_cb=_kill)
                 cluster.restart_worker(victim)
@@ -370,7 +405,7 @@ def main() -> None:
                         spark.conf.unset(PROVIDER_KEY)
                     else:
                         spark.conf.set(PROVIDER_KEY, saved)
-        removed = _executors_removed(EVENTLOG_DIR)
+        counts = _eventlog_counts(EVENTLOG_DIR)
     finally:
         try:
             spark.stop()
@@ -378,24 +413,41 @@ def main() -> None:
             pass
         cluster.__exit__(None, None, None)
 
+    if drain and counts["fetch_failed"] > 0:
+        # the graceful path must not degrade into the crash path
+        for r in results.values():
+            r["ok"] = False
+        print(f"DRAIN DEGRADED: {counts['fetch_failed']} FetchFailed",
+              file=sys.stderr)
+
     summary = {
         "n_queries": len(results),
         "n_ok": sum(1 for r in results.values() if r["ok"]),
-        "executors_removed_total": removed,
+        "executors_removed_total": counts["executors_removed"],
+        "fetch_failed_total": counts["fetch_failed"],
+        "injection": "sigpwr_drain" if drain else "sigkill",
         "n_microbatches": N_CHUNKS,
         "kill_after_batch": KILL_AFTER_BATCH,
         "sf_dir": SF_DIR,
         "mode": "quick" if quick else "suite",
         "topology": ("standalone master + 2 workers on distinct loopback "
-                     "hostnames; victim worker SIGKILLed as a process "
-                     "group once micro-batch %d completed, query left "
-                     "RUNNING (no restart)" % KILL_AFTER_BATCH),
-        "note": ("ok requires: worker killed mid-run, >=1 micro-batch "
-                 "completed AFTER the kill on the surviving executor "
-                 "(state reloaded from checkpoint snapshot+delta / "
-                 "RocksDB changelog), and the parquet sink's committed "
-                 "output (_spark_metadata-fenced) canonical-hash-equal "
-                 "to a healthy-cluster baseline run."),
+                     "hostnames; victim worker "
+                     + ("sent SIGPWR (graceful decommission: executor "
+                        "drains in-flight work, migrates blocks, exits)"
+                        if drain else
+                        "SIGKILLed as a process group")
+                     + " once micro-batch %d completed, query left "
+                       "RUNNING (no restart)" % KILL_AFTER_BATCH),
+        "note": ("ok requires: worker "
+                 + ("drained" if drain else "killed")
+                 + " mid-run, >=1 micro-batch completed AFTER the "
+                 "injection on the surviving executor (state reloaded "
+                 "from checkpoint snapshot+delta / RocksDB changelog), "
+                 "and the parquet sink's committed output "
+                 "(_spark_metadata-fenced) canonical-hash-equal to a "
+                 "healthy-cluster baseline run."
+                 + (" Drain additionally requires zero FetchFailed "
+                    "app-wide." if drain else "")),
         "results": results,
     }
     print(json.dumps(summary))
