@@ -75,7 +75,10 @@ def main() -> None:
         # BFS leg of bench_scale before the same fix landed there)
         gc.collect()
         for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
-            jrdd.unpersist()
+            # blocking=True: Scala RDD.unpersist defaults to async block
+            # removal, which can still overlap the next timed run —
+            # synchronous removal actually closes the double-storage window
+            jrdd.unpersist(True)
 
     timings: dict[str, float] = {}
     for name in names:

@@ -16,8 +16,10 @@ bench, driver contract) runs with identical semantics:
 
 from __future__ import annotations
 
+import functools
 import os
 import re
+import warnings
 
 from pyspark.sql import SparkSession
 
@@ -78,22 +80,68 @@ def _install_ckpt_replication() -> None:
     (the env var is read per CALL, so one process can rehearse both
     modes); with the variable unset the wrapper is a pass-through.
     """
-    from pyspark.sql.classic.dataframe import DataFrame
+    try:
+        # pyspark >= 4.0 moved the eager DataFrame here
+        from pyspark.sql.classic.dataframe import DataFrame
+    except ImportError:  # pyspark 3.x
+        from pyspark.sql.dataframe import DataFrame
 
     if getattr(DataFrame, "_graft_ckpt_wrapped", False):
         return
     orig = DataFrame.localCheckpoint
 
+    @functools.wraps(orig)
     def localCheckpoint(self, eager: bool = True, storageLevel=None):
-        if (storageLevel is None
-                and os.environ.get("SPARK_GRAFT_CHECKPOINT_REPLICAS") == "2"):
-            from pyspark.storagelevel import StorageLevel
-
-            storageLevel = StorageLevel.MEMORY_AND_DISK_2
-        return orig(self, eager, storageLevel)
+        if storageLevel is None:
+            storageLevel = _ckpt_storage_level()
+        if storageLevel is None:
+            # don't pass the kwarg at all: pyspark 3.x's signature is
+            # localCheckpoint(eager) and rejects a storageLevel argument
+            return orig(self, eager)
+        return orig(self, eager, storageLevel=storageLevel)
 
     DataFrame.localCheckpoint = localCheckpoint
     DataFrame._graft_ckpt_wrapped = True
+
+
+def _ckpt_storage_level():
+    """The storage-level override the wrapper applies: None when
+    replication is off, MEMORY_AND_DISK_2 when it is on. (Separated from
+    the wrapper so the decision is unit-testable without a cluster that
+    can actually PLACE a second replica — local modes have no peer and
+    Spark degrades the reported level to replication=1.)"""
+    if _ckpt_replicas() < 2:
+        return None
+    from pyspark.storagelevel import StorageLevel
+
+    return StorageLevel.MEMORY_AND_DISK_2
+
+
+def _ckpt_replicas() -> int:
+    """Parse SPARK_GRAFT_CHECKPOINT_REPLICAS; 1 (= off) when unset.
+
+    Any value >= 2 enables the MEMORY_AND_DISK_2 upgrade (Spark ships no
+    public 3-replica level, so 2 is the strongest supported; values > 2
+    are accepted with a warning rather than silently ignored). Malformed
+    values warn loudly and disable replication, mirroring the
+    SPARK_GRAFT_CPUS defensive-parse path.
+    """
+    raw = os.environ.get("SPARK_GRAFT_CHECKPOINT_REPLICAS")
+    if raw is None or raw.strip() == "":
+        return 1
+    try:
+        n = int(raw)
+    except ValueError:
+        warnings.warn(
+            f"SPARK_GRAFT_CHECKPOINT_REPLICAS={raw!r} is not an integer; "
+            "checkpoint replication stays OFF", stacklevel=2)
+        return 1
+    if n > 2:
+        warnings.warn(
+            f"SPARK_GRAFT_CHECKPOINT_REPLICAS={n}: Spark's strongest "
+            "public storage level is 2 replicas (MEMORY_AND_DISK_2); "
+            "using 2", stacklevel=2)
+    return n
 
 
 def get_spark(app_name: str = "etl_process_spark", master: str | None = None,

@@ -385,7 +385,7 @@ def _unpersist_all(spark) -> None:
     part_bfs_reach's run 2 at the 100x corpus."""
     gc.collect()
     for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
-        jrdd.unpersist()
+        jrdd.unpersist(True)
 
 
 def _time_queries(spark, sf_dir: str, names, tables=None) -> dict[str, float]:

@@ -51,11 +51,21 @@ and ultimately recorded ok=false as vacuous, same rule as the retry
 and speculation harnesses.
 
 Usage: python tools/executorloss_determinism.py [sf_dir] [out.json]
-           [--quick]
+           [--quick | --tier10x]
 Writes EXECUTORLOSS_DETERMINISM.json (12-query suite; --quick runs a
 2-query smoke — one stage-resubmission query, one localCheckpoint
 query — and does NOT overwrite the artifact unless an out path is
 given); exits nonzero on any mismatch or vacuous run. Run SERIALLY.
+
+--tier10x: the round-10 verdict's scale gap — every determinism
+rehearsal ran at sf0.01, where AQE coalesces shuffles to a handful of
+partitions (the regime that MASKED the round-7 cogroup key-type bug).
+This leg re-runs the 4 heaviest suite queries against the decorrelated
+10x replica (/tmp/spark_graft_scale10, built by tools/bench_scale.py),
+with cluster-sized executors (8g × 2) and 32 shuffle partitions, so
+the kill lands in a query whose recompute genuinely spans
+multi-partition shuffles. Results MERGE into the artifact under a
+``tier_10x`` key with the same hash + recovery-evidence gates.
 """
 
 from __future__ import annotations
@@ -82,6 +92,7 @@ EVENTLOG_DIR = "/tmp/spark_graft_exloss_eventlog"
 BARRIER_ROOT = "/tmp/spark_graft_exloss_barrier"
 BARRIER_TIMEOUT = 180.0  # tasks proceed on their own past this: no deadlock
 MARKER_WAIT = 240.0      # driver-side wait for the final stage to start
+JOIN_TIMEOUT = 900.0     # injected-run wall clock bound
 
 # suite queries that localCheckpoint (lineage truncated -> designed
 # fail-fast + deterministic job retry in default mode; in-flight
@@ -94,6 +105,35 @@ CHECKPOINT_QUERIES = {
     "video_phash_dup_pairs",       # frame digest localCheckpoint
     "margin_bitext_pairs",         # cell-assignment localCheckpoint
 }
+
+# the 10x-tier suite: the verdict-named heavy queries whose recompute
+# spans multi-partition shuffles at the replica scale (6M-row lineitem
+# BFS, 50k-doc pHash/SimHash self-joins, 20k-vector cogrouped kNN)
+TIER10X_QUERIES = [
+    "part_bfs_reach",
+    "image_phash_dup_pairs",
+    "simhash_dup_pairs",
+    "margin_bitext_pairs",
+]
+TIER10X_SF_DIR = "/tmp/spark_graft_scale10"
+TIER10X_CONF = {
+    "spark.executor.memory": "8g",
+    "spark.sql.shuffle.partitions": "32",
+}
+
+
+def merge_tier_leg(out_path: Path, summary: dict, key: str = "tier_10x") -> None:
+    """Attach a tier leg to an existing artifact without disturbing the
+    base suite's results (read-modify-write; creates the file if the
+    base suite has never run)."""
+    doc: dict = {}
+    if out_path.exists():
+        try:
+            doc = json.loads(out_path.read_text())
+        except json.JSONDecodeError:
+            doc = {}
+    doc[key] = summary
+    out_path.write_text(json.dumps(doc, indent=1) + "\n")
 
 
 def _barrier_identity(token_dir: str):
@@ -287,10 +327,10 @@ def _injected_once(spark, cluster, sf_dir, name, base_hash,
     t = threading.Thread(target=target, daemon=True)
     t.start()
     kill = _kill_during_final_stage(cluster, token_dir, prefer_not)
-    t.join(timeout=900)
+    t.join(timeout=JOIN_TIMEOUT)
     res: dict = {"kill": kill}
     if t.is_alive():
-        res["error"] = "injected run did not finish within 900s"
+        res["error"] = f"injected run did not finish within {JOIN_TIMEOUT:.0f}s"
         return res
     if "error" in holder:
         res["error"] = holder["error"]
@@ -304,7 +344,15 @@ def _injected_once(spark, cluster, sf_dir, name, base_hash,
 def main() -> None:  # noqa: C901 — linear rehearsal script
     argv = [a for a in sys.argv[1:] if not a.startswith("--")]
     quick = "--quick" in sys.argv
-    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    tier10x = "--tier10x" in sys.argv
+    sf_dir = argv[0] if argv else (
+        TIER10X_SF_DIR if tier10x else "/root/testdata/sf0.01")
+    if tier10x:
+        # 10x queries reach their final stage minutes (not seconds)
+        # in — widen the marker wait and the run bound accordingly
+        global MARKER_WAIT, JOIN_TIMEOUT
+        MARKER_WAIT = 900.0
+        JOIN_TIMEOUT = 2700.0
     out_path = (
         Path(argv[1]) if len(argv) > 1
         else (None if quick else REPO / "EXECUTORLOSS_DETERMINISM.json")
@@ -326,6 +374,8 @@ def main() -> None:  # noqa: C901 — linear rehearsal script
     suite = PYTHON_FAMILIES + JVM_QUERIES
     if quick:
         suite = ["heavy_hitter_order_groups", "part_bfs_reach"]
+    elif tier10x:
+        suite = TIER10X_QUERIES
 
     results: dict[str, dict] = {}
     # MiniCluster.__enter__ returns the master URL (the speculation
@@ -334,10 +384,7 @@ def main() -> None:  # noqa: C901 — linear rehearsal script
     cluster = MiniCluster(tag="exloss")
     cluster.__enter__()
     try:
-        spark = get_spark(
-            "executorloss_determinism",
-            master=cluster.master_url,
-            extra_conf={
+        conf = {
                 "spark.driver.host": "127.0.0.1",
                 "spark.executor.memory": "2g",
                 "spark.executor.cores": "4",
@@ -356,7 +403,13 @@ def main() -> None:  # noqa: C901 — linear rehearsal script
                 "spark.eventLog.enabled": "true",
                 "spark.eventLog.dir": f"file://{EVENTLOG_DIR}",
                 "spark.eventLog.compress": "false",
-            },
+        }
+        if tier10x:
+            conf.update(TIER10X_CONF)
+        spark = get_spark(
+            "executorloss_determinism",
+            master=cluster.master_url,
+            extra_conf=conf,
         )
         sc = spark.sparkContext
 
@@ -435,10 +488,14 @@ def main() -> None:  # noqa: C901 — linear rehearsal script
                 "kill": res["injected"].get("kill")}), flush=True)
 
         # stamp the injection family each suite member stands in for
-        # (observed from its builder — tools/family_census)
+        # (observed from its builder — tools/family_census). The family
+        # is a property of the BUILDER, not the scale, so the tier-10x
+        # leg observes at sf0.001 rather than executing the iterative
+        # builders' rounds against the full replica a second time.
         from tools.family_census import query_families
 
-        for name, fam in query_families(spark, sf_dir, suite).items():
+        census_dir = "/root/testdata/sf0.001" if tier10x else sf_dir
+        for name, fam in query_families(spark, census_dir, suite).items():
             if name in results:
                 results[name]["family"] = fam
 
@@ -499,7 +556,7 @@ def main() -> None:  # noqa: C901 — linear rehearsal script
                      "hostnames; victim worker SIGKILLed as a process "
                      "group (worker + executor) mid-final-stage"),
         "sf_dir": sf_dir,
-        "mode": "quick" if quick else "suite",
+        "mode": "tier_10x" if tier10x else ("quick" if quick else "suite"),
         "note": (
             "ok requires hash equality with the healthy baseline AND "
             "proven recovery: stage_resubmission needs FetchFailed / "
@@ -512,7 +569,10 @@ def main() -> None:  # noqa: C901 — linear rehearsal script
         "results": results,
     }
     if out_path is not None:
-        out_path.write_text(json.dumps(summary, indent=1) + "\n")
+        if tier10x:
+            merge_tier_leg(out_path, summary)
+        else:
+            out_path.write_text(json.dumps(summary, indent=1) + "\n")
         print(f"wrote {out_path}: {summary['n_ok']}/{summary['n_queries']} ok",
               flush=True)
     else:

@@ -227,7 +227,14 @@ def _run_leg(spark, spec: dict, leg: str,
                     break
                 time.sleep(0.05)
             if killed_at is None:
-                res["error"] = "query finished before the kill window"
+                # distinguish "finished too fast" from "died": a failed
+                # query also drops isActive, and reporting that as a
+                # kill-window miss would mask the real streaming error
+                exc = q.exception()
+                if exc is not None:
+                    res["error"] = f"query failed before kill: {str(exc)[:400]}"
+                else:
+                    res["error"] = "query finished before the kill window"
                 return res
         if not q.awaitTermination(AWAIT_SECS):
             res["error"] = f"query still active after {AWAIT_SECS}s"
