@@ -309,11 +309,9 @@ def _injected_fallback(spark, cluster, sf_dir, name, base_hash,
 def run_fallback_leg(sf_dir: str, out_path: Path | None) -> None:
     """--fallback entry point; merges a ``fallback_leg`` key into the
     artifact."""
-    existing = os.environ.get("PYTHONPATH", "")
-    if str(REPO) not in existing.split(os.pathsep):
-        os.environ["PYTHONPATH"] = str(REPO) + (
-            os.pathsep + existing if existing else "")
-    os.environ.setdefault("PYSPARK_PYTHON", sys.executable)
+    from tools.faultlab import setup_env
+
+    setup_env()
     os.environ.pop("SPARK_GRAFT_CHECKPOINT_REPLICAS", None)
 
     shutil.rmtree(EVENTLOG_DIR, ignore_errors=True)
@@ -357,10 +355,12 @@ def run_fallback_leg(sf_dir: str, out_path: Path | None) -> None:
         sc = spark.sparkContext
 
         for name in FALLBACK_QUERIES:
-            # steady state: worker 0 alive, worker 1 DOWN (so the single
-            # executor provably lands on 0 and has no migration peer)
-            if cluster.workers[0] is None or cluster.workers[0].poll() is not None:
-                cluster.restart_worker(0)
+            # steady state: worker 0 FRESH (a drained worker's JVM stays
+            # alive in decommissioned state and the master will never
+            # place executors there again — an is-it-dead check is not
+            # enough, the daemon must be replaced), worker 1 DOWN (so
+            # the single executor provably lands on 0 with no peer)
+            cluster.restart_worker(0)
             if cluster.workers[1] is not None:
                 cluster.kill_worker(1)
             if not _wait_executors(spark, 1):
@@ -369,15 +369,33 @@ def run_fallback_leg(sf_dir: str, out_path: Path | None) -> None:
                 continue
 
             sc.setLocalProperty("spark.jobGroup.id", f"fbbase::{name}")
-            try:
-                base_hash, base_rows = _run_wrapped(spark, sf_dir, name, None)
-            except Exception as exc:  # noqa: BLE001
+            base_holder: dict = {}
+
+            def _baseline(n=name, h=base_holder):
+                try:
+                    h["hash"], h["rows"] = _run_wrapped(spark, sf_dir, n, None)
+                except Exception as exc:  # noqa: BLE001
+                    h["error"] = f"{type(exc).__name__}: {exc}"[:300]
+
+            # bounded: with zero usable executors a submitted job starves
+            # FOREVER (no scheduler timeout) — a hung baseline must fail
+            # the query, not wedge the whole leg
+            bt = threading.Thread(target=_baseline, daemon=True)
+            bt.start()
+            bt.join(timeout=JOIN_TIMEOUT)
+            sc.setLocalProperty("spark.jobGroup.id", None)
+            if bt.is_alive():
+                sc.cancelAllJobs()
                 results[name] = {
                     "ok": False,
-                    "error": f"baseline: {type(exc).__name__}: {exc}"[:300]}
+                    "error": f"baseline hung past {JOIN_TIMEOUT:.0f}s "
+                             "(no usable executor?)"}
                 continue
-            finally:
-                sc.setLocalProperty("spark.jobGroup.id", None)
+            if "error" in base_holder:
+                results[name] = {"ok": False,
+                                 "error": f"baseline: {base_holder['error']}"}
+                continue
+            base_hash, base_rows = base_holder["hash"], base_holder["rows"]
 
             res: dict = {"rows": base_rows, "hash": base_hash}
             inj = _injected_fallback(spark, cluster, sf_dir, name, base_hash,
@@ -461,11 +479,9 @@ def main() -> None:  # noqa: C901 — linear rehearsal script
         else (None if quick else REPO / "DECOMMISSION_DETERMINISM.json")
     )
 
-    existing = os.environ.get("PYTHONPATH", "")
-    if str(REPO) not in existing.split(os.pathsep):
-        os.environ["PYTHONPATH"] = str(REPO) + (
-            os.pathsep + existing if existing else "")
-    os.environ.setdefault("PYSPARK_PYTHON", sys.executable)
+    from tools.faultlab import setup_env
+
+    setup_env()
     os.environ.pop("SPARK_GRAFT_CHECKPOINT_REPLICAS", None)
 
     shutil.rmtree(EVENTLOG_DIR, ignore_errors=True)
@@ -484,6 +500,8 @@ def main() -> None:  # noqa: C901 — linear rehearsal script
     seen_execs: set[str] = set()
     cluster = MiniCluster(
         tag="decom",
+        # tier-10x executors are 8g: the worker daemon must offer it
+        memory="10g" if tier10x else "3g",
         worker_java_opts=("-Dspark.decommission.enabled=true",))
     cluster.__enter__()
     try:

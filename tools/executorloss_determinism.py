@@ -71,7 +71,6 @@ multi-partition shuffles. Results MERGE into the artifact under a
 from __future__ import annotations
 
 import glob
-import hashlib
 import json
 import os
 import shutil
@@ -79,7 +78,6 @@ import sys
 import threading
 import time
 import uuid
-from collections import defaultdict
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
@@ -87,10 +85,20 @@ sys.path.insert(0, str(REPO))
 
 from tools.retry_determinism import JVM_QUERIES, PYTHON_FAMILIES  # noqa: E402
 from tools.minicluster import MiniCluster, WORKER_HOSTS  # noqa: E402
+# shared rehearsal core (tools/faultlab) — re-exported under the
+# original names for the decommission/streaming harnesses and tests
+from tools.faultlab import (  # noqa: E402
+    BARRIER_TIMEOUT,
+    barrier_identity as _barrier_identity,
+    canon_hash as _canon_hash,
+    merge_tier_leg,
+    parse_eventlog_groups as _parse_eventlog,
+    run_wrapped as _run_wrapped,
+    wait_executors as _wait_executors,
+)
 
 EVENTLOG_DIR = "/tmp/spark_graft_exloss_eventlog"
 BARRIER_ROOT = "/tmp/spark_graft_exloss_barrier"
-BARRIER_TIMEOUT = 180.0  # tasks proceed on their own past this: no deadlock
 MARKER_WAIT = 240.0      # driver-side wait for the final stage to start
 JOIN_TIMEOUT = 900.0     # injected-run wall clock bound
 
@@ -122,88 +130,6 @@ TIER10X_CONF = {
 }
 
 
-def merge_tier_leg(out_path: Path, summary: dict, key: str = "tier_10x") -> None:
-    """Attach a tier leg to an existing artifact without disturbing the
-    base suite's results (read-modify-write; creates the file if the
-    base suite has never run)."""
-    doc: dict = {}
-    if out_path.exists():
-        try:
-            doc = json.loads(out_path.read_text())
-        except json.JSONDecodeError:
-            doc = {}
-    doc[key] = summary
-    out_path.write_text(json.dumps(doc, indent=1) + "\n")
-
-
-def _barrier_identity(token_dir: str):
-    """Identity mapInPandas whose FIRST attempt announces its host and
-    blocks on the driver's go-file. Later attempts (post-loss reruns)
-    find go already present and stream straight through."""
-
-    def fn(it):
-        from pyspark import TaskContext
-
-        tc = TaskContext.get()
-        os.makedirs(token_dir, exist_ok=True)
-        host = os.environ.get("SPARK_LOCAL_HOSTNAME", "unknown")
-        pid = tc.partitionId() if tc else -1
-        att = tc.attemptNumber() if tc else -1
-        open(os.path.join(token_dir, f"task_{pid}_{att}_{host}"), "w").close()
-        go = os.path.join(token_dir, "go")
-        deadline = time.time() + BARRIER_TIMEOUT
-        while not os.path.exists(go) and time.time() < deadline:
-            time.sleep(0.1)
-        yield from it
-
-    return fn
-
-
-def _canon_hash(columns, rows) -> str:
-    from etl_process_spark.queries.differential import _rows_to_canonical
-
-    canon = _rows_to_canonical(columns, rows)
-    h = hashlib.md5()
-    for r in canon:
-        h.update("\x1f".join(r).encode())
-        h.update(b"\x1e")
-    return h.hexdigest()
-
-
-def _run_wrapped(spark, sf_dir: str, name: str,
-                 token_dir: str | None) -> tuple[str, int]:
-    """Build the query, wrap the FINAL frame with an identity
-    mapInPandas (barrier-gated when token_dir is given, plain
-    otherwise so baseline and injected runs share the same plan
-    boundary), collect, canonical-hash."""
-    from etl_process_spark.queries import QUERIES
-
-    df = QUERIES[name].builder(spark, sf_dir)
-    if token_dir is not None:
-        fn = _barrier_identity(token_dir)
-    else:
-        def fn(it):
-            yield from it
-    wrapped = df.mapInPandas(fn, df.schema)
-    rows = [tuple(r) for r in wrapped.collect()]
-    return _canon_hash(df.columns, rows), len(rows)
-
-
-def _wait_executors(spark, n: int, timeout: float = 90.0) -> bool:
-    """Block until the driver sees n live executors (registered block
-    managers minus the driver's own)."""
-    deadline = time.time() + timeout
-    sc = spark.sparkContext
-    while time.time() < deadline:
-        try:
-            if sc._jsc.sc().getExecutorMemoryStatus().size() >= n + 1:
-                return True
-        except Exception:  # noqa: BLE001 — transient RPC during recovery
-            pass
-        time.sleep(0.5)
-    return False
-
-
 def _kill_during_final_stage(cluster: MiniCluster, token_dir: str,
                              prefer_not: int | None = None) -> dict:
     """Wait for barrier markers, kill a worker that is RUNNING a
@@ -232,74 +158,6 @@ def _kill_during_final_stage(cluster: MiniCluster, token_dir: str,
     os.makedirs(token_dir, exist_ok=True)
     open(os.path.join(token_dir, "go"), "w").close()
     return info
-
-
-def _parse_eventlog(log_dir: str) -> dict[str, dict]:
-    """Per-job-group recovery evidence: FetchFailed task ends,
-    re-submitted stage attempts, executor-lost task failures. Plus the
-    app-level executor-removed count under the '' key."""
-    agg: dict[str, dict] = defaultdict(
-        lambda: {"fetch_failed": 0, "resubmitted_stages": 0,
-                 "resubmitted_tasks": 0, "executor_lost_tasks": 0,
-                 "n_tasks": 0})
-    removed = 0
-
-    def _idx(p: Path) -> tuple:
-        parts = p.name.split("_")
-        try:
-            return (int(parts[1]), p.name)
-        except (IndexError, ValueError):
-            return (1 << 30, p.name)
-
-    apps: list[list[Path]] = []
-    for entry in sorted(Path(log_dir).glob("*"), key=lambda p: p.stat().st_mtime):
-        if entry.is_dir():
-            apps.append(sorted(
-                (p for p in entry.iterdir() if p.name.startswith("events_")),
-                key=_idx))
-        else:
-            apps.append([entry])
-    for files in apps:
-        stage_to_group: dict[int, str] = {}
-        for path in files:
-            with open(path) as fh:
-                for line in fh:
-                    try:
-                        ev = json.loads(line)
-                    except json.JSONDecodeError:
-                        continue
-                    kind = ev.get("Event")
-                    if kind == "SparkListenerJobStart":
-                        group = (ev.get("Properties") or {}).get(
-                            "spark.jobGroup.id")
-                        if not group:
-                            continue
-                        for sid in ev.get("Stage IDs", []):
-                            stage_to_group[sid] = group
-                    elif kind == "SparkListenerStageSubmitted":
-                        si = ev.get("Stage Info") or {}
-                        group = stage_to_group.get(si.get("Stage ID"))
-                        if group and si.get("Stage Attempt ID", 0) > 0:
-                            agg[group]["resubmitted_stages"] += 1
-                    elif kind == "SparkListenerTaskEnd":
-                        group = stage_to_group.get(ev.get("Stage ID"))
-                        if not group:
-                            continue
-                        agg[group]["n_tasks"] += 1
-                        reason = (ev.get("Task End Reason") or {}).get("Reason")
-                        if reason == "FetchFailed":
-                            agg[group]["fetch_failed"] += 1
-                        elif reason == "ExecutorLostFailure":
-                            agg[group]["executor_lost_tasks"] += 1
-                        elif reason == "Resubmitted":
-                            # map task whose finished output died with
-                            # the executor — the literal resubmission
-                            agg[group]["resubmitted_tasks"] += 1
-                    elif kind == "SparkListenerExecutorRemoved":
-                        removed += 1
-    out = dict(agg)
-    out[""] = {"executors_removed": removed}
-    return out
 
 
 def _injected_once(spark, cluster, sf_dir, name, base_hash,
@@ -358,11 +216,9 @@ def main() -> None:  # noqa: C901 — linear rehearsal script
         else (None if quick else REPO / "EXECUTORLOSS_DETERMINISM.json")
     )
 
-    existing = os.environ.get("PYTHONPATH", "")
-    if str(REPO) not in existing.split(os.pathsep):
-        os.environ["PYTHONPATH"] = str(REPO) + (
-            os.pathsep + existing if existing else "")
-    os.environ.setdefault("PYSPARK_PYTHON", sys.executable)
+    from tools.faultlab import setup_env
+
+    setup_env()
     os.environ.pop("SPARK_GRAFT_CHECKPOINT_REPLICAS", None)
 
     shutil.rmtree(EVENTLOG_DIR, ignore_errors=True)
@@ -381,7 +237,11 @@ def main() -> None:  # noqa: C901 — linear rehearsal script
     # MiniCluster.__enter__ returns the master URL (the speculation
     # tool's call shape); this harness needs the INSTANCE for
     # kill/restart, so enter/exit explicitly.
-    cluster = MiniCluster(tag="exloss")
+    # tier-10x executors are 8g (TIER10X_CONF): the worker daemon must
+    # OFFER that much or the executor never launches and every query
+    # fails as "cluster did not heal"
+    cluster = MiniCluster(tag="exloss",
+                          memory="10g" if tier10x else "3g")
     cluster.__enter__()
     try:
         conf = {

@@ -49,11 +49,20 @@ Suite — one query per state mechanism / provider combination:
 | stream_stream_join   | time-bounded left-outer join (two sources, 4-store join state, watermark-driven unmatched-row emission) | HDFS-backed |
 
 Usage: python tools/streaming_executorloss.py [out.json] [--quick]
-           [--drain]
+           [--drain] [--big]
 Writes STREAMING_EXECUTORLOSS.json (--quick runs tumbling + legacy
 sessionizer only and does NOT overwrite the artifact unless an out
 path is given); exits nonzero on any mismatch or vacuous run.
 Run SERIALLY (kill timing shares the host with the batches).
+
+``--big`` is the backlog tier the round-10 verdict asked for: sf0.01
+events (10x the rows per micro-batch), the kill moved to batch 5 so
+several batches of state history exist, RocksDB CHANGELOG checkpointing
+enabled, and ``minDeltasForSnapshot`` raised past the batch count so NO
+full snapshot ever exists — recovery must replay the entire
+delta/changelog chain from batch 0 on the surviving executor instead of
+loading one recent snapshot. Results merge into the artifact under a
+``tier_sf0.01`` key with the same gates.
 
 ``--drain`` swaps the SIGKILL for Spark's graceful decommission
 (SIGPWR to a worker launched with ``spark.decommission.enabled``):
@@ -76,7 +85,12 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
-from tools.executorloss_determinism import _canon_hash, _wait_executors  # noqa: E402
+from tools.faultlab import (  # noqa: E402
+    canon_hash as _canon_hash,
+    eventlog_counts as _eventlog_counts_shared,
+    setup_env,
+    wait_executors as _wait_executors,
+)
 from tools.minicluster import MiniCluster, WORKER_HOSTS  # noqa: E402
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -86,6 +100,31 @@ EVENTLOG_DIR = f"{ROOT}/eventlog"
 N_CHUNKS = 12
 KILL_AFTER_BATCH = 2     # kill once this batchId has a progress event
 AWAIT_SECS = 600
+
+
+def _set_big_tier() -> None:
+    """Re-point the module at the sf0.01 backlog (its own inbox/eventlog
+    roots so the sf0.001 artifacts are untouched) and move the kill deep
+    enough into the run that a multi-batch state history exists."""
+    global SF_DIR, ROOT, INBOX, EVENTLOG_DIR, KILL_AFTER_BATCH, AWAIT_SECS
+    SF_DIR = "/root/testdata/sf0.01"
+    ROOT = "/tmp/spark_graft_stream_exloss_big"
+    INBOX = f"{ROOT}/inbox"
+    EVENTLOG_DIR = f"{ROOT}/eventlog"
+    KILL_AFTER_BATCH = 5
+    AWAIT_SECS = 1200
+
+
+# --big: no snapshot may ever be written (minDeltasForSnapshot > batch
+# count), so post-kill state reload MUST replay the full delta /
+# RocksDB-changelog chain from batch 0 — the non-trivial-recovery
+# regime; changelog checkpointing ON so RocksDB writes per-batch
+# changelogs instead of full SST uploads
+BIG_TIER_CONF = {
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled":
+        "true",
+    "spark.sql.streaming.stateStore.minDeltasForSnapshot": "50",
+}
 ROCKSDB = ("org.apache.spark.sql.execution.streaming.state."
            "RocksDBStateStoreProvider")
 PROVIDER_KEY = "spark.sql.streaming.stateStore.providerClass"
@@ -180,6 +219,19 @@ def _build_inbox(spark) -> int:
     return N_CHUNKS
 
 
+def _state_file_census(ckpt: str) -> dict:
+    """File-type census of a checkpoint's state store — the --big tier's
+    replay evidence: with minDeltasForSnapshot past the batch count, the
+    history must be (nearly) all .delta / .changelog files, so post-kill
+    reload provably replays a chain instead of loading one snapshot."""
+    census: dict[str, int] = {}
+    for p in Path(ckpt, "state").rglob("*"):
+        if p.is_file():
+            suffix = p.suffix or p.name
+            census[suffix] = census.get(suffix, 0) + 1
+    return census
+
+
 def _progress_evidence(query) -> list[dict]:
     out = []
     for p in query.recentProgress:
@@ -248,6 +300,7 @@ def _run_leg(spark, spec: dict, leg: str,
         res["final_batch"] = max(
             (p["batchId"] for p in res["progress"]
              if p["batchId"] is not None), default=None)
+        res["state_files"] = _state_file_census(ckpt)
     finally:
         if q.isActive:
             q.stop()
@@ -258,28 +311,16 @@ def _run_leg(spark, spec: dict, leg: str,
     return res
 
 
-def _eventlog_counts(log_dir: str) -> dict:
-    removed = fetch_failed = 0
-    for entry in Path(log_dir).glob("**/*"):
-        if not entry.is_file():
-            continue
-        try:
-            with open(entry) as fh:
-                for line in fh:
-                    compact = line.replace(" ", "")
-                    if '"Event":"SparkListenerExecutorRemoved"' in compact:
-                        removed += 1
-                    if '"Reason":"FetchFailed"' in compact:
-                        fetch_failed += 1
-        except (OSError, UnicodeDecodeError):
-            continue
-    return {"executors_removed": removed, "fetch_failed": fetch_failed}
+_eventlog_counts = _eventlog_counts_shared
 
 
 def main() -> None:
     argv = [a for a in sys.argv[1:] if not a.startswith("--")]
     quick = "--quick" in sys.argv
     drain = "--drain" in sys.argv
+    big = "--big" in sys.argv
+    if big:
+        _set_big_tier()
     default_out = ("STREAMING_DECOMMISSION.json" if drain
                    else "STREAMING_EXECUTORLOSS.json")
     out_path = (
@@ -287,11 +328,7 @@ def main() -> None:
         else (None if quick else REPO / default_out)
     )
 
-    existing = os.environ.get("PYTHONPATH", "")
-    if str(REPO) not in existing.split(os.pathsep):
-        os.environ["PYTHONPATH"] = str(REPO) + (
-            os.pathsep + existing if existing else "")
-    os.environ.setdefault("PYSPARK_PYTHON", sys.executable)
+    setup_env()
     # TWS executors import google.protobuf in their Python workers;
     # the vendored shim must be on PYTHONPATH BEFORE the cluster's
     # worker daemons capture the environment (executors inherit the
@@ -336,6 +373,8 @@ def main() -> None:
                 "spark.storage.decommission.rddBlocks.enabled": "true",
                 "spark.storage.decommission.shuffleBlocks.enabled": "true",
             })
+        if big:
+            conf.update(BIG_TIER_CONF)
         spark = get_spark(
             "streaming_decommission" if drain else "streaming_executorloss",
             master=cluster.master_url,
@@ -390,7 +429,7 @@ def main() -> None:
                     "injected": {
                         k: inj.get(k)
                         for k in ("kill", "batch_at_kill", "final_batch",
-                                  "rows", "hash", "error")
+                                  "rows", "hash", "error", "state_files")
                         if inj.get(k) is not None
                     },
                     "batches_after_kill": (
@@ -436,6 +475,8 @@ def main() -> None:
         "n_microbatches": N_CHUNKS,
         "kill_after_batch": KILL_AFTER_BATCH,
         "sf_dir": SF_DIR,
+        "tier": "sf0.01" if big else "sf0.001",
+        "tier_conf": BIG_TIER_CONF if big else None,
         "mode": "quick" if quick else "suite",
         "topology": ("standalone master + 2 workers on distinct loopback "
                      "hostnames; victim worker "
@@ -459,7 +500,12 @@ def main() -> None:
     }
     print(json.dumps(summary))
     if out_path is not None:
-        out_path.write_text(json.dumps(summary, indent=1) + "\n")
+        if big:
+            from tools.executorloss_determinism import merge_tier_leg
+
+            merge_tier_leg(out_path, summary, key="tier_sf0.01")
+        else:
+            out_path.write_text(json.dumps(summary, indent=1) + "\n")
         print(f"wrote {out_path}: {summary['n_ok']}/{summary['n_queries']} ok",
               file=sys.stderr)
     if summary["n_ok"] != summary["n_queries"]:
