@@ -204,6 +204,40 @@ def bpe_pairs_from_wrapped(s: Column) -> Column:
     )
 
 
+def _weighted_vocab(df: DataFrame, text_col: str) -> DataFrame:
+    """The corpus as (wrapped distinct token, occurrence count) — the
+    word-frequency dictionary every production BPE trainer runs on.
+
+    Pairs never cross whitespace-token boundaries (tokens are wrapped
+    independently) and a merge rewrite is a pure function of the token
+    string, so every occurrence of a token contributes the SAME pairs at
+    every round: counting per distinct token weighted by its occurrence
+    count is exactly occurrence-level counting (guide §2.3, aggregate
+    before you shuffle). One partial-agg token shuffle up front — the
+    only corpus-sized move — then every training round touches vocab-
+    sized data (|V| ≪ corpus: a web-scale corpus has ~1e6–1e8 distinct
+    tokens against ~1e12+ occurrences). The trainers' outputs are
+    bit-identical to occurrence-level counting by construction.
+    """
+    return (
+        df.select(F.explode(tokens(F.col(text_col))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .select(bpe_wrap(F.col("tok")).alias("s"), "w")
+    )
+
+
+def _pair_counts(wrapped: DataFrame) -> DataFrame:
+    """Occurrence-weighted adjacent-pair counts of a weighted vocab."""
+    return (
+        wrapped.select(
+            F.explode(bpe_pairs_from_wrapped(F.col("s"))).alias("pair"), "w"
+        )
+        .groupBy("pair")
+        .agg(F.sum("w").alias("n"))
+    )
+
+
 def bpe_merge_rounds(
     df: DataFrame, text_col: str, rounds: int = 3,
 ) -> DataFrame:
@@ -211,29 +245,22 @@ def bpe_merge_rounds(
     symbol pairs corpus-wide, merge the most frequent pair everywhere,
     recount. Returns one row per round: (merge_round, pair, n).
 
-    Each round is the canonical distributed shape — map-side pair
-    explosion (fan-out bounded by token length), ONE partial-agg shuffle
-    of (pair, count), a 1-row TakeOrdered winner broadcast back, and a
-    per-row string-replace rewrite (see bpe_wrap for why replace is
-    safe). No collect(): the winner joins back as a broadcast crossJoin,
-    so the whole training loop is a single lazy plan. At 100 TB,
-    localCheckpoint the rewritten corpus every few rounds (as the graph
-    operators do) to keep lineage flat; with 3 rounds the plan is
-    shallow enough to stay lazy.
+    Runs on the weighted vocab (``_weighted_vocab``): ONE corpus-sized
+    partial-agg token shuffle up front, then each round is a vocab-sized
+    pair recount (weights multiply occurrences exactly), a 1-row
+    TakeOrdered winner broadcast back, and a per-distinct-token
+    string-replace rewrite (see bpe_wrap for why replace is safe). No
+    collect(): the winner joins back as a broadcast, so the whole
+    training loop is a single lazy plan — the repeated vocab subtree is
+    one ReusedExchange across rounds, so the corpus is scanned once.
 
     Ties break (count desc, pair asc) — deterministic across engines.
     """
     # pre-tokenize on whitespace first (pairs never cross word boundaries)
-    wrapped = df.select(
-        F.explode(tokens(F.col(text_col))).alias("tok")
-    ).select(bpe_wrap(F.col("tok")).alias("s"))
+    wrapped = _weighted_vocab(df, text_col)
     out: DataFrame | None = None
     for r in range(1, rounds + 1):
-        counts = (
-            wrapped.select(F.explode(bpe_pairs_from_wrapped(F.col("s"))).alias("pair"))
-            .groupBy("pair")
-            .agg(F.count(F.lit(1)).alias("n"))
-        )
+        counts = _pair_counts(wrapped)
         winner = counts.orderBy(F.col("n").desc(), F.col("pair").asc()).limit(1)
         row = winner.select(
             F.lit(r).cast("int").alias("merge_round"), "pair", "n"
@@ -282,37 +309,36 @@ def bpe_merge_rounds_delta(
     (count desc, pair asc) ties), proven equal by test and by a recount
     oracle that shares NO formulation with this path.
 
-    Where the recount version re-explodes and re-shuffles the whole
-    corpus every round, this maintains the (pair, n) table
-    incrementally: only rows CONTAINING the framed winner change any
-    adjacency, so each round (a) filters those rows, (b) explodes their
-    pairs before and after the rewrite with ∓1 weights, and (c) folds
-    the weighted delta into the running counts. Per-round shuffle is
-    O(affected pairs) — shrinking as merges get rarer — instead of
-    O(corpus pairs); exactly the asymmetry that makes a 50k-merge
-    tokenizer trainable over 100 TB. The corpus rewrite itself stays a
-    full map (replace is a no-op on untouched rows). localCheckpoint
-    EVERY round keeps the two iterated lineages (stream + counts) flat
-    — mandatory here, not a knob: an un-checkpointed round references
-    the prior counts lineage twice (directly in the unionAll and again
-    through winner→aff→delta), so sparse checkpointing would grow the
-    plan exponentially in the round count.
+    Where the recount version re-counts the whole vocab every round,
+    this maintains the (pair, n) table incrementally: only tokens
+    CONTAINING the framed winner change any adjacency, so each round
+    (a) filters those vocab rows, (b) explodes their pairs before and
+    after the rewrite with ∓w occurrence weights, and (c) folds the
+    weighted delta into the running counts. Both tables are vocab-sized
+    (``_weighted_vocab``: the one corpus-sized shuffle happens up front,
+    exactly once), and the per-round delta shuffle is O(affected vocab
+    pairs) — shrinking as merges get rarer — instead of O(vocab pairs);
+    the asymmetry that makes a 50k-merge tokenizer trainable over
+    100 TB. The vocab rewrite itself stays a full map (replace is a
+    no-op on untouched rows). localCheckpoint EVERY round keeps the two
+    iterated lineages (stream + counts) flat — mandatory here, not a
+    knob: an un-checkpointed round references the prior counts lineage
+    twice (directly in the unionAll and again through winner→aff→delta),
+    so sparse checkpointing would grow the plan exponentially in the
+    round count. The INITIAL stream and counts are checkpointed too:
+    round 1 references them from five subtrees (winner, aff, delta×2,
+    rewrite), which un-checkpointed meant five corpus re-explosions
+    (measured: 8.8 s of the round-10 query's 10.7 s build at sf0.1).
 
     ``affected_counts`` (diagnostic): pass a list to receive the
-    per-round affected-stream-row count — the quantity that BOUNDS each
+    per-round affected VOCAB-row count — the quantity that BOUNDS each
     round's delta shuffle and whose decay as merges rarify is the whole
     argument for the delta design (tools/bench_bpe_decay.py measures it
     at production round counts). Counting forces one extra action per
     round against the checkpointed stream; leave None in production.
     """
-    wrapped = df.select(
-        F.explode(tokens(F.col(text_col))).alias("tok")
-    ).select(bpe_wrap(F.col("tok")).alias("s"))
-    counts = (
-        wrapped.select(F.explode(bpe_pairs_from_wrapped(F.col("s"))).alias("pair"))
-        .groupBy("pair")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
+    wrapped = _weighted_vocab(df, text_col).localCheckpoint(eager=False)
+    counts = _pair_counts(wrapped).localCheckpoint(eager=False)
     out: DataFrame | None = None
     for r in range(1, rounds + 1):
         winner = counts.orderBy(F.col("n").desc(), F.col("pair").asc()).limit(1)
@@ -347,21 +373,22 @@ def bpe_merge_rounds_delta(
                     F.replace(F.col("wpair"), F.lit(" "), F.lit("")),
                     F.lit(" "),
                 ),
-            ).alias("s")
+            ).alias("s"),
+            "w",
         )
         delta = (
             aff.select(
                 F.explode(bpe_pairs_from_wrapped(F.col("s"))).alias("pair"),
-                F.lit(-1).alias("w"),
+                (-F.col("w")).alias("dw"),
             )
             .unionAll(
                 rewritten.select(
                     F.explode(bpe_pairs_from_wrapped(F.col("s"))).alias("pair"),
-                    F.lit(1).alias("w"),
+                    F.col("w").alias("dw"),
                 )
             )
             .groupBy("pair")
-            .agg(F.sum("w").alias("n"))
+            .agg(F.sum("dw").alias("n"))
         )
         counts = (
             counts.unionAll(delta)
