@@ -30,7 +30,7 @@ regardless of diameter, where min-label propagation needs diameter rounds
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 # Optional bench-tooling hook (tools/bench_scale.py): called once per
@@ -74,24 +74,32 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("comp").alias("nbr_comp"))
         )
+        # The convergence check rides the checkpoint's materialization
+        # job as an observed metric over rows that already carry both
+        # the old and the new label — one action per round, where the
+        # former new⋈old join + limit(1).count() cost a second job and
+        # an extra node-keyed shuffle join every round at any scale.
+        obs = Observation()
         new_labels = (
             labels.join(neighbor_min, labels.node == neighbor_min.a, "left")
             .select(
                 "node",
+                F.col("comp").alias("old_comp"),
                 F.least(F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp")))
                 .alias("comp"),
             )
+            .observe(
+                obs,
+                F.coalesce(
+                    F.sum((F.col("comp") != F.col("old_comp")).cast("long")),
+                    F.lit(0),
+                ).alias("changed"),
+            )
+            .select("node", "comp")
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
-        )
         labels = new_labels
-        if changed == 0:
+        if obs.get["changed"] == 0:
             return labels.select(F.col("node"), F.col("comp").alias("component"))
     raise RuntimeError(
         f"connected_components did not converge in {max_iterations} rounds "
@@ -144,6 +152,17 @@ def _small_star(edges: DataFrame) -> DataFrame:
         .filter(F.col("a") != F.col("b"))
         .distinct()
     )
+    return _small_star_canonical(d)
+
+
+def _small_star_canonical(d: DataFrame) -> DataFrame:
+    """Small-star over edges already directed large → small, self-loop
+    free and distinct — exactly ``_large_star``'s output contract (its
+    rows are (b, m) with b > a ≥ m, distinct-ed). The composed
+    large→small round skips ``_small_star``'s re-canonicalization,
+    which re-shuffled the whole O(|E|) edge set through a redundant
+    distinct every round (guide §2.4: remove exchanges over data whose
+    invariant already holds)."""
     m = d.groupBy("a").agg(F.min("b").alias("m"))
     to_min = d.join(m, "a").select(F.col("b").alias("a"), F.col("m").alias("b"))
     self_to_min = m.select(F.col("a"), F.col("m").alias("b"))
@@ -174,24 +193,40 @@ def connected_components_star(
     {(node, component-min)}; labels fall out of the final edge set with
     no extra propagation pass.
     """
-    nodes = (
-        edges.select(F.col(src).alias("node"))
-        .unionByName(edges.select(F.col(dst).alias("node")))
-        .distinct()
-        .localCheckpoint()
-    )
-    e = (
+    # ONE distinct pass over the raw pair list (self-loops kept so the
+    # node set falls out of the same checkpoint); the former separate
+    # nodes checkpoint re-scanned + re-shuffled the upstream pair
+    # pipeline a second time just to materialize node ids that the
+    # final isolated-union is the only consumer of.
+    e0 = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .filter(F.col("a") != F.col("b"))
         .distinct()
         .localCheckpoint()
     )
+    nodes = (
+        e0.select(F.col("a").alias("node"))
+        .unionByName(e0.select(F.col("b").alias("node")))
+        .distinct()
+    )
+    e = e0.filter(F.col("a") != F.col("b"))
     prev = _digest(e)
     if prev[0] == 0:  # only self-loops / isolated nodes
         return nodes.select("node", F.col("node").alias("component"))
     for _ in range(max_iterations):
-        e = _small_star(_large_star(e)).localCheckpoint()
-        cur = _digest(e)
+        # digest rides the checkpoint materialization as an observed
+        # metric — the former separate _digest() aggregate job per round
+        # is gone (same (count, order-independent hash-sum) fingerprint)
+        obs = Observation()
+        e = (
+            _small_star_canonical(_large_star(e))
+            .observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(F.sum(F.xxhash64("a", "b")), F.lit(0)).alias("h"),
+            )
+            .localCheckpoint()
+        )
+        cur = (int(obs.get["n"]), int(obs.get["h"]))
         if cur == prev:
             break
         prev = cur

@@ -251,3 +251,34 @@ def test_bfs_distances_matches_python_bfs(spark, edges, seeds):
         for r in bfs_distances(e, sd, max_hops=3).collect()
     }
     assert got == _py_bfs_distances(canon, seeds, 3)
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)),
+        min_size=1, max_size=40,
+    )
+)
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_small_star_canonical_matches_general_on_large_star_output(spark, edges):
+    """The composed CC round skips _small_star's re-canonicalization
+    because _large_star's output is already large->small, self-loop free
+    and distinct; this pins that the shortcut is a pure plan
+    optimization — identical edge sets from both small-star forms."""
+    from etl_process_spark.operators.graph import (
+        _large_star,
+        _small_star,
+        _small_star_canonical,
+    )
+
+    df = spark.createDataFrame(edges, "src long, dst long").select(
+        *[c for c in ("src", "dst")]
+    )
+    e = df.selectExpr("src as a", "dst as b").filter("a != b").distinct()
+    if e.count() == 0:
+        return
+    ls = _large_star(e)
+    general = {(r["a"], r["b"]) for r in _small_star(ls).collect()}
+    fast = {(r["a"], r["b"]) for r in _small_star_canonical(ls).collect()}
+    assert fast == general
