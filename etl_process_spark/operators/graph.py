@@ -489,8 +489,13 @@ def bfs_distances(
 
     Per round: one node-keyed join shuffle + one anti-join (AQE
     broadcasts the frontier while it is small) + a distinct over new
-    neighbors. Each hop's frontier is checkpointed like the CC loop so
-    round N's plan doesn't replay rounds 1..N-1.
+    neighbors. The anti-join runs BEFORE the distinct: it is a
+    broadcast map-side filter while ``dist`` fits, so already-settled
+    candidates — the vast majority once the frontier saturates — never
+    enter the distinct's exchange (same rows out either way;
+    filter∘distinct ≡ distinct∘filter). Each hop's frontier is
+    checkpointed like the CC loop so round N's plan doesn't replay
+    rounds 1..N-1.
 
     BFS is insensitive to duplicate edges (the per-round neighbor
     distinct absorbs them), so callers holding an UN-deduplicated
@@ -513,11 +518,10 @@ def bfs_distances(
         nbrs = (
             frontier.join(sym, frontier.n == sym.a)
             .select(F.col("b").alias("n"))
+            .join(dist.select("n"), "n", "left_anti")
             .distinct()
         )
-        pre = nbrs.join(dist.select("n"), "n", "left_anti").select(
-            "n", F.lit(hop).cast("int").alias("dist")
-        )
+        pre = nbrs.select("n", F.lit(hop).cast("int").alias("dist"))
         new = pre.localCheckpoint(eager=False)
         if ROUND_PLAN_PROBE is not None:
             # bench tooling: record THIS round's join/exchange shape
