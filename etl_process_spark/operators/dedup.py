@@ -953,8 +953,15 @@ def simhash_dup_pairs(
     an all-pairs comparison. Returns (doc_a, doc_b, hamming) with
     doc_a < doc_b.
     """
-    banded = simhash_bands(df, text_col, id_col)
-    sig = banded.filter(F.col("band") == 0).select("doc", "shs")
+    # sign-once: the signature table (doc, shs) feeds THREE subtrees
+    # (the banded candidate join and both verify sides), and nothing
+    # tells Catalyst they share the per-token md5 + 65-aggregate
+    # signature pass — un-materialized it computes 3x. localCheckpoint
+    # pins the doc-count-sized digest table (the image_phash
+    # decode-once pattern; tiny at any corpus scale next to the token
+    # stream it derives from).
+    sig = simhash_signatures(df, text_col, id_col).localCheckpoint(eager=False)
+    banded = sig.select("doc", F.posexplode("shs").alias("band", "bucket"))
     pairs = bucket_pairs(banded.select("doc", "band", "bucket"))
     a = sig.select(F.col("doc").alias("doc_a"), F.col("shs").alias("shs_a"))
     b = sig.select(F.col("doc").alias("doc_b"), F.col("shs").alias("shs_b"))
