@@ -877,7 +877,12 @@ def simhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     interpreted and was ~20× slower); the shuffle carries one 65-int
     row per (partition, doc) thanks to map-side partial aggregation.
     """
-    tok = df.select(
+    # single-file parquet corpora arrive as ONE scan split; the
+    # per-token md5 + bit-tally map work below would serialize on one
+    # core without the round-robin spread (same remedy as the shingle
+    # operators; a no-op cost at real scale where scans are wide, and
+    # disabled session-wide by spark.graft.ensureParallelism=false)
+    tok = ensure_parallelism(df).select(
         F.col(id_col).alias("doc"),
         # explode_OUTER: a NULL/empty text must keep its doc row (one
         # NULL token → all tallies NULL → every majority test false →

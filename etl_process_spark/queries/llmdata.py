@@ -3120,9 +3120,13 @@ def containment_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocker by design — documented, not silent.
     """
     docs = tbl(spark, sf_dir, "documents")
-    toks = docs.select(
+    toks = dd.ensure_parallelism(docs).select(
         "doc_id", F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("w")
     ).where(F.size("w") >= 3)
+    # the shingle posting table feeds FIVE plan references (sizes, the
+    # rarity df count, the rare-posting join, and both verify sides);
+    # un-materialized, the tokenize + trigram explode re-ran per
+    # reference — checkpoint once, like allpairs_jaccard's sh table
     sh = toks.select(
         "doc_id",
         F.explode(
@@ -3131,7 +3135,7 @@ def containment_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " i -> concat_ws(' ', slice(w, i+1, 3))))"
             )
         ).alias("s"),
-    )
+    ).localCheckpoint(eager=False)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     rare = (
         sh.groupBy("s")
@@ -3139,7 +3143,8 @@ def containment_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("dfc").between(2, 5))
         .select("s")
     )
-    rare_posts = sh.join(rare, "s")
+    # referenced by both sides of the candidate self-join
+    rare_posts = sh.join(rare, "s").localCheckpoint(eager=False)
     cand = (
         rare_posts.alias("a")
         .join(rare_posts.alias("b"), "s")
