@@ -3226,7 +3226,9 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     groups — corpus-size-independent, like the k-means centroid update.
     """
     emb = tbl(spark, sf_dir, "embeddings")
-    ints = emb.select(
+    # dims²/2 in-row products per vector explode out of the scan — a
+    # single-file corpus would run that entire map stage on one core
+    ints = dd.ensure_parallelism(emb).select(
         F.expr(
             "transform(embedding, v ->"
             " CAST(round(CAST(v AS DOUBLE) * 1000000, 0) AS BIGINT))"
