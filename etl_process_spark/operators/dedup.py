@@ -433,12 +433,8 @@ def ngram_jaccard_pairs(
     opt-in only).
     """
     # distinct shingle sets via a parallel shuffle-dedup (array_distinct
-    # inside a row is a quadratic single-core scan of each array);
-    # materialized once — the table feeds three subtrees (sizes + both
-    # intersect sides), which otherwise re-run the explode+distinct each
-    sh = shingle_rows(df, text_col, id_col, k).distinct().localCheckpoint(
-        eager=False
-    )
+    # inside a row is a quadratic single-core scan of each array)
+    sh = shingle_rows(df, text_col, id_col, k).distinct()
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     if candidates is not None:
         # Restrict BEFORE intersecting: fan each candidate pair out by

@@ -162,11 +162,9 @@ def neardup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = tbl(spark, sf_dir, "documents")
     truth = dd.allpairs_jaccard(docs, "text", "doc_id").select("doc_a", "doc_b")
-    # referenced twice (candidate count + the hits join): materialize the
-    # pair list once or the whole minhash->band->bucket pipeline runs 2x
     lsh = dd.lsh_candidate_pairs(
         docs, "text", "doc_id", num_hashes=4, band_size=2, k=3
-    ).localCheckpoint(eager=False)
+    )
     n_cand = lsh.agg(
         F.count(F.lit(1)).cast("long").alias("n_lsh_candidates")
     )
