@@ -775,7 +775,9 @@ def eval_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast-semi probe → partial count.
     """
     docs = tbl(spark, sf_dir, "documents")
-    words = docs.select("doc_id", F.split("text", " ").alias("w")).filter(
+    words = dd.ensure_parallelism(docs).select(
+        "doc_id", F.split("text", " ").alias("w")
+    ).filter(
         F.size("w") >= 4
     )
     grams = words.select(
@@ -828,7 +830,9 @@ def doc_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     ulp behavior can diverge the hash (the round-2 driver failure mode).
     """
     docs = tbl(spark, sf_dir, "documents")
-    words = docs.select("doc_id", F.split("text", " ").alias("w")).filter(
+    words = dd.ensure_parallelism(docs).select(
+        "doc_id", F.split("text", " ").alias("w")
+    ).filter(
         F.size("w") >= 2
     )
     grams = words.select(
@@ -2365,7 +2369,9 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer arithmetic at the boundary.
     """
     docs = tbl(spark, sf_dir, "documents")
-    words = docs.select("doc_id", F.split("text", " ").alias("w")).filter(
+    words = dd.ensure_parallelism(docs).select(
+        "doc_id", F.split("text", " ").alias("w")
+    ).filter(
         F.size("w") >= 2
     )
     grams = words.select(
