@@ -69,20 +69,39 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
     A small parquet table arrives as one split → one task, serializing an
     embarrassingly parallel computation on a single core. The fix is one
     lazy round-robin ``repartition(defaultParallelism)`` of the raw input
-    rows — cheap relative to the per-row compute it unlocks, and AQE
-    coalesces it back down when the input is already wide.
+    rows — cheap relative to the per-row compute it unlocks.
 
-    This is deliberately *lazy*: inspecting ``df.rdd.getNumPartitions()``
-    to decide would force plan materialization (a driver-side job) on
-    every call, which dominates harness latency on tiny inputs. At real
-    scale — where the scan already yields thousands of splits and the
-    extra shuffle is pure cost — disable it session-wide with
-    ``spark.conf.set("spark.graft.ensureParallelism", "false")``.
+    The spread is WIDTH-AWARE: it fires only when the frame's input file
+    count is below the session's default parallelism. A real corpus scan
+    already yields thousands of splits, and a round-robin repartition of
+    raw document text there is a pure extra full shuffle at any scale —
+    so a wide input short-circuits to a no-op with no conf required.
+    ``df.inputFiles()`` is driver-side metadata (the scan's file listing,
+    already computed and cached at read time — no job), so the check
+    costs one py4j round-trip, not a plan materialization. File count
+    underestimates split count for multi-row-group files, which only
+    makes the check conservative (a spread that fires on an
+    already-parallel scan is coalesced back down by AQE). Inputs with no
+    file lineage (in-memory frames, intermediate results) keep the
+    spread — they are small or already shuffled.
+
+    Session overrides: ``spark.graft.ensureParallelism=false`` disables
+    the spread outright (kill switch, unchanged); ``...=force`` restores
+    the unconditional pre-r12 behaviour.
     """
     spark = df.sparkSession
-    if spark.conf.get("spark.graft.ensureParallelism", "true") != "true":
+    mode = spark.conf.get("spark.graft.ensureParallelism", "true")
+    if mode == "false":
         return df
-    return df.repartition(spark.sparkContext.defaultParallelism)
+    par = spark.sparkContext.defaultParallelism
+    if mode != "force":
+        try:
+            n_files = len(df.inputFiles())
+        except Exception:
+            n_files = 0
+        if n_files >= par:
+            return df
+    return df.repartition(par)
 
 
 def _rot_hex(h: Column, chars: int) -> Column:
@@ -546,6 +565,13 @@ def lsh_probe_pairs(
     by (band, bucket) at scale.
     """
     new_bands = lsh_bands(batch, text_col, id_col, num_hashes, band_size, k)
+    return probe_pairs_from_bands(index, new_bands)
+
+
+def probe_pairs_from_bands(index: DataFrame, new_bands: DataFrame) -> DataFrame:
+    """``lsh_probe_pairs`` taking the batch's (doc, band, bucket) rows
+    directly — callers that also persist the bands (the streaming sink)
+    compute them once instead of re-banding the batch per consumer."""
     cross = (
         new_bands.alias("n")
         .join(

@@ -29,32 +29,110 @@ class TableCatalog:
     def _pointer(self, name: str) -> str:
         return os.path.join(self.root, f"{name}.version.json")
 
-    def _current_dir(self, name: str) -> str | None:
+    def _read_pointer(self, name: str) -> dict | None:
         ptr = self._pointer(name)
         if not os.path.exists(ptr):
             return None
         with open(ptr) as fh:
-            return json.load(fh)["dir"]
+            return json.load(fh)
 
-    def exists(self, name: str) -> bool:
-        return self._current_dir(name) is not None
-
-    def read(self, name: str) -> DataFrame:
-        d = self._current_dir(name)
-        if d is None:
-            raise FileNotFoundError(f"table {name} not initialized under {self.root}")
-        return self.spark.read.parquet(d)
-
-    def overwrite(self, name: str, df: DataFrame) -> None:
-        """Atomic table rewrite: write new version dir, then flip pointer."""
-        old = self._current_dir(name)
-        version = 0 if old is None else int(os.path.basename(old).rsplit("_v", 1)[1]) + 1
-        new_dir = os.path.join(self.root, f"{name}_v{version}")
-        df.write.mode("overwrite").parquet(new_dir)
+    def _write_pointer(self, name: str, payload: dict) -> None:
         tmp = self._pointer(name) + ".tmp"
         with open(tmp, "w") as fh:
-            json.dump({"dir": new_dir}, fh)
+            json.dump(payload, fh)
         os.replace(tmp, self._pointer(name))
+
+    def _current_dirs(self, name: str) -> list[str] | None:
+        p = self._read_pointer(name)
+        if p is None:
+            return None
+        return p["dirs"] if "dirs" in p else [p["dir"]]
+
+    def _current_dir(self, name: str) -> str | None:
+        ds = self._current_dirs(name)
+        if ds is None:
+            return None
+        if len(ds) != 1:
+            raise ValueError(
+                f"table {name} is a segment log ({len(ds)} segments); "
+                "compact it before using single-directory operations"
+            )
+        return ds[0]
+
+    def exists(self, name: str) -> bool:
+        return self._current_dirs(name) is not None
+
+    def read(self, name: str) -> DataFrame:
+        ds = self._current_dirs(name)
+        if ds is None:
+            raise FileNotFoundError(f"table {name} not initialized under {self.root}")
+        return self.spark.read.parquet(*ds)
+
+    def _next_version(self, name: str) -> int:
+        vs = self.versions(name)
+        return (vs[-1] + 1) if vs else 0
+
+    def overwrite(self, name: str, df: DataFrame) -> None:
+        """Atomic table rewrite: write new version dir, then flip pointer.
+
+        If the table was a segment log, the rewrite consolidates it back
+        to one directory; committed segment ids stay acknowledged via
+        ``compacted_through`` so ``has_segment`` (the streaming replay
+        guard) still reports them as applied.
+        """
+        old = self._read_pointer(name) or {}
+        new_dir = os.path.join(self.root, f"{name}_v{self._next_version(name)}")
+        df.write.mode("overwrite").parquet(new_dir)
+        payload: dict = {"dir": new_dir}
+        seg_ids = [int(s) for s in old.get("segments", {})]
+        thru = max([old.get("compacted_through", -1), *seg_ids] or [-1])
+        if thru >= 0:
+            payload["compacted_through"] = thru
+        self._write_pointer(name, payload)
+
+    def append_segment(self, name: str, df: DataFrame, segment_id: int) -> None:
+        """Append-only log write: persist ``df`` as segment ``segment_id``
+        and commit it with one atomic pointer swap — O(segment) bytes
+        written per call instead of ``overwrite``'s O(table) rewrite.
+
+        Idempotent per segment id: a replayed (crashed-and-rerun) epoch
+        rewrites the same segment directory with the same deterministic
+        content and re-commits the same pointer, so a crash at any step
+        leaves either the old pointer (orphan dir, rewritten on replay)
+        or the new one (segment fully visible). Readers see the union of
+        all committed segments through ``read``. Periodic ``compact``
+        (or ``overwrite``) folds the log back to one directory.
+        """
+        old = self._read_pointer(name)
+        seg_dir = os.path.join(self.root, f"{name}_seg{int(segment_id):08d}")
+        df.write.mode("overwrite").parquet(seg_dir)
+        if old is None:
+            payload: dict = {"dirs": [seg_dir], "segments": {str(int(segment_id)): seg_dir}}
+        else:
+            dirs = old["dirs"] if "dirs" in old else [old["dir"]]
+            segments = dict(old.get("segments", {}))
+            segments[str(int(segment_id))] = seg_dir
+            if seg_dir not in dirs:
+                dirs = dirs + [seg_dir]
+            payload = {"dirs": dirs, "segments": segments}
+            if "compacted_through" in old:
+                payload["compacted_through"] = old["compacted_through"]
+        self._write_pointer(name, payload)
+
+    def has_segment(self, name: str, segment_id: int) -> bool:
+        """True iff ``segment_id`` was committed (directly, or subsumed by
+        a later compaction) — the streaming sink's epoch-replay guard."""
+        p = self._read_pointer(name)
+        if p is None:
+            return False
+        sid = int(segment_id)
+        if sid <= p.get("compacted_through", -1):
+            return True
+        return str(sid) in p.get("segments", {})
+
+    def segment_count(self, name: str) -> int:
+        p = self._read_pointer(name) or {}
+        return len(p.get("dirs", []))
 
     def append(self, name: str, df: DataFrame) -> None:
         """Append sink (reference S8, INSERT...SELECT)."""
@@ -113,14 +191,9 @@ class TableCatalog:
         ≥1 file per value; a high-cardinality partition key degenerates
         into millions of tiny files and kills the scan.
         """
-        old = self._current_dir(name)
-        version = 0 if old is None else int(os.path.basename(old).rsplit("_v", 1)[1]) + 1
-        new_dir = os.path.join(self.root, f"{name}_v{version}")
+        new_dir = os.path.join(self.root, f"{name}_v{self._next_version(name)}")
         df.write.mode("overwrite").partitionBy(*partition_cols).parquet(new_dir)
-        tmp = self._pointer(name) + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump({"dir": new_dir}, fh)
-        os.replace(tmp, self._pointer(name))
+        self._write_pointer(name, {"dir": new_dir})
 
     def write_sorted(
         self, name: str, df: DataFrame, sort_cols: list[str], n_files: int
@@ -170,11 +243,12 @@ class TableCatalog:
         appends erode — pass a Z-order key (operators/zorder.py) to
         cluster on two dimensions at once.
         """
-        d = self._current_dir(name)
-        if d is None:
+        ds = self._current_dirs(name)
+        if ds is None:
             raise FileNotFoundError(f"table {name} not initialized under {self.root}")
         total = sum(
             os.path.getsize(os.path.join(dirpath, f))
+            for d in ds
             for dirpath, _, files in os.walk(d)
             for f in files
             if f.endswith(".parquet")
@@ -244,12 +318,12 @@ class TableCatalog:
 
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
-        live = self._current_dir(name)
+        live = set(self._current_dirs(name) or [])
         vs = self.versions(name)
         dropped = []
         for v in vs[:-keep_last] if keep_last < len(vs) else []:
             d = os.path.join(self.root, f"{name}_v{v}")
-            if d == live:
+            if d in live:
                 continue
             shutil.rmtree(d)
             dropped.append(v)

@@ -5,32 +5,50 @@ The batch operators already split the problem the right way
 (operators/dedup.py): ``lsh_band_index`` is the STORED state,
 ``lsh_probe_pairs`` is the per-batch increment that never re-reads the
 corpus. Streaming composition is then mechanical — ``foreachBatch``
-probes the current index, appends the batch's bands to it through an
-atomic catalog pointer swap, and appends the discovered pairs to the
-sink. Because bucket collision is pairwise (no transitivity), batch-at-
-a-time probing surfaces EXACTLY the pairs a full-corpus recompute would
-(the same theorem tests/test_dedup_incremental.py proves for the batch
-path) — so a 100 TB corpus ingesting continuously gets its near-dup
-pairs at O(batch) cost per trigger, with index state O(corpus bands)
-living in the table catalog, not the state store.
+probes the current index and commits the epoch's NEW rows as one
+append-only log segment per table (``TableCatalog.append_segment``):
+the index gains only the batch's bands, the pairs table only the
+batch's pairs. Per-epoch write volume is therefore O(batch), not
+O(corpus) — the previous design unioned fresh bands into the stored
+index and rewrote both whole tables through the catalog pointer swap
+every trigger, an O(corpus) write per epoch that dominates everything
+at 100 TB. Readers see the union of committed segments through
+``catalog.read``; periodic ``catalog.compact`` folds the log back to
+few large files (guide §6: write only new data, compact rarely).
+
+Because bucket collision is pairwise (no transitivity), batch-at-a-time
+probing surfaces EXACTLY the pairs a full-corpus recompute would (the
+same theorem tests/test_dedup_incremental.py proves for the batch path)
+— so a 100 TB corpus ingesting continuously gets its near-dup pairs at
+O(batch) cost per trigger, with index state O(corpus bands) living in
+the table catalog, not the state store.
 
 Exactly-once under replay (a crash between the sink write and the
-checkpoint commit makes Spark re-run the epoch with the same data):
+checkpoint commit makes Spark re-run the epoch with the same data and
+the same epoch id):
 
-* pairs: ``lsh_probe_pairs`` output is a distinct set, and the sink
-  append anti-joins against the stored pairs — a replayed epoch
-  re-derives pairs that are already recorded and appends nothing.
-* index: new bands are anti-joined against already-indexed doc ids
-  before the union, so a replayed (or re-delivered) document cannot
-  duplicate its band rows. First write wins — consistent with the
-  pairs table's set semantics, and exact because a doc's bands are
-  committed atomically (one catalog pointer swap covers all of them).
+* Each segment commit is idempotent: segment directories are keyed by
+  epoch id, rewritten in place with deterministic content, and made
+  visible by one atomic pointer swap — so a replayed epoch re-commits
+  byte-equivalent state, and ``has_segment`` short-circuits epochs that
+  already committed fully.
+* First write wins per document: already-indexed doc ids are anti-joined
+  out of the batch BEFORE banding, so a re-delivered (or replayed) doc
+  can neither duplicate its band rows nor re-derive its pairs. Every
+  pair (a, b) is emitted exactly once — in the epoch where the later of
+  a, b is first indexed — keeping the pairs table a set without the
+  former O(corpus-pairs) anti-join against the full stored pairs table.
+* Commit order is pairs-then-index, and pairs are derived from the
+  pre-append index state: a crash between the two commits replays into
+  "pairs committed, index not", where the batch is still un-indexed, so
+  the rerun recomputes identical bands and completes the index commit.
+  (The reverse order would replay into an already-indexed batch whose
+  recomputed pair segment is empty — losing the crashed epoch's pairs.)
 
 tests/test_streaming.py::test_neardup_stream_replayed_epoch_is_idempotent
 forces the replay by deleting the checkpoint's last commit marker and
-restarting — the post-replay index and pairs must be byte-identical
-(and the same test run with this guard removed fails: the replayed
-epoch doubles its chunk's band rows).
+restarting — the post-replay index and pairs must equal a fresh
+full-corpus run exactly.
 """
 
 from __future__ import annotations
@@ -38,7 +56,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from etl_process_spark.operators.dedup import lsh_bands, lsh_probe_pairs
+from etl_process_spark.operators.dedup import (
+    bucket_pairs,
+    lsh_bands,
+    probe_pairs_from_bands,
+)
 from etl_process_spark.sources.tables import TableCatalog
 
 INDEX_TABLE = "lsh_band_index"
@@ -46,40 +68,39 @@ PAIRS_TABLE = "neardup_pairs"
 
 
 def neardup_sink(catalog: TableCatalog, text_col: str, id_col: str):
-    """Build the ``foreachBatch`` function: probe, then extend state."""
+    """Build the ``foreachBatch`` function: probe, then append the
+    epoch's new bands and pairs as O(batch) log segments."""
 
     def apply(batch: DataFrame, epoch_id: int) -> None:
         if batch.isEmpty():
             return
-        new_bands = lsh_bands(batch, text_col, id_col)
+        eid = int(epoch_id)
+        pairs_done = catalog.has_segment(PAIRS_TABLE, eid)
+        index_done = catalog.has_segment(INDEX_TABLE, eid)
+        if pairs_done and index_done:
+            return  # fully-committed epoch replayed: nothing to redo
         if catalog.exists(INDEX_TABLE):
             index = catalog.read(INDEX_TABLE)
-            pairs = lsh_probe_pairs(index, batch, text_col, id_col)
-            # replay/idempotence guard: a re-run epoch's docs are already
-            # indexed; re-unioning their bands would duplicate index rows
-            # and double every future bucket probe. Anti-join on doc id
-            # (a doc's bands land atomically, so presence of the id means
-            # ALL its bands are present).
-            fresh = new_bands.join(
-                index.select("doc").distinct(), "doc", "left_anti"
-            )
-            merged_index = index.unionByName(fresh)
+            # first-write-wins: drop already-indexed docs before banding
+            # (re-delivery, or a replay that crashed mid-epoch) — their
+            # bands AND pairs were committed when they first arrived
+            indexed = index.select(F.col("doc").alias(id_col)).distinct()
+            fresh = batch.join(indexed, id_col, "left_anti")
+            fresh_bands = lsh_bands(fresh, text_col, id_col).persist()
+            pairs = probe_pairs_from_bands(index, fresh_bands)
         else:
-            from etl_process_spark.operators.dedup import bucket_pairs
-
-            pairs = bucket_pairs(new_bands)
-            merged_index = new_bands
-        if catalog.exists(PAIRS_TABLE):
-            # replay-safe: an epoch rerun re-derives the same pairs;
-            # anti-join keeps the pairs table a SET
-            pairs = pairs.join(
-                catalog.read(PAIRS_TABLE), ["doc_a", "doc_b"], "left_anti"
-            )
-            merged_pairs = catalog.read(PAIRS_TABLE).unionByName(pairs)
-        else:
-            merged_pairs = pairs
-        catalog.overwrite(INDEX_TABLE, merged_index)
-        catalog.overwrite(PAIRS_TABLE, merged_pairs.select("doc_a", "doc_b"))
+            fresh_bands = lsh_bands(batch, text_col, id_col).persist()
+            pairs = bucket_pairs(fresh_bands)
+        try:
+            # pairs BEFORE index (see module docstring: the reverse order
+            # loses a crashed epoch's pairs on replay)
+            if not pairs_done:
+                catalog.append_segment(
+                    PAIRS_TABLE, pairs.select("doc_a", "doc_b"), eid
+                )
+            catalog.append_segment(INDEX_TABLE, fresh_bands, eid)
+        finally:
+            fresh_bands.unpersist()
 
     return apply
 

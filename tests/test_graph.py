@@ -282,3 +282,58 @@ def test_small_star_canonical_matches_general_on_large_star_output(spark, edges)
     general = {(r["a"], r["b"]) for r in _small_star(ls).collect()}
     fast = {(r["a"], r["b"]) for r in _small_star_canonical(ls).collect()}
     assert fast == general
+
+
+def test_label_propagation_round_is_exchange_free(spark):
+    """The §2.4 invariant the r12 LPA rewrite relies on: with the
+    symmetric edge list hash-partitioned once on the collecting
+    endpoint and persisted, a full LPA round (broadcast label attach →
+    neighbor-label count → per-node argmax) introduces NO data
+    exchange — hash(a) satisfies both aggregates' clustered
+    distributions through the alias a→node. Guards the plan shape
+    against Spark upgrades (localCheckpoint already silently erases
+    partitioning in 4.1 — the reason the operator persists instead)."""
+    from pyspark.sql import functions as F
+
+    from etl_process_spark.operators.graph import _lpa_round, label_propagation
+
+    edges = spark.createDataFrame(
+        [(a, b) for a in range(0, 20) for b in range(a + 1, 20) if (a + b) % 3],
+        "u long, v long",
+    )
+    sym = (
+        edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
+        .unionAll(edges.select(F.col("v").alias("a"), F.col("u").alias("b")))
+        .repartition("a")
+        .persist()
+    )
+    labels = sym.select(F.col("a").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    out = _lpa_round(sym, labels, broadcast_labels=True)
+    out.write.format("noop").mode("overwrite").save()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    agg_exchanges = [
+        ln for ln in plan.splitlines()
+        if "Exchange hashpartitioning(node" in ln
+    ]
+    assert agg_exchanges == [], agg_exchanges
+    sym.unpersist()
+
+    # and the persisted round pipeline returns the same labels as a
+    # checkpoint-free reference evaluation of the same recurrence
+    got = {
+        (r["node"], r["label"])
+        for r in label_propagation(edges, "u", "v", rounds=2,
+                                   broadcast_labels=True).collect()
+    }
+    ref_sym = edges.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
+        edges.select(F.col("v").alias("a"), F.col("u").alias("b"))
+    )
+    ref_labels = ref_sym.select(F.col("a").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(2):
+        ref_labels = _lpa_round(ref_sym, ref_labels, broadcast_labels=False)
+    ref = {(r["node"], r["label"]) for r in ref_labels.collect()}
+    assert got == ref

@@ -603,3 +603,45 @@ def test_catalog_compaction_stress_200_files(spark, tmp_path):
     assert cat.read("ev").count() == 80_000
     with pytest.raises(FileNotFoundError):
         cat.read_version("ev", dropped[0])
+
+
+def test_catalog_append_segment_log(spark, tmp_path):
+    """Segment-log tables: O(segment) writes with one atomic pointer
+    swap each, union reads, idempotent per-segment replay, and
+    compaction that folds the log while still acknowledging committed
+    segment ids (the streaming epoch-replay guard)."""
+    from etl_process_spark.sources.tables import TableCatalog
+
+    cat = TableCatalog(spark, str(tmp_path / "log_cat"))
+    assert not cat.exists("t")
+    assert not cat.has_segment("t", 0)
+
+    cat.append_segment("t", spark.range(0, 5).toDF("id"), 0)
+    cat.append_segment("t", spark.range(5, 8).toDF("id"), 1)
+    assert cat.exists("t")
+    assert cat.segment_count("t") == 2
+    assert cat.has_segment("t", 0) and cat.has_segment("t", 1)
+    assert not cat.has_segment("t", 2)
+    assert sorted(r["id"] for r in cat.read("t").collect()) == list(range(8))
+
+    # replaying a segment id overwrites in place — no duplicate rows
+    cat.append_segment("t", spark.range(5, 8).toDF("id"), 1)
+    assert cat.segment_count("t") == 2
+    assert sorted(r["id"] for r in cat.read("t").collect()) == list(range(8))
+
+    # compaction: one directory, same rows, committed ids still acked
+    cat.compact("t")
+    assert len(cat._current_dirs("t")) == 1
+    assert cat.has_segment("t", 0) and cat.has_segment("t", 1)
+    assert not cat.has_segment("t", 2)
+    assert sorted(r["id"] for r in cat.read("t").collect()) == list(range(8))
+
+    # the log keeps growing after compaction; reads union old + new
+    cat.append_segment("t", spark.range(8, 10).toDF("id"), 2)
+    assert cat.has_segment("t", 2)
+    assert sorted(r["id"] for r in cat.read("t").collect()) == list(range(10))
+
+    # plain overwrite subsumes the whole log and keeps acking history
+    cat.overwrite("t", spark.range(0, 3).toDF("id"))
+    assert cat.has_segment("t", 2) and cat.has_segment("t", 0)
+    assert sorted(r["id"] for r in cat.read("t").collect()) == [0, 1, 2]

@@ -140,3 +140,48 @@ def test_knn_join_arrow_refuses_non_integral_qid(spark):
     )
     with pytest.raises(ValueError, match="integral query id"):
         sim.knn_join(corpus, queries, impl="arrow", k=4, nprobe=3, dim=64)
+
+
+def test_ensure_parallelism_is_width_aware(spark, tmp_path):
+    """The narrow-scan spread must fire only where it helps: a
+    single-file scan gets the round-robin repartition, a scan already
+    as wide as the session's parallelism is left alone (at real scale
+    the spread there is a pure extra full shuffle of raw text), and the
+    session overrides keep working."""
+    par = spark.sparkContext.defaultParallelism
+
+    def spread_fires(df):
+        return "RoundRobinPartitioning" in df._jdf.queryExecution().toString()
+
+    narrow_dir = str(tmp_path / "narrow")
+    spark.range(0, 1000).coalesce(1).write.parquet(narrow_dir)
+    narrow = spark.read.parquet(narrow_dir)
+    assert len(narrow.inputFiles()) < par
+    assert spread_fires(dd.ensure_parallelism(narrow))
+
+    wide_dir = str(tmp_path / "wide")
+    spark.range(0, 10_000).repartition(par).write.parquet(wide_dir)
+    wide = spark.read.parquet(wide_dir)
+    assert len(wide.inputFiles()) >= par
+    assert not spread_fires(dd.ensure_parallelism(wide))
+
+    # frames with no file lineage keep the spread (narrow by assumption)
+    mem = spark.range(0, 10).toDF("id")
+    assert spread_fires(dd.ensure_parallelism(mem))
+
+    # kill switch and force override
+    spark.conf.set("spark.graft.ensureParallelism", "false")
+    try:
+        assert not spread_fires(dd.ensure_parallelism(narrow))
+    finally:
+        spark.conf.set("spark.graft.ensureParallelism", "true")
+    spark.conf.set("spark.graft.ensureParallelism", "force")
+    try:
+        assert spread_fires(dd.ensure_parallelism(wide))
+    finally:
+        spark.conf.set("spark.graft.ensureParallelism", "true")
+
+    # rows are identical either way — the spread is pure placement
+    assert sorted(r["id"] for r in dd.ensure_parallelism(wide).collect()) == sorted(
+        r["id"] for r in wide.collect()
+    )

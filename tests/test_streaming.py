@@ -1437,3 +1437,162 @@ def test_trending_stream_replayed_epoch_is_idempotent(spark, event_inbox, tmp_pa
     # a replayed epoch appending (not overwriting) would duplicate rows
     assert got.count() == got.distinct().count()
     assert got.count() > 0
+
+
+def test_neardup_stream_write_volume_is_per_batch(spark, tmp_path):
+    """The streaming LSH sink must write O(batch) bytes per epoch: each
+    epoch commits exactly one NEW log segment per table holding only the
+    batch's rows, and every band/pair row is written exactly once across
+    all segments. (The pre-r12 design unioned fresh bands into the full
+    stored index and rewrote both tables per epoch — an O(corpus) write
+    whose total across n epochs is quadratic in corpus size.)"""
+    import os
+
+    from pyspark.sql import types as T
+
+    from etl_process_spark.sources.tables import TableCatalog
+    from etl_process_spark.streaming.dedup_stream import (
+        INDEX_TABLE,
+        PAIRS_TABLE,
+        run_neardup_stream,
+    )
+    from etl_process_spark.streaming.sources import read_event_stream
+
+    docs = tbl(spark, SF_DIR, "documents").select("doc_id", "text")
+    clones = docs.filter(F.col("doc_id") < 4).select(
+        (F.col("doc_id") + 10_000).alias("doc_id"), "text"
+    )
+    all_docs = docs.unionByName(clones).cache()
+    chunks = [all_docs.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+    inbox, files = _staged_inbox(tmp_path, chunks, "voldocs")
+    import shutil
+
+    for f in files:
+        shutil.copy2(f, inbox / f.name)
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    cat = TableCatalog(spark, str(tmp_path / "vol_cat"))
+    stream = read_event_stream(
+        spark, str(inbox), max_files_per_trigger=1, schema=schema
+    )
+    q = run_neardup_stream(
+        stream, cat, "text", "doc_id", str(tmp_path / "vol_ckpt")
+    )
+    q.awaitTermination(300)
+
+    # one committed segment per non-empty epoch, for both tables
+    assert cat.segment_count(INDEX_TABLE) == 3
+    assert cat.segment_count(PAIRS_TABLE) == 3
+    for e in range(3):
+        assert cat.has_segment(INDEX_TABLE, e)
+        assert cat.has_segment(PAIRS_TABLE, e)
+
+    # every band row written exactly once: per-segment rows sum to the
+    # final table (an O(corpus)-rewrite design re-writes earlier epochs'
+    # rows into later segments, making the sum strictly larger)
+    seg_rows = sum(
+        spark.read.parquet(d).count()
+        for d in cat._current_dirs(INDEX_TABLE)
+    )
+    assert seg_rows == cat.read(INDEX_TABLE).count()
+    pair_seg_rows = sum(
+        spark.read.parquet(d).count()
+        for d in cat._current_dirs(PAIRS_TABLE)
+    )
+    assert pair_seg_rows == cat.read(PAIRS_TABLE).count()
+    assert cat.read(PAIRS_TABLE).count() == cat.read(PAIRS_TABLE).distinct().count()
+
+    # no O(corpus) version rewrites happened alongside the segments
+    assert cat.versions(INDEX_TABLE) == []
+    assert cat.versions(PAIRS_TABLE) == []
+
+    # compaction folds the log to one dir and still answers has_segment
+    # (the replay guard) for all committed epochs
+    cat.compact(INDEX_TABLE)
+    assert len(cat._current_dirs(INDEX_TABLE)) == 1
+    for e in range(3):
+        assert cat.has_segment(INDEX_TABLE, e)
+    assert seg_rows == cat.read(INDEX_TABLE).count()
+
+    # the streamed state equals a fresh full-corpus banding
+    from etl_process_spark.operators.dedup import lsh_bands, lsh_candidate_pairs
+
+    assert _canon(cat.read(INDEX_TABLE), ["doc", "band", "bucket"]) == _canon(
+        lsh_bands(all_docs, "text", "doc_id"), ["doc", "band", "bucket"]
+    )
+    got = {(r["doc_a"], r["doc_b"]) for r in cat.read(PAIRS_TABLE).collect()}
+    expected = {
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_candidate_pairs(all_docs, "text", "doc_id").collect()
+    }
+    assert got == expected
+    assert os.path.isdir(str(tmp_path / "vol_cat"))
+
+
+def test_neardup_sink_replay_after_partial_epoch_commit(spark, tmp_path):
+    """Crash in the window BETWEEN the pairs-segment commit and the
+    index-segment commit (the one non-atomic seam in the epoch): the
+    replayed epoch must skip the committed pairs segment, re-derive
+    identical bands (its docs are still un-indexed), and complete the
+    index commit — final state equals an uninterrupted run exactly."""
+    from etl_process_spark.operators.dedup import lsh_bands, lsh_candidate_pairs
+    from etl_process_spark.sources.tables import TableCatalog
+    from etl_process_spark.streaming.dedup_stream import (
+        INDEX_TABLE,
+        PAIRS_TABLE,
+        neardup_sink,
+    )
+
+    docs = tbl(spark, SF_DIR, "documents").select("doc_id", "text")
+    clones = docs.filter(F.col("doc_id") < 4).select(
+        (F.col("doc_id") + 10_000).alias("doc_id"), "text"
+    )
+    all_docs = docs.unionByName(clones).cache()
+    batch0 = all_docs.filter(F.col("doc_id") % 2 == 0)
+    batch1 = all_docs.filter(F.col("doc_id") % 2 == 1)
+
+    class CrashAfterPairsCommit(TableCatalog):
+        armed = False
+
+        def append_segment(self, name, df, segment_id):
+            super().append_segment(name, df, segment_id)
+            if self.armed and name == PAIRS_TABLE:
+                raise RuntimeError("injected crash after pairs commit")
+
+    cat = CrashAfterPairsCommit(spark, str(tmp_path / "crash_cat"))
+    sink = neardup_sink(cat, "text", "doc_id")
+    sink(batch0, 0)
+
+    cat.armed = True
+    try:
+        sink(batch1, 1)
+        raise AssertionError("injected crash did not fire")
+    except RuntimeError:
+        pass
+    # crashed mid-epoch: pairs segment 1 committed, index segment 1 not
+    assert cat.has_segment(PAIRS_TABLE, 1)
+    assert not cat.has_segment(INDEX_TABLE, 1)
+
+    cat.armed = False
+    sink(batch1, 1)  # replay of the same epoch
+
+    assert cat.has_segment(INDEX_TABLE, 1)
+    index = cat.read(INDEX_TABLE)
+    assert index.count() == index.distinct().count()
+    assert _canon(index, ["doc", "band", "bucket"]) == _canon(
+        lsh_bands(all_docs, "text", "doc_id"), ["doc", "band", "bucket"]
+    )
+    got = {(r["doc_a"], r["doc_b"]) for r in cat.read(PAIRS_TABLE).collect()}
+    expected = {
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_candidate_pairs(all_docs, "text", "doc_id").collect()
+    }
+    assert got == expected
+
+    # and a full replay of an already-complete epoch is a strict no-op
+    before = cat.segment_count(INDEX_TABLE), cat.segment_count(PAIRS_TABLE)
+    sink(batch1, 1)
+    assert (cat.segment_count(INDEX_TABLE), cat.segment_count(PAIRS_TABLE)) == before
