@@ -60,7 +60,14 @@ def connected_components(
     """
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    sym = sym.distinct().localCheckpoint()
+    # hash-partition the edge list ONCE on the aggregation key and keep
+    # it in storage (persist — localCheckpoint would erase the
+    # partitioning): whenever the planner attaches labels by broadcast
+    # (AQE, labels fit), the join preserves hash(a) and the per-round
+    # min-label groupBy(a) needs NO exchange — guide §2.4. In the
+    # sort-merge regime (labels too big to broadcast) the round keeps
+    # its former shape; the one-time repartition is the bounded cost.
+    sym = sym.distinct().repartition("a").persist()
 
     labels = (
         sym.select(F.col("a").alias("node"))
@@ -537,7 +544,13 @@ def bfs_distances(
         sym = sym.unionAll(
             edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
         )
-    sym = sym.localCheckpoint(eager=False)
+    # hash-partition the edge list ONCE on the neighbor endpoint and
+    # persist (not localCheckpoint, which erases partitioning): while
+    # the frontier rides a broadcast join — every hop here — candidate
+    # neighbors arrive already hash(b)-clustered, so each hop's
+    # ``distinct`` (keyed on n ≡ b) needs NO exchange: hops × candidate
+    # exchanges collapse into this one edge shuffle (guide §2.4).
+    sym = sym.repartition("b").persist()
     dist = seeds.select(F.col(node).alias("n")).distinct().select(
         "n", F.lit(0).cast("int").alias("dist")
     ).localCheckpoint(eager=False)

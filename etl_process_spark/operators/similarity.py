@@ -141,7 +141,33 @@ def ivf_centroids(
     (floor(v·10⁶) BIGINT partial sums, one final division of
     integer-valued doubles) — a raw double avg is partition-order-
     dependent and engine-order-dependent; the quantized sum is not.
+
+    With ``dim`` set the same quantized means come from ONE
+    groupBy(cell) carrying dim integer partial sums — no corpus-row
+    posexplode (a ×dim map-side row multiplication at any scale) and
+    one exchange instead of two. Component values are bit-identical:
+    identical per-element floor(v·10⁶) BIGINT terms, summed per cell
+    either way, one final division each.
     """
+    if dim is not None:
+        # whole-expression SQL strings: one parser round-trip per
+        # aggregate and ONE for the reassembly, not 5+ py4j calls per
+        # dimension (the round-9 dot lesson)
+        sums = [
+            F.expr(
+                f"sum(CAST(FLOOR(CAST(element_at(`{vec_col}`, {i}) AS DOUBLE)"
+                f" * 1000000.0) AS BIGINT)) AS _s{i}"
+            )
+            for i in range(1, dim + 1)
+        ]
+        agg = df.groupBy(F.col(cell_col).alias("cell")).agg(
+            sums[0], *sums[1:], F.expr("count(1) AS _n")
+        )
+        arr = ", ".join(
+            f"CAST(_s{i} AS DOUBLE) / (_n * 1000000.0)"
+            for i in range(1, dim + 1)
+        )
+        return agg.selectExpr("cell", f"array({arr}) AS centroid")
     pe = df.select(F.col(cell_col).alias("cell"), F.posexplode(_dbl(F.col(vec_col))).alias("pos", "val"))
     comp = pe.groupBy("cell", "pos").agg(
         (
@@ -429,10 +455,15 @@ def knn_join(
             acc = acc + F.col(f"{pa}{i}") * F.col(f"{pb}{i}")
         return acc
 
-    if dim is not None:
+    if dim is not None and impl != "arrow":
+        # flattened _kq columns feed the scalar-dot scoring of the SQL
+        # paths only; the Arrow path ships the array itself, and carrying
+        # 64 dead doubles through the probe window's exchange (and ~400
+        # py4j calls of plan assembly) measured ~0.6 s per direction on
+        # margin_bitext_pairs
         q = q.select("qid", "qvec", *_flat("_kq", "qvec"))
     if nprobe is not None:
-        cents = ivf_centroids(corpus, cell_col, vec_col)
+        cents = ivf_centroids(corpus, cell_col, vec_col, dim=dim)
         cell_w = Window.partitionBy("qid").orderBy(
             F.col("csim").desc(), F.col("cell").asc()
         )
