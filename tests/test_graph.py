@@ -6,6 +6,7 @@ from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 from etl_process_spark.operators.graph import connected_components
+import pytest
 
 
 def _components(spark, edge_list):
@@ -261,6 +262,7 @@ def test_bfs_distances_matches_python_bfs(spark, edges, seeds):
 )
 @settings(max_examples=15, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
+@pytest.mark.slow  # corpus-sweep/long-property tier (see pytest.ini)
 def test_small_star_canonical_matches_general_on_large_star_output(spark, edges):
     """The composed CC round skips _small_star's re-canonicalization
     because _large_star's output is already large->small, self-loop free

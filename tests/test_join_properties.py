@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from etl_process_spark.operators.asof import asof_join, asof_join_merge
 from etl_process_spark.operators.intervals import interval_overlap_join
+import pytest
 
 T0 = dt.datetime(2024, 1, 1)
 INF = dt.datetime(9999, 12, 31)
@@ -57,6 +58,7 @@ def _hours(h: int) -> dt.datetime:
     return T0 + dt.timedelta(hours=h)
 
 
+@pytest.mark.slow  # corpus-sweep/long-property tier (see pytest.ini)
 @given(versions=versions_strategy, facts=facts_strategy)
 @settings(**HYP)
 def test_asof_merge_equals_broadcast(spark, versions, facts):
@@ -98,6 +100,7 @@ intervals_strategy = st.lists(
 )
 
 
+@pytest.mark.slow  # corpus-sweep/long-property tier (see pytest.ini)
 @given(ls=intervals_strategy, rs=intervals_strategy)
 @settings(**HYP)
 def test_interval_binned_equals_naive(spark, ls, rs):

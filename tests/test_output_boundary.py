@@ -28,6 +28,8 @@ from pathlib import Path
 
 import pytest
 
+pytestmark = pytest.mark.slow  # heavyweight tier: excluded from the driver-budget default selection (see pytest.ini)
+
 PKG = Path(__file__).resolve().parent.parent / "etl_process_spark"
 
 # file -> (allowed F.round call count, justification)

@@ -92,12 +92,14 @@ def test_asof_join_is_broadcast_with_band_postfilter(spark):
     assert not has_cartesian(df)
 
 
+@pytest.mark.slow  # corpus-sweep/long-property tier (see pytest.ini)
 def test_no_cartesian_products_anywhere(spark):
     for name, spec in sorted(QUERIES.items()):
         df = spec.builder(spark, SF_DIR)
         assert not has_cartesian(df), f"{name} plans a CartesianProduct"
 
 
+@pytest.mark.slow  # corpus-sweep/long-property tier (see pytest.ini)
 def test_no_unbounded_serial_exchange_anywhere(spark):
     """No query funnels a base table through one task: every
     SinglePartition exchange in the corpus must sit above a
@@ -145,6 +147,7 @@ def test_unbounded_serial_exchange_detector_join_leak_control(spark):
     )
 
 
+@pytest.mark.slow  # corpus-sweep/long-property tier (see pytest.ini)
 def test_python_only_where_declared(spark):
     for name, spec in sorted(QUERIES.items()):
         df = spec.builder(spark, SF_DIR)

@@ -21,6 +21,9 @@ from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from etl_process_spark.operators.scd2 import scd2_current, scd2_init, scd2_merge
+import pytest
+
+pytestmark = pytest.mark.slow  # heavyweight tier: excluded from the driver-budget default selection (see pytest.ini)
 
 INF = dt.datetime(9999, 12, 31)
 KEYS = ["k1", "k2", "k3"]

@@ -36,6 +36,7 @@ def test_full_probe_equals_brute_force(emb):
     assert full == exact
 
 
+@pytest.mark.slow  # corpus-sweep/long-property tier (see pytest.ini)
 def test_partial_probe_recall_above_threshold(emb):
     """nprobe=6 of 10 cells: scan fraction ~0.6 must still recover most
     true neighbors (offline measurement on this corpus: mean ~0.72,

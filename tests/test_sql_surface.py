@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 
 from etl_process_spark.queries import QUERIES
 from etl_process_spark.sql import register_catalog_views, register_testdata_views
+import pytest
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -108,6 +109,7 @@ PORTABLE_ORACLES = [
 ]
 
 
+@pytest.mark.slow  # corpus-sweep/long-property tier (see pytest.ini)
 def test_portable_oracles_run_unmodified_on_spark_sql(spark):
     """76 of the corpus' DuckDB oracle strings are plain ANSI: a SQL
     user pastes them into spark.sql and gets string-identical results
