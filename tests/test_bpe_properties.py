@@ -130,3 +130,45 @@ def test_delta_rounds_match_naive_reference(spark, texts):
     for rnd, pair in enumerate(merges, start=1):
         if pair is not None:
             assert trained[rnd] == f"{pair[0]} {pair[1]}"
+
+
+def test_weighted_vocab_never_grows_duplicate_rows(spark):
+    """ADVICE r11 worried that distinct tokens could converge to the
+    same symbol string after merges, silently duplicating vocab rows
+    and eroding the vocab-sized-per-round advantage. They cannot:
+    tokens are whitespace-split (no token contains a space), bpe_wrap
+    is injective on the character sequence, and a merge rewrite only
+    moves segmentation boundaries (double vs single spaces) — the
+    underlying character sequence of each row is invariant. This test
+    pins that invariant through adversarially-similar tokens ('a b'
+    lookalikes: 'ab', 'aab', single chars) across several rewrites."""
+    from etl_process_spark.operators.text import (
+        _bpe_rewrite,
+        _pair_counts,
+        _weighted_vocab,
+    )
+
+    docs = spark.createDataFrame(
+        [("ab a b aab ab ba b a abab",), ("ab aab ba aa bb a",)],
+        "text string",
+    )
+    wrapped = _weighted_vocab(docs, "text")
+    n0 = wrapped.count()
+    assert wrapped.select("s").distinct().count() == n0
+    total_w = wrapped.agg(F.sum("w")).first()[0]
+    for _ in range(4):
+        counts = _pair_counts(wrapped)
+        winner = counts.orderBy(F.col("n").desc(), F.col("pair").asc()).limit(1)
+        wrapped = _bpe_rewrite(wrapped, winner).localCheckpoint()
+        # row count, s-distinctness and total occurrence mass all
+        # invariant: no duplicates appear, nothing needs re-aggregation
+        assert wrapped.count() == n0
+        assert wrapped.select("s").distinct().count() == n0
+        assert wrapped.agg(F.sum("w")).first()[0] == total_w
+        # character sequences (spaces stripped) are untouched by merges
+        chars = {
+            r[0] for r in wrapped.select(
+                F.translate("s", " ", "")
+            ).collect()
+        }
+        assert len(chars) == n0

@@ -266,12 +266,29 @@ def main() -> None:
             (q, True) for q in JVM_QUERIES
         ]
 
+    def _drop_session_state() -> None:
+        """Bench-equivalent hygiene between queries: drop every
+        persisted block AND the CacheManager's plan registrations.
+        Operators that ``persist()`` a partitioned intermediate (CC/LPA
+        sym since r12) register its logical plan session-wide; a later
+        query building the IDENTICAL plan would silently read the
+        earlier query's cache, so its injected run launches no scan
+        task and the retry pass goes vacuous (observed: neardup_clusters
+        after cluster_canonical_docs — retried_tasks 0 with correct
+        rows). clearCache() removes the plan registrations;
+        unpersisting the RDDs alone would not."""
+        spark.catalog.clearCache()
+        for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            jrdd.unpersist(True)
+
     results: dict[str, dict] = {}
     failures = 0
     for name, wrap_scans in plan:
+        _drop_session_state()
         base_hash, base_rows = _result_hash(spark, sf_dir, name)
 
         def _injected(wrap_sql: bool) -> dict:
+            _drop_session_state()  # injected run must recompute everything
             before = _RETRY_ACC.value
             with _Injector(wrap_scans=wrap_scans, wrap_sql=wrap_sql):
                 inj_hash, inj_rows = _result_hash(spark, sf_dir, name)

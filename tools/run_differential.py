@@ -35,6 +35,15 @@ def main() -> None:
     out: dict[str, dict] = {}
     t0 = time.time()
     for name in sorted(QUERIES):
+        # bench-equivalent hygiene: drop persisted blocks AND the
+        # CacheManager's plan registrations between queries, so no
+        # query silently reads a predecessor's cache (plan-identical
+        # persisted intermediates, e.g. the CC/LPA edge lists) and
+        # blocks don't accumulate across the 204-query session — the
+        # r9-documented memory-cascade risk at the 10x tier.
+        spark.catalog.clearCache()
+        for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            jrdd.unpersist(True)
         start = time.time()
         try:
             res = compare(spark, sf_dir, QUERIES[name])

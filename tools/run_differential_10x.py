@@ -140,6 +140,13 @@ def main() -> None:
         return summary
 
     for name in subset or scope:
+        # bench-equivalent hygiene between queries (see
+        # run_differential.py): no cross-query cache reuse via
+        # plan-identical persisted intermediates, no block accumulation
+        # across the 204-query session at the memory-tight 10x tier.
+        spark.catalog.clearCache()
+        for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            jrdd.unpersist(True)
         start = time.time()
         try:
             res = compare(spark, OUT_DIR, QUERIES[name],
